@@ -1,0 +1,224 @@
+"""Near-duplicate detection at scale: MinHash+LSH and n-gram Jaccard.
+
+North-star operators (not in the reference surface). Design notes for
+the 100 TB posture:
+
+- Shingling/minhashing is embarrassingly parallel (narrow ops).
+- The MinHash signature is built from md5 digests, so the "permutation"
+  family is engine-independent and the oracle can reproduce it exactly:
+  ``minhash_i(doc) = min over shingles of md5(i || ':' || shingle)``
+  (min over hex strings of a uniform hash = a valid MinHash).
+- LSH banding turns all-pairs O(n²) into a shuffle on band keys; only
+  docs sharing a band collide. Candidate pairs are then verified with
+  the true shingle-set Jaccard.
+- n-gram Jaccard uses source-blocking + an inverted-index join on the
+  shingle (never a cartesian product), which is the standard
+  scale-out formulation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from agrobr_spark.io import load
+from agrobr_spark.queries import register
+
+N_HASHES = 8
+BAND_SIZE = 2  # → 4 bands
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-word shingles per doc (0-based Spark array subscripts)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.split(F.trim(F.col("text")), r"\s+").alias("t"),
+        )
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3),"
+                    " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = r"""
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+      FROM (SELECT doc_id, source,
+                   string_split_regex(trim(text), '\s+') AS t
+            FROM documents) toks,
+           unnest(range(1, len(t) - 1)) AS r(i)
+      WHERE len(t) >= 3)
+"""
+
+
+def _minhash_cols():
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ]
+
+
+_MINHASH_SQL_COLS = ",\n        ".join(
+    f"min(md5(concat('{i}:', shingle))) AS mh{i}" for i in range(N_HASHES)
+)
+_BANDS = [
+    (b, [f"mh{i}" for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)])
+    for b in range(N_HASHES // BAND_SIZE)
+]
+_BAND_SQL = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, {b} AS banda, md5(concat({', '.join(cols)})) AS chave"
+    " FROM assin"
+    for b, cols in _BANDS
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    assin AS (
+      SELECT doc_id,
+        {_MINHASH_SQL_COLS}
+      FROM sh GROUP BY doc_id),
+    bandas AS (
+{_BAND_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandas a JOIN bandas b
+        ON a.banda = b.banda AND a.chave = b.chave AND a.doc_id < b.doc_id),
+    tam AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_comum
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b, i.n_comum,
+      CAST(i.n_comum AS DOUBLE)
+        / CAST(ta.n + tb.n - i.n_comum AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN tam ta ON ta.doc_id = i.doc_a
+    JOIN tam tb ON tb.doc_id = i.doc_b
+    """,
+    tags=("DEDUP", "MINHASH", "LSH"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 md5-derived hashes) + LSH banding (4 bands × 2 rows)
+    → candidate pairs → exact Jaccard verification."""
+    sh = _shingles_df(spark, sf_dir).cache()
+    assin = sh.groupBy("doc_id").agg(*_minhash_cols())
+
+    bandas = None
+    for b, cols in _BANDS:
+        banda = assin.select(
+            "doc_id",
+            F.lit(b).alias("banda"),
+            F.md5(F.concat(*[F.col(c) for c in cols])).alias("chave"),
+        )
+        bandas = banda if bandas is None else bandas.unionByName(banda)
+
+    a = bandas.alias("a")
+    b = bandas.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.banda") == F.col("b.banda"))
+            & (F.col("a.chave") == F.col("b.chave"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    tam = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_comum"))
+    )
+    ta = tam.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    tb = tam.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_comum",
+            (
+                F.col("n_comum").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_comum")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    tam AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_comum
+      FROM sh a JOIN sh b
+        ON a.source = b.source AND a.shingle = b.shingle
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b, i.n_comum,
+      CAST(i.n_comum AS DOUBLE)
+        / CAST(ta.n + tb.n - i.n_comum AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN tam ta ON ta.doc_id = i.doc_a
+    JOIN tam tb ON tb.doc_id = i.doc_b
+    WHERE CAST(i.n_comum AS DOUBLE)
+        / CAST(ta.n + tb.n - i.n_comum AS DOUBLE) >= 0.05
+    """,
+    tags=("DEDUP", "NGRAM", "JACCARD"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs via source-blocked inverted-index
+    join (pairs sharing ≥1 shingle within a source block), threshold 0.05."""
+    sh = _shingles_df(spark, sf_dir).cache()
+    tam = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_comum"))
+    )
+    ta = tam.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    tb = tam.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_comum").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_comum")
+    ).cast("double")
+    return (
+        inter.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.05)
+        .select("doc_a", "doc_b", "n_comum", "jaccard")
+    )

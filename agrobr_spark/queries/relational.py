@@ -1,0 +1,821 @@
+"""Relational core (SURVEY §2.2–§2.7) mapped onto the synthetic star schema.
+
+Each query re-expresses one reference operator Spark-first and carries a
+DuckDB oracle. Reference citations point at the pandas code whose
+semantics the query reproduces (FIXTURES.md §14 gives the table mapping:
+J1 ≈ lineitem←orders←customer, A1 ≈ sum by (returnflag, linestatus),
+W1 ≈ lag over shipdate, …).
+
+Scale notes (100 TB posture):
+- dim joins (region/nation/part-dims) are explicit ``broadcast()`` — no
+  shuffle of the fact side;
+- aggregations are expressed as single groupBy so Spark plans partial
+  (map-side) aggregation before the exchange;
+- window queries partition by the natural key so state stays local to a
+  shuffle partition; orderings carry unique tie-breakers.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from agrobr_spark.io import load
+from agrobr_spark.queries import register
+
+DEC = "decimal(18,4)"
+
+
+def _dsum(c, alias: str):
+    """Order-insensitive money sum: decimal-exact, surfaced as double."""
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------- §2.2 P
+
+
+@register(
+    "p1_project_rename",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linha,
+           l_quantity AS quantidade, l_extendedprice AS valor,
+           l_extendedprice * (1 - l_discount) AS receita
+    FROM lineitem
+    """,
+    tags=("P1", "F9"),
+)
+def p1_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 rename-map projection + F9 derived arithmetic
+    (ref: agrobr/comtrade/parser.py:14-76, agrobr/bcb/parser.py:14-90)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linha"),
+        F.col("l_quantity").alias("quantidade"),
+        F.col("l_extendedprice").alias("valor"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("receita"),
+    )
+
+
+@register(
+    "p2_eq_filter",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer WHERE upper(c_mktsegment) = 'BUILDING'
+    """,
+    tags=("P2",),
+)
+def p2_eq_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 case-normalized equality filter (ref: agrobr/bcb/api.py:91-98)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.upper(F.col("c_mktsegment")) == F.lit("BUILDING"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@register(
+    "p3_string_predicates",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size
+    FROM part
+    WHERE p_name LIKE 's%' AND p_type LIKE '%ECO%'
+      AND p_brand IN ('Brand#1','Brand#2','Brand#3')
+    """,
+    tags=("P3",),
+)
+def p3_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 prefix/contains/isin predicates
+    (ref: agrobr/comexstat/parser.py:77-78, agrobr/b3/parser.py:158-163)."""
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").startswith("s")
+        & F.col("p_type").contains("ECO")
+        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
+
+@register(
+    "p4_date_range",
+    oracle="""
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS data, o_totalprice
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+    """,
+    tags=("P4",),
+)
+def p4_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 date-range predicate (ref: agrobr/cepea/api.py:231,
+    agrobr/cache/duckdb_store.py:349-364). Pushed to the parquet scan."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.filter(d.between(F.lit("1996-01-01"), F.lit("1996-12-31"))).select(
+        "o_orderkey", d.alias("data"), "o_totalprice"
+    )
+
+
+@register(
+    "p6_threshold_filter",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE coalesce(value, 0) > 100 AND event_type <> ''
+    """,
+    tags=("P6",),
+)
+def p6_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 numeric threshold + non-empty filter
+    (ref: agrobr/alt/mapa_psr/parser.py:194-200)."""
+    e = load(spark, sf_dir, "events")
+    return e.filter(
+        (F.coalesce(F.col("value"), F.lit(0.0)) > 100) & (F.col("event_type") != "")
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+@register(
+    "p7_dedup_distinct",
+    oracle="SELECT DISTINCT p_brand, p_type FROM part",
+    tags=("P7",),
+)
+def p7_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 dedup on key columns (ref: agrobr/antaq/parser.py:117).
+    Expressed as distinct-projection so survivors are deterministic."""
+    return load(spark, sf_dir, "part").select("p_brand", "p_type").distinct()
+
+
+@register(
+    "p8_category_exclusion",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    WHERE lower(event_type) NOT IN ('error')
+    """,
+    tags=("P8",),
+)
+def p8_category_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 category-exclusion filter (drop 'total'-style rows;
+    ref: agrobr/ibge/api.py:892-893, agrobr/conab/parsers/v1.py:66-72)."""
+    e = load(spark, sf_dir, "events")
+    return e.filter(~F.lower(F.col("event_type")).isin("error")).select(
+        "event_id", "event_type", "value"
+    )
+
+
+# ---------------------------------------------------------------- §2.3 J
+
+
+@register(
+    "j1_fact_dim_enrich",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           l.l_extendedprice * (1 - l.l_discount) AS receita,
+           CAST(o.o_orderdate AS DATE) AS data_pedido,
+           c.c_mktsegment AS segmento, n.n_name AS nacao
+    FROM lineitem l
+    LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    tags=("J1", "J5"),
+)
+def j1_fact_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J5 fact←dim left-join enrichment chain
+    (ref: agrobr/antaq/parser.py:86-120, alt/antt_pedagio/parser.py:376-399).
+    customer/nation are broadcast — the 100 TB fact side never shuffles."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("receita"),
+            F.col("o_orderdate").cast("date").alias("data_pedido"),
+            F.col("c_mktsegment").alias("segmento"),
+            F.col("n_name").alias("nacao"),
+        )
+    )
+
+
+@register(
+    "j2_full_outer_mirror",
+    oracle="""
+    WITH reporter AS (
+      SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS peso_rep,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS fob_rep
+      FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_partkey
+    ), partner AS (
+      SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS peso_par,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS fob_par
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey
+    )
+    SELECT coalesce(r.l_partkey, p.l_partkey) AS partkey,
+           r.peso_rep, r.fob_rep, p.peso_par, p.fob_par,
+           coalesce(r.fob_rep, 0) - coalesce(p.fob_par, 0) AS diff_fob,
+           r.fob_rep / nullif(p.fob_par, 0) AS ratio_fob
+    FROM reporter r FULL OUTER JOIN partner p ON r.l_partkey = p.l_partkey
+    """,
+    tags=("J2", "F9"),
+)
+def j2_full_outer_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 trade-mirror full-outer join + discrepancy calc with
+    divide-by-zero guard (ref: agrobr/comtrade/parser.py:88-155)."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def side(flag: str, peso: str, fob: str) -> DataFrame:
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .groupBy("l_partkey")
+            .agg(_dsum(F.col("l_quantity"), peso), _dsum(F.col("l_extendedprice"), fob))
+        )
+
+    r = side("A", "peso_rep", "fob_rep").alias("r")
+    p = side("R", "peso_par", "fob_par").alias("p")
+    return r.join(p, F.col("r.l_partkey") == F.col("p.l_partkey"), "full_outer").select(
+        F.coalesce("r.l_partkey", "p.l_partkey").alias("partkey"),
+        "peso_rep",
+        "fob_rep",
+        "peso_par",
+        "fob_par",
+        (F.coalesce("fob_rep", F.lit(0.0)) - F.coalesce("fob_par", F.lit(0.0))).alias(
+            "diff_fob"
+        ),
+        (F.col("fob_rep") / F.nullif(F.col("fob_par"), F.lit(0.0))).alias("ratio_fob"),
+    )
+
+
+@register(
+    "j3_conditional_split_agg",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CASE WHEN l_returnflag = 'A'
+               THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qtd_a,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+               THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qtd_r
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    tags=("J3",),
+)
+def j3_conditional_split_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 measure-split outer join, re-expressed as conditional aggregation
+    (one shuffle instead of two + join; ref: agrobr/ibge/api.py:616-633)."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast(DEC)
+    return li.groupBy("l_orderkey").agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", q)).cast("double").alias("qtd_a"),
+        F.sum(F.when(F.col("l_returnflag") == "R", q)).cast("double").alias("qtd_r"),
+    )
+
+
+@register(
+    "j4_group_first",
+    oracle="""
+    SELECT c_nationkey, min(c_name) AS primeiro_nome,
+           count(*) AS n_clientes, min(c_acctbal) AS min_saldo
+    FROM customer GROUP BY c_nationkey
+    """,
+    tags=("J4",),
+)
+def j4_group_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 per-group representative row (ref: agrobr/nasa_power/parser.py:121-124);
+    min() instead of first() so the representative is deterministic."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.min("c_name").alias("primeiro_nome"),
+            F.count(F.lit(1)).alias("n_clientes"),
+            F.min("c_acctbal").alias("min_saldo"),
+        )
+    )
+
+
+@register(
+    "j6_small_dim_lookup",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name AS nacao, r.r_name AS regiao
+    FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    tags=("J6",),
+)
+def j6_small_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 small-dimension lookup as a broadcast join
+    (ref: agrobr/normalize/municipalities.py:54-69, bcb/parser.py:58-74)."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left").select(
+        "n_nationkey", F.col("n_name").alias("nacao"), F.col("r_name").alias("regiao")
+    )
+
+
+# ---------------------------------------------------------------- §2.4 A
+
+
+@register(
+    "a1_rollup_sum",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+            AS sum_disc_price,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+        COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A1",),
+)
+def a1_rollup_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 group-by-sum rollup (TPC-H Q1 shape;
+    ref: agrobr/bcb/parser.py:128-177). Partial aggregation happens
+    map-side; only (flag,status) partials cross the exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (
+                F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "a2_sum_derived",
+    oracle="""
+    SELECT l_partkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS kg_total,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / 1000.0 AS volume_ton
+    FROM lineitem GROUP BY l_partkey
+    """,
+    tags=("A2", "F9"),
+)
+def a2_sum_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 rollup + derived unit column (ref: agrobr/comexstat/parser.py:108-130)."""
+    li = load(spark, sf_dir, "lineitem")
+    kg = F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+    return li.groupBy("l_partkey").agg(
+        kg.alias("kg_total"), (kg / F.lit(1000.0)).alias("volume_ton")
+    )
+
+
+@register(
+    "a3_nullable_group_keys",
+    oracle="""
+    SELECT nullif(event_type, 'error') AS tipo, count(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events GROUP BY nullif(event_type, 'error')
+    """,
+    tags=("A3", "F8"),
+)
+def a3_nullable_group_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 groupBy with NULL group keys kept (pandas dropna=False;
+    ref: agrobr/alt/antt_pedagio/parser.py:153-156) — Spark and DuckDB
+    both group NULLs; nullif() injects the NULL key."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(F.nullif(F.col("event_type"), F.lit("error")).alias("tipo")).agg(
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("value"), "total")
+    )
+
+
+@register(
+    "a4_daily_bucket",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS dia, event_type,
+        count(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS soma,
+        min(value) AS minimo, max(value) AS maximo,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+            / CAST(count(value) AS DOUBLE) AS media
+    FROM events GROUP BY CAST(ts AS DATE), event_type
+    """,
+    tags=("A4",),
+)
+def a4_daily_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 daily time-bucket aggregation (ref: agrobr/inmet/parser.py:94-122,
+    pd.Grouper(freq='D') → date_trunc groupBy)."""
+    e = load(spark, sf_dir, "events")
+    soma = F.sum(F.col("value").cast(DEC)).cast("double")
+    return e.groupBy(
+        F.col("ts").cast("date").alias("dia"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        soma.alias("soma"),
+        F.min("value").alias("minimo"),
+        F.max("value").alias("maximo"),
+        (soma / F.count("value").cast("double")).alias("media"),
+    )
+
+
+@register(
+    "a5_monthly_bucket",
+    oracle="""
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS mes,
+        count(*) AS n, count(DISTINCT user_id) AS usuarios,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS soma
+    FROM events GROUP BY date_trunc('month', ts)
+    """,
+    tags=("A5",),
+)
+def a5_monthly_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 monthly rollup + exact distinct (ref: agrobr/nasa_power/parser.py:89-126,
+    agrobr/inmet/parser.py:125-151 nunique(estacao))."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(F.date_trunc("month", "ts").cast("date").alias("mes")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("usuarios"),
+        _dsum(F.col("value"), "soma"),
+    )
+
+
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "a6_pivot",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS dia,
+        CAST(SUM(CASE WHEN event_type = 'click'
+            THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS click,
+        CAST(SUM(CASE WHEN event_type = 'error'
+            THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS error,
+        CAST(SUM(CASE WHEN event_type = 'purchase'
+            THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS purchase,
+        CAST(SUM(CASE WHEN event_type = 'signup'
+            THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS signup,
+        CAST(SUM(CASE WHEN event_type = 'view'
+            THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS view
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+    tags=("A6",),
+)
+def a6_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 long→wide pivot aggregation (ref: agrobr/ibge/api.py:151-168,
+    usda/parser.py:72-96). Pivot values are declared explicitly so the
+    plan is deterministic and needs no extra pass (SURVEY §7 note)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.col("ts").cast("date").alias("dia"))
+        .pivot("event_type", PIVOT_EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double"))
+    )
+
+
+@register(
+    "a7_summary_row",
+    oracle="""
+    SELECT count(*) AS n_pedidos,
+        count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_abertos,
+        count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_fechados,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+            / CAST(count(o_totalprice) AS DOUBLE) AS medio,
+        CAST(max(o_orderdate) AS DATE) AS ultimo_pedido
+    FROM orders
+    """,
+    tags=("A7", "A8"),
+)
+def a7_summary_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 one-row summary with conditional counts
+    (ref: agrobr/alt/sicar/parser.py:81-122)."""
+    o = load(spark, sf_dir, "orders")
+    total = F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_pedidos"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_abertos"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_fechados"),
+        total.alias("total"),
+        (total / F.count("o_totalprice").cast("double")).alias("medio"),
+        F.max("o_orderdate").cast("date").alias("ultimo_pedido"),
+    )
+
+
+@register(
+    "a8_quality_metrics",
+    oracle="""
+    SELECT count(*) AS n_linhas,
+        count(value) AS value_nao_nulo,
+        count(props) AS props_nao_nulo,
+        count(*) - count(DISTINCT concat_ws(CHR(31), CAST(event_id AS VARCHAR),
+            CAST(user_id AS VARCHAR), event_type)) AS linhas_duplicadas,
+        CAST(max(ts) AS DATE) AS mais_recente
+    FROM events
+    """,
+    tags=("A8",),
+)
+def a8_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 quality-metric aggregates: completeness counts, exact-duplicate
+    count, freshness (ref: agrobr/quality.py:82-254)."""
+    e = load(spark, sf_dir, "events")
+    rowkey = F.concat_ws(
+        "\x1f",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+    )
+    return e.agg(
+        F.count(F.lit(1)).alias("n_linhas"),
+        F.count("value").alias("value_nao_nulo"),
+        F.count("props").alias("props_nao_nulo"),
+        (F.count(F.lit(1)) - F.countDistinct(rowkey)).alias("linhas_duplicadas"),
+        F.max("ts").cast("date").alias("mais_recente"),
+    )
+
+
+@register(
+    "a9_pk_dup_detect",
+    oracle="""
+    SELECT o_custkey, count(*) AS n
+    FROM orders GROUP BY o_custkey HAVING count(*) > 1
+    """,
+    tags=("A9", "V1"),
+)
+def a9_pk_dup_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 primary-key duplicate detection
+    (ref: agrobr/contracts/__init__.py:119-125)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+    )
+
+
+@register(
+    "a10_distinct_values",
+    oracle="""
+    SELECT DISTINCT CAST(l_shipdate AS DATE) AS data
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+    """,
+    tags=("A10",),
+)
+def a10_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 distinct-date set, gap-detection input
+    (ref: agrobr/cache/duckdb_store.py:463-491)."""
+    li = load(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    return (
+        li.select(d.alias("data"))
+        .filter(F.col("data").between(F.lit("1997-01-01"), F.lit("1997-12-31")))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- §2.5 W
+
+
+@register(
+    "w1_pct_change",
+    oracle="""
+    WITH ordered AS (
+      SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+             CAST(l_shipdate AS DATE) AS data,
+             lag(l_extendedprice) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                        l_extendedprice, l_suppkey, l_quantity) AS valor_anterior
+      FROM lineitem)
+    SELECT l_partkey, l_orderkey, l_linenumber, data,
+           l_extendedprice AS valor, valor_anterior,
+           (l_extendedprice / valor_anterior - 1) * 100 AS variacao_pct,
+           CASE WHEN abs((l_extendedprice / valor_anterior - 1) * 100) > 20
+                THEN TRUE ELSE FALSE END AS anomalia
+    FROM ordered WHERE valor_anterior IS NOT NULL
+    """,
+    tags=("W1", "W2", "V2"),
+)
+def w1_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 day-over-day % change + anomaly flag via lag window
+    (ref: agrobr/validators/semantic.py:144-181, sanity.py:232-259).
+    Window partitions by key → state is local to one shuffle partition."""
+    li = load(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data —
+    # extend the ordering until remaining ties are identical rows.
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_extendedprice", "l_suppkey", "l_quantity",
+    )
+    pct = (F.col("valor") / F.col("valor_anterior") - 1) * 100
+    return (
+        li.select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").cast("date").alias("data"),
+            F.col("l_extendedprice").alias("valor"),
+            F.lag("l_extendedprice").over(w).alias("valor_anterior"),
+        )
+        .filter(F.col("valor_anterior").isNotNull())
+        .withColumn("variacao_pct", pct)
+        .withColumn("anomalia", F.abs(F.col("variacao_pct")) > 20)
+    )
+
+
+@register(
+    "w3_gap_detect",
+    oracle="""
+    WITH dias AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS data FROM events),
+    seq AS (
+      SELECT user_id, data,
+             lag(data) OVER (PARTITION BY user_id ORDER BY data) AS data_anterior
+      FROM dias)
+    SELECT user_id, data, data_anterior,
+           date_diff('day', data_anterior, data) AS dias_gap
+    FROM seq
+    WHERE data_anterior IS NOT NULL
+      AND date_diff('day', data_anterior, data) > 2
+    """,
+    tags=("W3", "V3"),
+)
+def w3_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 date-sequence gap detection
+    (ref: agrobr/validators/semantic.py:184-228)."""
+    e = load(spark, sf_dir, "events")
+    dias = e.select("user_id", F.col("ts").cast("date").alias("data")).distinct()
+    w = Window.partitionBy("user_id").orderBy("data")
+    return (
+        dias.withColumn("data_anterior", F.lag("data").over(w))
+        .withColumn("dias_gap", F.datediff("data", "data_anterior"))
+        .filter(F.col("data_anterior").isNotNull() & (F.col("dias_gap") > 2))
+    )
+
+
+@register(
+    "w4_latest_per_key",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS data, o_totalprice
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders) t
+    WHERE rn = 1
+    """,
+    tags=("W4", "O4"),
+)
+def w4_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 latest-per-key top-1 (ultimo();
+    ref: agrobr/cepea/api.py:326-386, cache/duckdb_store.py:318-336)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("data"),
+            "o_totalprice",
+        )
+    )
+
+
+@register(
+    "w5_calendar_antijoin",
+    oracle="""
+    WITH calendario AS (
+      SELECT CAST(d AS DATE) AS data
+      FROM generate_series(DATE '1996-01-01', DATE '1996-12-31',
+                           INTERVAL 1 DAY) AS t(d)
+      WHERE dayofweek(CAST(d AS DATE)) BETWEEN 1 AND 5),
+    presentes AS (
+      SELECT DISTINCT CAST(l_shipdate AS DATE) AS data
+      FROM lineitem WHERE l_partkey < 50)
+    SELECT c.data FROM calendario c
+    WHERE NOT EXISTS (SELECT 1 FROM presentes p WHERE p.data = c.data)
+    """,
+    tags=("W5", "U2", "M5"),
+)
+def w5_calendar_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/M5 business-day calendar anti-join (missing-dates gap fill;
+    ref: agrobr/cache/history.py:108-123, cepea/api.py:124-133).
+    Present-dates side is a sparse key subset so gaps actually exist."""
+    li = load(spark, sf_dir, "lineitem")
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-01-01").cast("date"),
+                F.lit("1996-12-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("data")
+    )
+    # Spark dayofweek: 1=Sun..7=Sat → Mon-Fri is 2..6
+    cal = cal.filter(F.dayofweek("data").between(2, 6))
+    presentes = (
+        li.filter(F.col("l_partkey") < 50)
+        .select(F.col("l_shipdate").cast("date").alias("data"))
+        .distinct()
+    )
+    return cal.join(presentes, "data", "left_anti")
+
+
+# ------------------------------------------------------------- §2.6 O
+
+
+@register(
+    "o3_topk_search",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_name LIKE '%12%' ORDER BY c_name LIMIT 10
+    """,
+    tags=("O3", "O1"),
+)
+def o3_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 contains-search + ordered top-k
+    (ref: agrobr/normalize/municipalities.py:76-89). c_name is unique →
+    ordering (and thus the LIMIT cut) is deterministic."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_name").contains("12"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_name")
+        .limit(10)
+    )
+
+
+@register(
+    "o4_limit_latest",
+    oracle="""
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS data FROM orders
+    ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+    """,
+    tags=("O4", "O2"),
+)
+def o4_limit_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 ORDER BY ... DESC LIMIT 1 latest row
+    (ref: agrobr/cache/duckdb_store.py:318-336)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .limit(1)
+        .select("o_orderkey", F.col("o_orderdate").cast("date").alias("data"))
+    )
+
+
+# ------------------------------------------------------------- §2.7 U
+
+
+@register(
+    "u1_union_all",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, 'A' AS origem
+    FROM lineitem WHERE l_returnflag = 'A'
+    UNION ALL
+    SELECT l_orderkey, l_partkey, l_quantity, 'R' AS origem
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    tags=("U1",),
+)
+def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 union-all of per-source frames (ref: agrobr/ibge/api.py:285,
+    b3/api.py:164,340) via unionByName."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def side(flag: str) -> DataFrame:
+        return li.filter(F.col("l_returnflag") == flag).select(
+            "l_orderkey", "l_partkey", "l_quantity", F.lit(flag).alias("origem")
+        )
+
+    return side("A").unionByName(side("R"))
+
+
+@register(
+    "u2_anti_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND CAST(o.o_orderdate AS DATE)
+            BETWEEN DATE '1996-01-01' AND DATE '1996-03-31')
+    """,
+    tags=("U2",),
+)
+def u2_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 set-difference as left-anti join (customers with no order in a
+    recent window — the reference's missing-dates pattern;
+    ref: agrobr/cepea/api.py:184-187)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate")
+        .cast("date")
+        .between(F.lit("1996-01-01"), F.lit("1996-03-31"))
+    )
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")

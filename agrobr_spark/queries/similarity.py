@@ -1,0 +1,152 @@
+"""Similarity search over the embedding column (north-star operator).
+
+Brute-force cosine top-k is the exactness baseline; the IVF variant is
+the scale path (cluster-prune → only ~1/k of the corpus is scanned per
+query; at 100 TB the per-cluster inverted lists become bucketed tables).
+
+Float determinism: dot products are summed element-wise in array order
+on one engine and engine-internally on the other, so the last bits can
+differ; results are rounded to 6 decimals on both sides (embedding
+magnitudes make collisions at the rounding boundary vanishingly rare).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from agrobr_spark.io import load
+from agrobr_spark.queries import register
+
+N_QUERIES = 5
+TOP_K = 10
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NORM = (
+    "sqrt(aggregate({a}, CAST(0.0 AS DOUBLE),"
+    " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+)
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH consultas AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {N_QUERIES}),
+    pares AS (
+      -- CAST to DOUBLE[] first: list_dot_product on FLOAT[] accumulates
+      -- in float32 (~1e-7 error), which breaks the 6-decimal rounding
+      SELECT q.query_id, e.vec_id, e.label,
+        round(
+          list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+            / nullif(
+                sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[]))), 0),
+          6) AS cosseno
+      FROM consultas q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.query_id),
+    rk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosseno DESC, vec_id) AS posicao
+      FROM pares)
+    SELECT query_id, vec_id, label, posicao, cosseno
+    FROM rk WHERE posicao <= {TOP_K}
+    """,
+    tags=("SIMILARITY", "ANN", "COSINE"),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the small query set is broadcast, the
+    corpus side stays partitioned — no shuffle of the big side; ranking
+    is a per-query window."""
+    e = load(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+    pares = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(
+                F.expr(_DOT.format(a="qv", b="embedding"))
+                / F.nullif(
+                    F.expr(_NORM.format(a="qv")) * F.expr(_NORM.format(a="embedding")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("cosseno"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosseno").desc(), "vec_id")
+    return (
+        pares.withColumn("posicao", F.row_number().over(w))
+        .filter(F.col("posicao") <= TOP_K)
+        .select("query_id", "vec_id", "label", "posicao", "cosseno")
+    )
+
+
+N_CENTROIDS = 10
+
+
+@register(
+    "sim_ivf_ann",
+    oracle=None,  # cluster assignment ties on floats make a strict
+    # cross-engine hash check brittle; driver records rows-only.
+    tags=("SIMILARITY", "ANN", "IVF"),
+)
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (scale path): vectors with vec_id < N_CENTROIDS act
+    as centroids; every vector is assigned to its nearest centroid
+    (one broadcast join), then each query searches only its own cluster.
+    At 100 TB: centroids come from a sampled k-means fit, inverted lists
+    are written bucketed by centroid_id so probes are partition-pruned."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = (
+        e.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv"))
+    )
+    cos = F.expr(_DOT.format(a="cv", b="embedding")) / F.nullif(
+        F.expr(_NORM.format(a="cv")) * F.expr(_NORM.format(a="embedding")), F.lit(0.0)
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_cent").desc(), "centroid_id"
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "embedding", "centroid_id", cos.alias("cos_cent"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "cos_cent")
+    )
+
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("centroid_id").alias("qc"),
+    )
+    qcos = F.round(
+        F.expr(_DOT.format(a="qv", b="embedding"))
+        / F.nullif(
+            F.expr(_NORM.format(a="qv")) * F.expr(_NORM.format(a="embedding")),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("cosseno").desc(), "vec_id")
+    return (
+        assigned.join(F.broadcast(q), F.col("centroid_id") == F.col("qc"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", qcos.alias("cosseno"))
+        .withColumn("posicao", F.row_number().over(w_rank))
+        .filter(F.col("posicao") <= TOP_K)
+        .select("query_id", "vec_id", "label", "posicao", "cosseno")
+    )

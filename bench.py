@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Headline benchmark: run the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query picks mirror BASELINE.md's operation classes re-expressed on
+Spark: MERGE-upsert throughput (m1), filtered scan + sort (p4),
+group-by rollups (a1/a5/a6), fact<-dim broadcast join (j1), window
+latest-per-key (w4), text pipeline + dedup + similarity (the
+training-data extensions). Each query is fully materialized via a
+count-ish action so the JVM does real work; timings are per-query
+wall seconds on a warmed session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "a1_rollup_sum",
+    "a5_monthly_bucket",
+    "a6_pivot",
+    "j1_fact_dim_enrich",
+    "j2_full_outer_mirror",
+    "p4_date_range",
+    "w1_pct_change",
+    "w4_latest_per_key",
+    "m1_merge_upsert",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "sim_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from agrobr_spark.queries import queries
+    from agrobr_spark.session import get_spark
+
+    spark = get_spark(app_name="agrobr-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    catalog = queries()
+
+    # warm the JVM + parquet footers with a tiny action outside timing
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = catalog.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
