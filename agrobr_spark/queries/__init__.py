@@ -53,10 +53,12 @@ def catalog() -> dict[str, CatalogEntry]:
     from agrobr_spark.queries import (  # noqa: F401
         dedup,
         merge,
+        normalize_ops,
         pipeline_text,
         relational,
         scalars,
         similarity,
+        validation_ops,
     )
 
     return dict(_REGISTRY)
