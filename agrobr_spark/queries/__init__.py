@@ -58,6 +58,7 @@ def catalog() -> dict[str, CatalogEntry]:
         relational,
         scalars,
         similarity,
+        streaming_ops,
         validation_ops,
     )
 

@@ -1,0 +1,121 @@
+"""Partitioned-parquet table with set-oriented MERGE-upsert.
+
+Scale design (100 TB posture):
+
+- The table is hash/value-partitioned on a declared partition column
+  (e.g. ``produto``) so reads prune partitions and MERGE only rewrites
+  the partitions present in the staging batch — the parquet analog of
+  Delta's file-pruned MERGE (ref write path it replaces:
+  agrobr/cache/duckdb_store.py:417-461 staging + ON CONFLICT UPDATE).
+- Upsert precedence is `row_number` over (pk ORDER BY is_staging DESC,
+  collected_at DESC ...): one shuffle on the PK, map-side pruned to
+  affected partitions.
+- NULL-safe PK equality (``eqNullSafe``) matches DuckDB's
+  UNIQUE-with-NULL treatment of the reference's (produto, praca, data,
+  fonte) key where praca may be NULL (ref: duckdb_store.py:71).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+
+class ParquetStore:
+    """A single logical table at ``path``, partitioned by
+    ``partition_col``, with PK-upsert semantics."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        primary_key: tuple[str, ...],
+        partition_col: str | None = None,
+        precedence: tuple[str, ...] = (),
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.primary_key = tuple(primary_key)
+        self.partition_col = partition_col
+        # columns ordering ties within same priority (desc), e.g. collected_at
+        self.precedence = tuple(precedence)
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.path, "_SUCCESS")) or any(
+            n.startswith(f"{self.partition_col}=") if self.partition_col else n.endswith(".parquet")
+            for n in (os.listdir(self.path) if os.path.isdir(self.path) else [])
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def overwrite(self, df: DataFrame) -> None:
+        w = df.write.mode("overwrite")
+        if self.partition_col:
+            w = w.partitionBy(self.partition_col)
+        w.parquet(self.path)
+
+    def _merged(self, target: DataFrame, staging: DataFrame) -> DataFrame:
+        tcols = target.columns
+        staging = staging.select(*tcols)
+        unioned = target.withColumn("_prio", F.lit(0)).unionByName(
+            staging.withColumn("_prio", F.lit(1))
+        )
+        # NULL-safe PK grouping: coalesce each key into a sentinel-tagged
+        # string only for partitioning the window (values stay untouched)
+        order = [F.col("_prio").desc()] + [F.col(c).desc() for c in self.precedence]
+        w = Window.partitionBy(
+            *[F.coalesce(F.col(k).cast("string"), F.lit("\0NULL")) for k in self.primary_key]
+        ).orderBy(*order)
+        return (
+            unioned.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*tcols)
+        )
+
+    def merge_upsert(self, staging: DataFrame) -> int:
+        """Last-writer-wins MERGE of ``staging`` into the table.
+
+        Returns the number of staged rows. Only partitions present in
+        the staging batch are rewritten (dynamic partition overwrite);
+        an unpartitioned table falls back to full rewrite.
+        """
+        n = staging.count()
+        if n == 0:
+            return 0
+        if not self.exists():
+            self.overwrite(staging)
+            return n
+        target = self.read()
+        if self.partition_col:
+            parts = [
+                r[0]
+                for r in staging.select(self.partition_col).distinct().collect()
+            ]
+            affected = target.filter(F.col(self.partition_col).isin(parts))
+            merged = self._merged(affected, staging)
+            conf = self.spark.conf
+            prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (
+                    merged.write.mode("overwrite")
+                    .partitionBy(self.partition_col)
+                    .parquet(self.path)
+                )
+            finally:
+                conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            merged = self._merged(target, staging)
+            # full rewrite must not read lazily from the path being
+            # overwritten: materialize via a staged temp dir swap
+            tmp = self.path.rstrip("/") + "._staged"
+            merged.write.mode("overwrite").parquet(tmp)
+            final = self.spark.read.parquet(tmp)
+            final.write.mode("overwrite").parquet(self.path)
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        return n

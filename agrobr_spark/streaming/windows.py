@@ -1,0 +1,108 @@
+"""Watermarked window aggregations over the events stream.
+
+Reference behavior being upgraded: agrobr/inmet/parser.py:94-151
+(daily/monthly bucket aggregation, batch-only) → streaming
+`groupBy(window(...))` with a watermark bounding late data
+(the reference's analog is its publication-lateness tolerance,
+cache/policies.py:162-207).
+
+Determinism note for the oracle: aggregation order is
+non-deterministic across partitions, so money-class sums run in
+decimal; counts/min/max are order-free.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet (file-source streaming —
+    each file is a micro-batch input; on a cluster this is a bucket or
+    Kafka topic with identical downstream code).
+
+    ``sf_dir`` is the scale-factor directory; the file source needs a
+    directory path, so the events file is selected by glob filter.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_daily_agg(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Tumbling 1-day windows per event_type: count, decimal-exact sum,
+    min/max. Watermark bounds state + admits late rows within a day."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("janela"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("soma_valor"),
+            F.min("value").alias("valor_min"),
+            F.max("value").alias("valor_max"),
+        )
+        .select(
+            F.col("janela.start").cast("date").alias("data"),
+            "event_type",
+            "n",
+            "soma_valor",
+            "valor_min",
+            "valor_max",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame, size: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """Sliding windows (overlapping) — each event lands in
+    size/slide windows."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", size, slide).alias("janela"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("janela.start").alias("inicio"),
+            F.col("janela.end").alias("fim"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def run_available_now(
+    result: DataFrame, name: str, timeout_s: int = 120
+) -> DataFrame:
+    """Execute a streaming query over all currently-available input
+    (Trigger.AvailableNow), write to an in-memory sink, return the
+    completed result as a batch DataFrame."""
+    spark = result.sparkSession
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+    return spark.table(name)

@@ -1,0 +1,129 @@
+"""Ingestion connectors (SURVEY §2.1 S1-S9)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from agrobr_spark.sources import (
+    build_getfeature_url,
+    extract_tables,
+    find_header_row,
+    param_date_value_rows,
+    read_csv_ptbr,
+    read_verified,
+    write_with_provenance,
+)
+from agrobr_spark.sources.excel import rows_to_records
+from agrobr_spark.sources.html import find_data_table
+
+
+def test_csv_ptbr_roundtrip(spark, tmp_path):
+    p = tmp_path / "dados.csv"
+    p.write_bytes(
+        "data;produto;valor\n"
+        "31/01/2024;soja;1.234,56\n"
+        "01/02/2024;café;2,50\n"
+        "bad;linha\n"  # malformed: fewer columns — dropped with schema
+        "02/02/2024;milho;abc\n".encode("iso-8859-1")
+    )
+    df = read_csv_ptbr(
+        spark,
+        str(p),
+        schema="data string, produto string, valor string",
+        decimal_cols=["valor"],
+        date_cols={"data": "dd/MM/yyyy"},
+    )
+    rows = {r["produto"]: r for r in df.collect() if r["produto"] is not None}
+    assert float(rows["soja"]["valor"]) == 1234.56
+    assert rows["soja"]["data"] == dt.date(2024, 1, 31)
+    assert rows["café"] is not None  # ISO-8859-1 é decoded
+    assert rows["milho"]["valor"] is None  # coerce-to-null
+
+
+def test_json_nested_pivot(spark):
+    payload = (
+        '{"properties": {"parameter": {'
+        '"T2M": {"20240101": 25.5, "20240102": -9999},'
+        '"PRECTOT": {"20240101": 12.0}}}}'
+    )
+    rows = {
+        (r["parametro"], r["data"].isoformat()): r["valor"]
+        for r in param_date_value_rows(spark, [payload]).collect()
+    }
+    assert rows[("T2M", "2024-01-01")] == 25.5
+    assert rows[("T2M", "2024-01-02")] is None  # sentinel -> NULL
+    assert rows[("PRECTOT", "2024-01-01")] == 12.0
+
+
+def test_excel_header_discovery():
+    sheet = [
+        ["CONAB - Série Histórica", None],
+        [None, None],
+        ["safra", "produto", "producao"],
+        ["2023/24", "soja", 154_000],
+        ["2023/24", "milho", 115_000],
+        [None, None, None],
+    ]
+    idx = find_header_row(sheet, ["safra", "produto"])
+    assert idx == 2
+    header, data = rows_to_records(sheet, idx)
+    assert header == ["safra", "produto", "producao"]
+    assert len(data) == 2
+    assert find_header_row(sheet, ["inexistente"]) is None
+
+
+def test_html_table_selection():
+    html = """
+    <html><body>
+    <table class="menu"><tr><th>Nav</th></tr><tr><td>Home</td></tr></table>
+    <table id="imagenet-indicador">
+      <tr><th>Data</th><th>Valor</th><th>Variação</th></tr>
+      <tr><td>31/01/2024</td><td>124,58</td><td>0,5%</td></tr>
+      <tr><td>01/02/2024</td><td>125,10</td><td>0,4%</td></tr>
+    </table>
+    </body></html>
+    """
+    tables = extract_tables(html)
+    assert len(tables) == 2
+    t = find_data_table(html, attr_pattern="indicador")
+    assert t["headers"] == ["Data", "Valor", "Variação"]
+    assert t["rows"][0] == ["31/01/2024", "124,58", "0,5%"]
+    # keyword fallback and largest-table fallback
+    assert find_data_table(html, header_keywords=["data", "valor"])["attrs"] == [
+        "imagenet-indicador"
+    ]
+    assert len(find_data_table(html)["rows"]) == 2
+
+
+def test_wfs_pushdown_url():
+    url = build_getfeature_url(
+        "https://terrabrasilis.dpi.inpe.br/geoserver/wfs",
+        "prodes:yearly_deforestation",
+        columns=["year", "state", "area_km"],
+        equals={"state": "PA"},
+        date_between=("date", dt.date(2023, 1, 1), dt.date(2023, 12, 31)),
+        max_features=1000,
+    )
+    assert "propertyName=year%2Cstate%2Carea_km" in url
+    assert "CQL_FILTER=state+%3D+%27PA%27+AND+date+BETWEEN" in url
+    assert "count=1000" in url
+
+
+def test_sink_provenance_verify(spark, tmp_path):
+    df = spark.range(100).selectExpr("id", "id * 2 AS dobro")
+    meta = write_with_provenance(df, str(tmp_path / "t"), source="teste")
+    assert meta["row_count"] == 100
+    back, meta2 = read_verified(spark, str(tmp_path / "t"))
+    assert back.count() == 100 and meta2["source"] == "teste"
+
+    # tamper -> verify-on-read must fail
+    import json, os
+
+    mp = tmp_path / "t" / ".meta.json"
+    m = json.loads(mp.read_text())
+    m["content_sha256_xor"] = "0" * 64
+    mp.write_text(json.dumps(m))
+    with pytest.raises(ValueError, match="hash mismatch"):
+        read_verified(spark, str(tmp_path / "t"))

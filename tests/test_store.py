@@ -1,0 +1,126 @@
+"""Store layer: MERGE-upsert, append-only history, gaps, policies,
+snapshots (SURVEY §2.9 M1-M5, §2.11 D4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+
+import pyspark.sql.functions as F
+import pytest
+
+from agrobr_spark.store import (
+    HistoryStore,
+    IndicadoresStore,
+    business_day_gaps,
+    next_expiry,
+    snapshot_filter,
+    with_snapshot,
+)
+from agrobr_spark.store.indicadores import SCHEMA
+
+
+def _row(produto, praca, data, valor, fonte="cepea", ts="2024-01-01 12:00:00"):
+    return (
+        produto,
+        praca,
+        dt.date.fromisoformat(data),
+        fonte,
+        decimal.Decimal(str(valor)),
+        None,
+        "BRL/sc60kg",
+        dt.datetime.fromisoformat(ts),
+    )
+
+
+ORDER = ["produto", "praca", "data", "fonte", "valor", "variacao", "unidade", "collected_at"]
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame([tuple(r[ORDER.index(c)] for c in SCHEMA.fieldNames()) for r in rows], SCHEMA)
+
+
+def test_indicadores_upsert_lww_null_praca(spark, tmp_path):
+    store = IndicadoresStore(spark, str(tmp_path / "ind"))
+    base = _mk(
+        spark,
+        [
+            _row("soja", "Paranagua", "2024-01-02", 120),
+            _row("soja", None, "2024-01-02", 119),
+            _row("milho", "Campinas", "2024-01-02", 60),
+        ],
+    )
+    assert store.upsert(base) == 3
+    # update soja/Paranagua + the NULL-praca row; insert a new date
+    upd = _mk(
+        spark,
+        [
+            _row("soja", "Paranagua", "2024-01-02", 121, ts="2024-01-02 12:00:00"),
+            _row("soja", None, "2024-01-02", 118.5, ts="2024-01-02 12:00:00"),
+            _row("soja", "Paranagua", "2024-01-03", 122, ts="2024-01-02 12:00:00"),
+        ],
+    )
+    assert store.upsert(upd) == 3
+    rows = {
+        (r["produto"], r["praca"], r["data"].isoformat()): float(r["valor"])
+        for r in store.table.read().collect()
+    }
+    assert len(rows) == 4  # 3 base keys (2 updated) + 1 insert
+    assert rows[("soja", "Paranagua", "2024-01-02")] == 121.0
+    assert rows[("soja", None, "2024-01-02")] == 118.5  # NULL-safe key matched
+    assert rows[("milho", "Campinas", "2024-01-02")] == 60.0
+
+    # untouched partition files not rewritten on a soja-only merge
+    q = store.query("soja", inicio="2024-01-03").collect()
+    assert [float(r["valor"]) for r in q] == [122.0]
+
+
+def test_history_append_only_dedup(spark, tmp_path):
+    h = HistoryStore(spark, str(tmp_path / "hist"))
+    t0 = dt.datetime(2024, 1, 1, 8)
+    batch = spark.createDataFrame(
+        [("k1", dt.date(2024, 1, 1), t0, bytearray(b"a"))],
+        "key string, data_date date, collected_at timestamp, payload binary",
+    )
+    assert h.append(batch) == 1
+    assert h.append(batch) == 0  # silently exists
+    batch2 = spark.createDataFrame(
+        [("k1", dt.date(2024, 1, 1), t0 + dt.timedelta(hours=1), bytearray(b"b"))],
+        "key string, data_date date, collected_at timestamp, payload binary",
+    )
+    assert h.append(batch2) == 1
+    assert h.read().count() == 2
+
+
+def test_business_day_gaps(spark):
+    have = spark.createDataFrame(
+        [(dt.date(2024, 1, 2),), (dt.date(2024, 1, 4),)], "data date"
+    )
+    gaps = [
+        r["data"].isoformat()
+        for r in business_day_gaps(have, dt.date(2024, 1, 1), dt.date(2024, 1, 8)).collect()
+    ]
+    # 1/1 Mon, 1/3 Wed, 1/5 Fri, 1/8 Mon missing; 1/6-1/7 weekend excluded
+    assert gaps == ["2024-01-01", "2024-01-03", "2024-01-05", "2024-01-08"]
+
+
+def test_next_expiry_publication_time():
+    before = dt.datetime(2024, 3, 1, 12, 0, tzinfo=dt.timezone.utc)  # 09:00 SP
+    after = dt.datetime(2024, 3, 1, 22, 0, tzinfo=dt.timezone.utc)  # 19:00 SP
+    e1 = next_expiry("cepea", before)
+    e2 = next_expiry("cepea", after)
+    assert e1.astimezone(dt.timezone.utc).hour == 21  # 18:00 SP == 21:00 UTC
+    assert e1.date() == dt.date(2024, 3, 1)
+    assert e2.date() == dt.date(2024, 3, 2)
+    # plain-TTL source
+    assert next_expiry("ibge", before) == before + dt.timedelta(days=7)
+
+
+def test_snapshot_filter(spark):
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, d),) for d in (1, 5, 9)], "data date"
+    )
+    assert snapshot_filter(df).count() == 3  # no pin active
+    with with_snapshot(dt.date(2024, 1, 5)):
+        assert snapshot_filter(df).count() == 2
+    assert snapshot_filter(df).count() == 3  # pin released
