@@ -54,6 +54,7 @@ def catalog() -> dict[str, CatalogEntry]:
         dedup,
         merge,
         normalize_ops,
+        operator_ops,
         pipeline_text,
         relational,
         scalars,

@@ -222,3 +222,125 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.05)
         .select("doc_a", "doc_b", "n_comum", "jaccard")
     )
+
+
+# --- SimHash (16-bit, integer-exact across engines) ---
+
+SIMHASH_BITS = 16
+
+_SH_H = "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
+_SH_H_DUCK = "CAST(('0x' || substring(md5(shingle), 1, 15))::UBIGINT AS BIGINT)"
+
+
+def _simhash_sum_cols(h_expr: str) -> str:
+    return ",\n        ".join(
+        f"sum(2 * ((({h_expr}) >> {i}) & 1) - 1) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+
+
+_SIMHASH_ASSEMBLE = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    somas AS (
+      SELECT doc_id,
+        {_simhash_sum_cols(_SH_H_DUCK)}
+      FROM sh GROUP BY doc_id),
+    assinaturas AS (
+      SELECT doc_id, {_SIMHASH_ASSEMBLE} AS simhash FROM somas)
+    SELECT doc_id, simhash,
+           count(*) OVER (PARTITION BY simhash) AS n_bucket
+    FROM assinaturas
+    """,
+    tags=("DEDUP", "SIMHASH"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: each shingle votes ±1 on every bit
+    of its md5-derived hash; the sign vector is the signature. Buckets
+    with n_bucket > 1 are near-dup candidates (Hamming-0 collisions);
+    wider radii probe bit-flipped buckets. Integer-only → bit-exact
+    across engines. Narrow ops + one groupBy: scales linearly."""
+    sh = _shingles_df(spark, sf_dir)
+    h = F.expr(_SH_H)
+    somas = sh.groupBy("doc_id").agg(
+        *[
+            F.sum(2 * F.shiftright(h, i).bitwiseAND(F.lit(1)) - 1).alias(f"s{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    assin = somas.select("doc_id", F.expr(_SIMHASH_ASSEMBLE).alias("simhash"))
+    from pyspark.sql import Window
+
+    return assin.select(
+        "doc_id",
+        "simhash",
+        F.count(F.lit(1)).over(Window.partitionBy("simhash")).alias("n_bucket"),
+    )
+
+
+# --- embedding-cosine near-dup (threshold tuned to the synthetic corpus) ---
+
+_COS_THRESHOLD = 0.45
+
+_DOT_SQL = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH pares AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label_a,
+        b.label AS label_b,
+        round(
+          list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / nullif(
+                sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0),
+          6) AS cosseno
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, label_a, label_b, cosseno
+    FROM pares WHERE cosseno >= {_COS_THRESHOLD}
+    """,
+    tags=("DEDUP", "EMBEDDING", "COSINE"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold {thr}). Exactness
+    baseline is all-pairs; the scale path blocks candidates through the
+    LSH/IVF bucketing in `sim_ivf_ann` so only same-bucket pairs are
+    scored. Rounded to 6 decimals for cross-engine float stability.
+    """.format(thr=_COS_THRESHOLD)
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("eb"),
+    )
+    cos = F.round(
+        F.expr(_DOT_SQL.format(a="ea", b="eb"))
+        / F.expr(
+            "nullif(sqrt({na}) * sqrt({nb}), 0)".format(
+                na=_DOT_SQL.format(a="ea", b="ea"),
+                nb=_DOT_SQL.format(a="eb", b="eb"),
+            )
+        ),
+        6,
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "label_a", "label_b", cos.alias("cosseno"))
+        .filter(F.col("cosseno") >= _COS_THRESHOLD)
+    )

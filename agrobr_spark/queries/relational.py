@@ -819,3 +819,46 @@ def u2_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(
         o, c.c_custkey == o.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
+
+
+@register(
+    "o1_multikey_sort_limit",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice,
+           CAST(l_shipdate AS DATE) AS data_envio
+    FROM lineitem
+    ORDER BY l_returnflag, data_envio DESC, l_orderkey, l_linenumber,
+             l_quantity, l_extendedprice
+    LIMIT 1000
+    """,
+    tags=("O1", "O2"),
+)
+def o1_multikey_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2 multi-key sort + limit (ref: 34 sort_values call sites,
+    e.g. agrobr/comexstat/parser.py:94-96; recency sort
+    datasets/preco_diario.py:157). The limit makes ordering observable
+    to the order-insensitive oracle hash; value columns break the
+    non-unique (orderkey, linenumber) ties so the surviving top-1000
+    multiset is deterministic. At scale this is a TakeOrdered — no
+    full sort materialization."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            F.col("l_shipdate").cast("date").alias("data_envio"),
+        )
+        .orderBy(
+            "l_returnflag",
+            F.desc("data_envio"),
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+        )
+        .limit(1000)
+    )

@@ -1,0 +1,73 @@
+"""Composite operators: as-of join, multimodal pipelines."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from agrobr_spark.operators import asof_join, decode_features, frame_sample
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            ("soja", dt.date(2024, 1, 5), 1),
+            ("soja", dt.date(2024, 1, 10), 2),
+            ("soja", dt.date(2023, 12, 1), 3),   # before any price -> NULL
+            ("milho", dt.date(2024, 1, 10), 4),  # key with no prices -> NULL
+        ],
+        "produto string, data date, id int",
+    )
+    right = spark.createDataFrame(
+        [
+            ("soja", dt.date(2024, 1, 1), 100.0),
+            ("soja", dt.date(2024, 1, 10), 110.0),  # same-day row matches
+        ],
+        "produto string, data date, preco double",
+    )
+    out = {r["id"]: r["preco"] for r in asof_join(left, right, "produto", "data").collect()}
+    assert out == {1: 100.0, 2: 110.0, 3: None, 4: None}
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [("soja", dt.date(2024, 3, 1), 1)], "produto string, data date, id int"
+    )
+    right = spark.createDataFrame(
+        [("soja", dt.date(2024, 1, 1), 100.0)], "produto string, data date, preco double"
+    )
+    strict = asof_join(left, right, "produto", "data", tolerance_days=30).collect()
+    loose = asof_join(left, right, "produto", "data", tolerance_days=90).collect()
+    assert strict[0]["preco"] is None  # 60 days old > 30-day tolerance
+    assert loose[0]["preco"] == 100.0
+
+
+def _media(spark):
+    return spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"fake-png-bytes"), "image/png"),
+            (2, "audio", bytearray(b"fake-wav-bytes"), "audio/wav"),
+            (3, "video", bytearray(b"fake-mp4-bytes"), "video/mp4"),
+        ],
+        "media_id long, kind string, payload binary, mime string",
+    )
+
+
+def test_decode_features_deterministic(spark):
+    rows = {r["media_id"]: r for r in decode_features(_media(spark)).collect()}
+    assert rows[1]["width"] is not None and rows[1]["duration_s"] is None
+    assert rows[2]["width"] is None and rows[2]["duration_s"] is not None
+    assert rows[3]["width"] is not None and rows[3]["duration_s"] is not None
+    assert all(len(r["feature"]) == 8 for r in rows.values())
+    # deterministic across runs (stub keyed on payload digest)
+    again = {r["media_id"]: r for r in decode_features(_media(spark)).collect()}
+    assert rows[1]["sha16"] == again[1]["sha16"]
+    assert rows[1]["width"] == again[1]["width"]
+
+
+def test_frame_sample_plumbing(spark):
+    frames = frame_sample(_media(spark), every_s=2.0).collect()
+    assert all(r["media_id"] == 3 for r in frames)  # only video
+    assert [r["frame_idx"] for r in frames] == sorted(r["frame_idx"] for r in frames)
+    assert all(r["frame_ts_s"] == r["frame_idx"] * 2.0 for r in frames)
