@@ -41,10 +41,13 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
+            # hash each shingle immediately: every downstream shuffle,
+            # distinct, and join moves a fixed 32-char key instead of
+            # arbitrary-length trigram text
             F.explode(
                 F.expr(
                     "transform(sequence(0, size(t) - 3),"
-                    " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                    " i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2])))"
                 )
             ).alias("shingle"),
         )
@@ -55,7 +58,7 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLES_SQL = r"""
     sh AS (
       SELECT DISTINCT doc_id, source,
-             concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+             md5(concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingle
       FROM (SELECT doc_id, source,
                    string_split_regex(trim(text), '\s+') AS t
             FROM documents) toks,
@@ -143,9 +146,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    tam = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # verification touches only candidate docs: semi-join the shingle
+    # set down (LSH typically leaves <5% of docs as candidates) before
+    # the pair join — the full corpus never reaches the O(pairs) stage.
+    # cand is tiny and feeds two branches → cache, or the whole
+    # band-join pipeline executes twice
+    cand = cand.cache()
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    tam = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh_cand.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh_cand.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         cand.join(sa, "doc_a")
         .join(sb, ["doc_b", "shingle"])

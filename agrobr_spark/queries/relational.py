@@ -862,3 +862,56 @@ def o1_multikey_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(1000)
     )
+
+
+@register(
+    "s5_json_scan",
+    oracle="""
+    -- the oracle DuckDB has no json extension loaded; props's declared
+    -- schema is the single key "k", extracted by regex
+    SELECT event_id, 'k' AS chave,
+           CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS valor
+    FROM events
+    WHERE props IS NOT NULL
+    """,
+    tags=("S5",),
+)
+def s5_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 JSON scan: parse the raw props payload with an explicit map
+    schema and explode to rows — the nested-dict→rows pivot every REST
+    connector performs (ref: agrobr/nasa_power/parser.py:17-86,
+    conab/ceasa/parser.py:23-76). from_json + explode runs on
+    executors; no driver-side JSON loop."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("props").isNotNull())
+        .select(
+            "event_id",
+            F.explode(F.from_json("props", "map<string, bigint>")).alias(
+                "chave", "valor"
+            ),
+        )
+    )
+
+
+@register(
+    "p5_null_drop",
+    oracle="""
+    SELECT event_id, value, props
+    FROM events
+    WHERE value IS NOT NULL AND nullif(value, -9999.0) IS NOT NULL
+          AND props IS NOT NULL
+    """,
+    tags=("P5", "F8"),
+)
+def p5_null_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 null-row drop after sentinel cleaning (ref:
+    agrobr/inmet/parser.py:82, mapbiomas/parser.py:78,141):
+    dropna(subset=...) = na.drop on the cleaned columns."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id", F.nullif(F.col("value"), F.lit(-9999.0)).alias("value"), "props"
+        )
+        .na.drop(subset=["value", "props"])
+    )

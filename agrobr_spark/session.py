@@ -54,6 +54,14 @@ def get_spark(
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
+    if master and master.startswith("local"):
+        # local mode: driver JVM hosts all executor threads — the 1g
+        # default heap causes GC stalls on wide shuffles. Applies only
+        # when this factory creates the JVM (ignored on getOrCreate
+        # reuse, harmless on a cluster where spark-submit sets it).
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
     if shuffle_partitions is None:
         # local mode: match core count; cluster mode: start high, AQE coalesces
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32

@@ -29,14 +29,20 @@ BENCH_QUERIES = [
     "a6_pivot",
     "j1_fact_dim_enrich",
     "j2_full_outer_mirror",
+    "j7_asof_join",
     "p4_date_range",
     "w1_pct_change",
     "w4_latest_per_key",
     "m1_merge_upsert",
+    "f7_unit_conversion",
+    "v1_contract_validate",
+    "v2_sanity_rules",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "text_quality_score",
     "sim_cosine_topk",
+    "stream_tumbling_daily",
 ]
 
 
@@ -57,11 +63,19 @@ def main() -> None:
         fn = catalog.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
+        # best-of-2: the shared host shows heavy CPU steal at times;
+        # min over two runs reports the engine's cost, not the noise
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            assert n >= 0
+            # each run is timed self-contained: drop any caches it left
+            spark.catalog.clearCache()
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
