@@ -59,6 +59,7 @@ def catalog() -> dict[str, CatalogEntry]:
         relational,
         scalars,
         similarity,
+        store_ops,
         streaming_ops,
         validation_ops,
     )

@@ -222,3 +222,99 @@ def v3_semantic_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3 semantic rule registry compiled to one aggregate pass +
     stack() unpivot (ref: agrobr/validators/semantic.py:22-381)."""
     return run_rules(_safras_df(spark, sf_dir).drop("o_orderkey"))
+
+
+@register(
+    "v6_quality_certification",
+    oracle=f"""
+    WITH fato AS ({_INDICADORES_SQL}),
+    metricas AS (
+      SELECT count(*) AS linhas,
+        CAST(count(data) + count(produto) + count(praca) + count(valor)
+             + count(unidade) + count(fonte) AS DOUBLE)
+          / (count(*) * 6) AS completude,
+        count(*) - count(DISTINCT concat_ws(CHR(31),
+            CAST(data AS VARCHAR), produto, praca,
+            CAST(valor AS VARCHAR))) AS linhas_duplicadas,
+        sum(CASE WHEN valor IS NOT NULL
+                  AND (valor < 0 OR valor > 10000) THEN 1 ELSE 0 END)
+          AS fora_faixa
+      FROM fato),
+    pontuacao AS (
+      SELECT *,
+        (CASE WHEN completude >= 0.95 THEN 1.0
+              WHEN completude >= 0.85 THEN 0.5 ELSE 0.0 END
+         + CASE WHEN linhas_duplicadas = 0 THEN 1.0
+                WHEN linhas_duplicadas <= 100 THEN 0.5 ELSE 0.0 END
+         + CASE WHEN fora_faixa = 0 THEN 1.0
+                WHEN fora_faixa <= 100 THEN 0.5 ELSE 0.0 END
+         + CASE WHEN linhas > 0 THEN 1.0 ELSE 0.0 END) / 4.0 AS score
+      FROM metricas)
+    SELECT linhas, round(completude, 6) AS completude, linhas_duplicadas,
+      fora_faixa, score,
+      CASE WHEN score >= 0.95 THEN 'GOLD'
+           WHEN score >= 0.85 THEN 'SILVER'
+           WHEN score >= 0.70 THEN 'BRONZE'
+           ELSE 'UNCERTIFIED' END AS certificacao
+    FROM pontuacao
+    """,
+    tags=("V6", "A8"),
+)
+def v6_quality_certification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V6 quality certification (ref: agrobr/quality.py:257-307):
+    completeness / duplicate / range checks scored
+    (passed + 0.5*warnings)/total → GOLD/SILVER/BRONZE/UNCERTIFIED.
+    The whole certification is ONE aggregate query — no driver loop;
+    the reusable library form is ``agrobr_spark.validators.certify``."""
+    df = _indicadores_df(spark, sf_dir)
+    rowkey = F.concat_ws(
+        "\x1f",
+        F.col("data").cast("string"),
+        "produto",
+        "praca",
+        F.col("valor").cast("string"),
+    )
+    m = df.agg(
+        F.count(F.lit(1)).alias("linhas"),
+        (
+            sum(
+                (
+                    F.count(c)
+                    for c in ("data", "produto", "praca", "valor", "unidade", "fonte")
+                ),
+                start=F.lit(0),
+            ).cast("double")
+            / (F.count(F.lit(1)) * 6)
+        ).alias("completude"),
+        (F.count(F.lit(1)) - F.countDistinct(rowkey)).alias("linhas_duplicadas"),
+        F.sum(
+            (
+                F.col("valor").isNotNull()
+                & ((F.col("valor") < 0) | (F.col("valor") > 10000))
+            ).cast("int")
+        ).alias("fora_faixa"),
+    )
+
+    def _band(cond_pass, cond_warn):
+        return F.when(cond_pass, 1.0).when(cond_warn, 0.5).otherwise(0.0)
+
+    score = (
+        _band(F.col("completude") >= 0.95, F.col("completude") >= 0.85)
+        + _band(
+            F.col("linhas_duplicadas") == 0, F.col("linhas_duplicadas") <= 100
+        )
+        + _band(F.col("fora_faixa") == 0, F.col("fora_faixa") <= 100)
+        + F.when(F.col("linhas") > 0, 1.0).otherwise(0.0)
+    ) / 4.0
+    return m.select(
+        "linhas",
+        F.round("completude", 6).alias("completude"),
+        "linhas_duplicadas",
+        "fora_faixa",
+        score.alias("score"),
+        F.when(score >= 0.95, "GOLD")
+        .when(score >= 0.85, "SILVER")
+        .when(score >= 0.70, "BRONZE")
+        .otherwise("UNCERTIFIED")
+        .alias("certificacao"),
+    )

@@ -57,6 +57,20 @@ class ParquetStore:
             w = w.partitionBy(self.partition_col)
         w.parquet(self.path)
 
+    def rewrite(self, df: DataFrame) -> None:
+        """Full rewrite of the table from a plan that may read lazily
+        from this same path: stage to a sibling dir first, then swap —
+        never overwrite files still feeding the read."""
+        tmp = self.path.rstrip("/") + "._staged"
+        w = df.write.mode("overwrite")
+        if self.partition_col:
+            w = w.partitionBy(self.partition_col)
+        w.parquet(tmp)
+        self.overwrite(self.spark.read.parquet(tmp))
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
     def _merged(self, target: DataFrame, staging: DataFrame) -> DataFrame:
         tcols = target.columns
         staging = staging.select(*tcols)
@@ -108,14 +122,5 @@ class ParquetStore:
             finally:
                 conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         else:
-            merged = self._merged(target, staging)
-            # full rewrite must not read lazily from the path being
-            # overwritten: materialize via a staged temp dir swap
-            tmp = self.path.rstrip("/") + "._staged"
-            merged.write.mode("overwrite").parquet(tmp)
-            final = self.spark.read.parquet(tmp)
-            final.write.mode("overwrite").parquet(self.path)
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)
+            self.rewrite(self._merged(target, staging))
         return n

@@ -127,3 +127,47 @@ def test_sink_provenance_verify(spark, tmp_path):
     mp.write_text(json.dumps(m))
     with pytest.raises(ValueError, match="hash mismatch"):
         read_verified(spark, str(tmp_path / "t"))
+
+
+class TestPdfSource:
+    """S4 PDF table extraction (ref: agrobr/anda/parser.py:382-420) —
+    pdfplumber decode is gated; the shaping logic runs on fixtures."""
+
+    TABLES = [
+        [["relatório ANDA", None]],  # decorative table, no header
+        [
+            ["Entregas de fertilizantes", ""],
+            ["Produto", "Total"],
+            ["NPK", "1.234,5"],
+            ["Ureia", "987,6"],
+            ["", ""],
+        ],
+    ]
+
+    def test_tables_to_df(self, spark):
+        from agrobr_spark.sources.pdf import pdf_tables_to_df
+
+        df = pdf_tables_to_df(spark, self.TABLES, ["produto", "total"])
+        rows = {r["Produto"]: r["Total"] for r in df.collect()}
+        assert rows == {"NPK": "1.234,5", "Ureia": "987,6"}
+
+    def test_no_header_raises(self, spark):
+        from agrobr_spark.sources.pdf import pdf_tables_to_df
+
+        with pytest.raises(ValueError):
+            pdf_tables_to_df(spark, [self.TABLES[0]], ["produto", "total"])
+
+    def test_decode_gated(self):
+        from agrobr_spark.sources.pdf import extract_tables
+
+        with pytest.raises(NotImplementedError):
+            extract_tables("/tmp/nonexistent.pdf")
+
+
+def test_bigquery_gated(spark):
+    """S7: the BigQuery connector jar is absent here — the reader must
+    fail with a clear NotImplementedError, not a raw classpath error."""
+    from agrobr_spark.sources import read_bigquery
+
+    with pytest.raises(NotImplementedError):
+        read_bigquery(spark, "basedosdados.br_bcb_sicor.microdados")

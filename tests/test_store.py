@@ -124,3 +124,51 @@ def test_snapshot_filter(spark):
     with with_snapshot(dt.date(2024, 1, 5)):
         assert snapshot_filter(df).count() == 2
     assert snapshot_filter(df).count() == 3  # pin released
+
+
+class TestMigrations:
+    """M6 versioned schema migrations (ref: agrobr/cache/migrations.py)."""
+
+    def _store(self, spark, tmp_path):
+        from agrobr_spark.store.table import ParquetStore
+
+        return ParquetStore(
+            spark, str(tmp_path / "tbl"), primary_key=("k",)
+        )
+
+    def test_apply_pending_and_idempotent(self, spark, tmp_path):
+        from agrobr_spark.store.migrations import (
+            add_column,
+            current_version,
+            migrate,
+            widen_column,
+        )
+
+        store = self._store(spark, tmp_path)
+        store.overwrite(spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"))
+        migs = [
+            (1, "add fonte", add_column("fonte", "string")),
+            (2, "widen v", widen_column("v", "double")),
+        ]
+        assert migrate(store, migs) == 2
+        df = store.read()
+        assert dict(df.dtypes) == {"k": "int", "v": "double", "fonte": "string"}
+        assert current_version(store) == 2
+        # idempotent: second run is a no-op at version 2
+        assert migrate(store, migs) == 2
+
+    def test_partial_catchup(self, spark, tmp_path):
+        from agrobr_spark.store.migrations import add_column, migrate
+
+        store = self._store(spark, tmp_path)
+        store.overwrite(spark.createDataFrame([(1,)], "k int"))
+        assert migrate(store, [(1, "a", add_column("a", "int"))]) == 1
+        out = migrate(
+            store,
+            [
+                (1, "a", add_column("a", "int")),
+                (2, "b", add_column("b", "int")),
+            ],
+        )
+        assert out == 2
+        assert set(store.read().columns) == {"k", "a", "b"}
