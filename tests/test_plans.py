@@ -1,0 +1,115 @@
+"""Physical-plan audits: the scale posture README claims, asserted.
+
+These tests never execute a job — they compile each query and assert
+properties of the Catalyst physical plan: predicate pushdown reaches
+the parquet scan, projections prune the read schema, small dims
+broadcast, top-k compiles to TakeOrderedAndProject (no full sort), and
+aggregations are partial (map-side combine, one shuffle). A regression
+that silently de-optimizes a plan fails here even though results stay
+correct.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def cat():
+    from agrobr_spark.queries import catalog
+
+    return catalog()
+
+
+class TestPushdownAndPruning:
+    def test_date_filter_reaches_scan(self, spark, cat):
+        plan = plan_of(cat["p4_date_range"].fn(spark, SF_SMOKE))
+        assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+        assert "GreaterThanOrEqual(o_orderdate" in plan
+
+    def test_equality_filter_reaches_scan(self, spark, cat):
+        plan = plan_of(cat["p2_eq_filter"].fn(spark, SF_SMOKE))
+        assert "PushedFilters: [" in plan
+
+    def test_projection_prunes_read_schema(self, spark, cat):
+        plan = plan_of(cat["p1_project_rename"].fn(spark, SF_SMOKE))
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert schemas, plan
+        # the rename-projection must not drag unused columns through
+        # the scan: every read field is one the query outputs
+        read_cols = {f.split(":")[0] for s in schemas for f in s.split(",") if f}
+        assert len(read_cols) <= 6, read_cols
+
+    def test_store_scan_prunes_columns(self, spark, cat):
+        plan = plan_of(cat["s8_store_scan"].fn(spark, SF_SMOKE))
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        read_cols = {f.split(":")[0] for s in schemas for f in s.split(",") if f}
+        # 16-column lineitem: the store shape needs only 6
+        assert len(read_cols) <= 6, read_cols
+
+
+class TestJoinStrategy:
+    def test_dims_broadcast_in_enrich_chain(self, spark, cat):
+        plan = plan_of(cat["j1_fact_dim_enrich"].fn(spark, SF_SMOKE))
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+
+    def test_small_dim_lookup_broadcasts(self, spark, cat):
+        plan = plan_of(cat["j6_small_dim_lookup"].fn(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan
+
+    def test_dedup_dim_join_broadcasts(self, spark, cat):
+        plan = plan_of(cat["j5_dedup_dim_join"].fn(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan
+
+    def test_no_cartesian_in_relational_catalog(self, spark, cat):
+        # all-pairs is only ever intentional (embedding brute-force
+        # baseline); every relational/agg/window plan must be free of
+        # CartesianProduct
+        for name, entry in cat.items():
+            if name.startswith(("dedup_embedding", "sim_", "mm_")):
+                continue
+            plan = plan_of(entry.fn(spark, SF_SMOKE))
+            assert "CartesianProduct" not in plan, name
+
+
+class TestSortAndAggShape:
+    def test_topk_compiles_to_take_ordered(self, spark, cat):
+        plan = plan_of(cat["o2_desc_recency"].fn(spark, SF_SMOKE))
+        assert "TakeOrderedAndProject" in plan
+        # a full Sort exchange would be a scale bug for a LIMIT query
+        assert "Exchange rangepartitioning" not in plan
+
+    def test_rollup_is_partial_aggregation(self, spark, cat):
+        plan = plan_of(cat["a1_rollup_sum"].fn(spark, SF_SMOKE))
+        # map-side combine: partial + final HashAggregate around ONE
+        # hash exchange
+        assert plan.count("HashAggregate") >= 2
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        assert "hashpartitioning" in plan
+
+    def test_whole_stage_codegen_everywhere(self, spark, cat):
+        # scalar-function chains must stay JVM-side: the pt-BR number
+        # parse plan is a single codegen'd stage over the scan
+        plan = plan_of(cat["f1_ptbr_number_parse"].fn(spark, SF_SMOKE))
+        assert "[codegen id" in plan  # whole-stage codegen'd
+        assert "BatchEvalPython" not in plan
+
+    def test_no_python_udf_in_catalog_hot_paths(self, spark, cat):
+        # mm_* are the documented Arrow/pandas exceptions
+        for name, entry in cat.items():
+            if name.startswith("mm_"):
+                continue
+            plan = plan_of(entry.fn(spark, SF_SMOKE))
+            assert "BatchEvalPython" not in plan, name
