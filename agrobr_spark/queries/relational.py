@@ -982,3 +982,37 @@ def o2_desc_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ts"), F.desc("event_id"))
         .limit(500)
     )
+
+
+@register(
+    "u4_intersect_except",
+    oracle="""
+    SELECT 'ambos' AS conjunto, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+    UNION ALL
+    SELECT 'apenas_1995' AS conjunto, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+    """,
+    tags=("U4",),
+)
+def u4_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 intersect/except row set-ops (SURVEY §2.7: absent in the
+    reference, free in Spark): customers active in both 1995 and 1996
+    vs only 1995. Both compile to the same aggregate-on-key shape as
+    a semi/anti join — one shuffle each."""
+    o = load(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return (
+        y95.intersect(y96)
+        .select(F.lit("ambos").alias("conjunto"), "o_custkey")
+        .unionByName(
+            y95.subtract(y96).select(
+                F.lit("apenas_1995").alias("conjunto"), "o_custkey"
+            )
+        )
+    )

@@ -43,3 +43,39 @@ def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_tumbling_daily_{_COUNTER[0]}"
     events = read_events_stream(spark, sf_dir)
     return run_available_now(tumbling_daily_agg(events), name)
+
+
+@register(
+    "stream_stateful_dod",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, ts, event_type, value,
+             lag(value) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS valor_anterior
+      FROM events WHERE value IS NOT NULL)
+    SELECT event_type, event_id, ts, value, valor_anterior,
+           (value / valor_anterior - 1.0) * 100.0 AS variacao_pct
+    FROM e
+    WHERE valor_anterior IS NOT NULL AND valor_anterior <> 0
+      AND abs((value / valor_anterior - 1.0) * 100.0) > 20.0
+    """,
+    tags=("STREAM", "W2", "STATEFUL"),
+)
+def stream_stateful_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming day-over-day anomaly flags
+    (applyInPandasWithState; ref behavior: agrobr/validators/
+    sanity.py:161-180). The previous value per event_type is keyed
+    state surviving micro-batches; on fully-arrived data the result
+    equals the batch lag window the oracle runs."""
+    from agrobr_spark.streaming.stateful import day_over_day_flags
+    from agrobr_spark.streaming.windows import read_events_stream, run_available_now
+
+    _COUNTER[0] += 1
+    events = read_events_stream(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    return run_available_now(
+        day_over_day_flags(events),
+        f"stream_stateful_dod_{_COUNTER[0]}",
+        mode="append",
+    )

@@ -89,7 +89,7 @@ def sliding_window_counts(
 
 
 def run_available_now(
-    result: DataFrame, name: str, timeout_s: int = 120
+    result: DataFrame, name: str, timeout_s: int = 120, mode: str = "complete"
 ) -> DataFrame:
     """Execute a streaming query over all currently-available input
     (Trigger.AvailableNow), write to an in-memory sink, return the
@@ -98,7 +98,7 @@ def run_available_now(
     q = (
         result.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -50,3 +50,52 @@ def test_foreachbatch_merge_idempotent(spark, tmp_path):
     events2 = read_events_stream(spark, SF_SMOKE)
     stream_upsert_indicadores(events2, store)
     assert store.table.read().count() == n1
+
+
+def test_stateful_day_over_day_matches_batch(spark, tmp_path):
+    """applyInPandasWithState flags must equal the batch lag-window
+    result once all data has arrived — state carries across the two
+    micro-batches the split input forces."""
+    from agrobr_spark.io import load
+    from agrobr_spark.streaming.stateful import (
+        OUTPUT_SCHEMA,
+        day_over_day_flags,
+        day_over_day_flags_batch,
+    )
+    from agrobr_spark.streaming.windows import run_available_now
+
+    events = load(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    cut = events.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    src = str(tmp_path / "events_split")
+    events.filter(F.col("ts") <= cut).coalesce(1).write.parquet(f"{src}/b=1")
+    events.filter(F.col("ts") > cut).coalesce(1).write.parquet(f"{src}/b=2")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b=*")
+    )
+    got = run_available_now(day_over_day_flags(stream), "t_stateful", mode="append")
+    want = day_over_day_flags_batch(events)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.schema == OUTPUT_SCHEMA
+
+
+def test_salted_join_matches_plain(spark):
+    """Skew-salted join must be result-identical to the plain join."""
+    from agrobr_spark.io import load
+    from agrobr_spark.operators.skew import salted_join
+
+    o = load(spark, SF_SMOKE, "orders")
+    c = load(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_nationkey"
+    )
+    plain = o.join(c, ["o_custkey"], "left").select("o_orderkey", "c_name")
+    salted = salted_join(o, c, ["o_custkey"], "left", salt=4).select(
+        "o_orderkey", "c_name"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
