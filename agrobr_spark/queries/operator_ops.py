@@ -131,3 +131,98 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("mime"),
     )
     return decode_features(media)
+
+
+@register(
+    "w6_topk_per_group",
+    oracle="""
+    SELECT event_type, event_id, ts, value FROM (
+      SELECT event_type, event_id, ts, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events WHERE value IS NOT NULL) t
+    WHERE rn <= 5
+    """,
+    tags=("W4", "TOPK"),
+)
+def w6_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group (generalizes W4's top-1 latest-per-key): the
+    canonical rank-window + filter. One shuffle on the group key; the
+    window never materializes more than a partition's rows, and with
+    K≪group size Spark applies rank-limit pushdown
+    (WindowGroupLimit) before the sort."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        e.filter(F.col("value").isNotNull())
+        .select(
+            "event_type", "event_id", "ts", "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@register(
+    "w7_sessionize",
+    oracle="""
+    WITH marcado AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS nova_sessao
+      FROM events),
+    sessoes AS (
+      SELECT user_id, ts, event_id,
+             sum(nova_sessao) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sessao_n
+      FROM marcado)
+    SELECT user_id, sessao_n,
+           count(*) AS eventos,
+           min(ts) AS inicio,
+           max(ts) AS fim
+    FROM sessoes
+    GROUP BY user_id, sessao_n
+    """,
+    tags=("SESSION", "W1"),
+)
+def w7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (training-pipeline extension): lag-gap > 30 min
+    starts a new session; running sum numbers sessions; one aggregate
+    per (user, session). Both windows and the groupBy share the same
+    user_id hash partitioning — Catalyst plans ONE shuffle for all
+    three. Streaming twin: session_window(ts, gap) in
+    streaming/windows.py."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(wo)
+    nova = (
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > 1800)
+    ).cast("int")
+    return (
+        e.select("user_id", "ts", "event_id", nova.alias("nova_sessao"))
+        .withColumn(
+            "sessao_n",
+            F.sum("nova_sessao").over(
+                wo.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sessao_n")
+        .agg(
+            F.count(F.lit(1)).alias("eventos"),
+            F.min("ts").alias("inicio"),
+            F.max("ts").alias("fim"),
+        )
+    )

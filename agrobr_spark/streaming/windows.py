@@ -106,3 +106,21 @@ def run_available_now(
     if q.isActive:
         q.stop()
     return spark.table(name)
+
+
+def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows (dynamic-length, gap-closed) per user — the
+    streaming twin of the batch lag-gap sessionization
+    (queries/operator_ops.py:w7_sessionize). State per open session,
+    closed by watermark + gap."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("janela"), "user_id")
+        .agg(F.count(F.lit(1)).alias("eventos"))
+        .select(
+            "user_id",
+            F.col("janela.start").alias("inicio"),
+            F.col("janela.end").alias("fim"),
+            "eventos",
+        )
+    )

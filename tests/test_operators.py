@@ -7,6 +7,7 @@ import datetime as dt
 import pyspark.sql.functions as F
 
 from agrobr_spark.operators import asof_join, decode_features, frame_sample
+from tests.conftest import SF_SMOKE
 
 
 def test_asof_join_semantics(spark):
@@ -71,3 +72,17 @@ def test_frame_sample_plumbing(spark):
     assert all(r["media_id"] == 3 for r in frames)  # only video
     assert [r["frame_idx"] for r in frames] == sorted(r["frame_idx"] for r in frames)
     assert all(r["frame_ts_s"] == r["frame_idx"] * 2.0 for r in frames)
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """Scale path for A10/nunique: HLL approx distinct must land within
+    5% of exact on the events table (the exact groupBy-distinct stays
+    the correctness oracle; approx is the 100 TB variant)."""
+    from agrobr_spark.io import load
+
+    e = load(spark, SF_SMOKE, "events")
+    row = e.agg(
+        F.countDistinct("user_id").alias("exato"),
+        F.approx_count_distinct("user_id", 0.02).alias("aprox"),
+    ).collect()[0]
+    assert abs(row["aprox"] - row["exato"]) / row["exato"] < 0.05

@@ -99,3 +99,24 @@ def test_salted_join_matches_plain(spark):
         "o_orderkey", "c_name"
     )
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_session_window_matches_batch_sessionize(spark):
+    """Streaming session_window must produce the same (user, session)
+    partitioning as the batch lag-gap sessionization once all data has
+    arrived: same session count and same per-session event totals."""
+    from agrobr_spark.queries import catalog
+    from agrobr_spark.streaming.windows import (
+        read_events_stream,
+        run_available_now,
+        session_window_counts,
+    )
+
+    events = read_events_stream(spark, SF_SMOKE).select("user_id", "ts", "event_id")
+    got = run_available_now(
+        session_window_counts(events, "30 minutes"), "t_session"
+    )
+    want = catalog()["w7_sessionize"].fn(spark, SF_SMOKE)
+    g = sorted((r["user_id"], r["eventos"]) for r in got.collect())
+    w = sorted((r["user_id"], r["eventos"]) for r in want.collect())
+    assert g == w
