@@ -226,3 +226,119 @@ def w7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("fim"),
         )
     )
+
+
+@register(
+    "j8_range_join",
+    oracle="""
+    WITH intervalos AS (
+      SELECT o_orderkey,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS ini,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) + 7 AS fim
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE)
+            BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'),
+    pontos AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(l_shipdate AS DATE)) AS BIGINT) AS dia,
+             l_quantity
+      FROM lineitem)
+    SELECT i.o_orderkey,
+           count(*) AS embarques,
+           CAST(sum(CAST(p.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qtd
+    FROM pontos p JOIN intervalos i
+      ON p.dia >= i.ini AND p.dia < i.fim
+    GROUP BY i.o_orderkey
+    """,
+    tags=("RANGEJOIN", "J7"),
+)
+def j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bucketization (operators/range_join.py): every
+    shipment in the 7-day window after each March-1995 order date.
+    The bucket equi-join replaces the O(n·m) interval nested loop with
+    one linear hash shuffle; the residual predicate keeps exactness."""
+    from agrobr_spark.operators.range_join import range_join
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    pontos = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("dia"),
+        "l_quantity",
+    )
+    ini = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+    )
+    intervalos = o.filter(
+        F.col("o_orderdate").cast("date").between("1995-03-01", "1995-03-31")
+    ).select("o_orderkey", ini.alias("ini"), (ini + 7).alias("fim"))
+    pares = range_join(pontos, intervalos, "dia", "ini", "fim", bucket_width=7)
+    return pares.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("embarques"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("qtd"),
+    )
+
+
+@register(
+    "a11_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'TOTAL') AS flag,
+           coalesce(l_linestatus, 'TOTAL') AS status,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qtd
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("A1", "ROLLUP"),
+)
+def a11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup totals (beyond the reference, free in both
+    engines): ROLLUP(flag, status) — detail rows + per-flag subtotals +
+    grand total in one partial-aggregated pass, no self-union."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("qtd"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("TOTAL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("TOTAL")).alias("status"),
+            "n",
+            "qtd",
+        )
+    )
+
+
+@register(
+    "a12_unpivot",
+    oracle="""
+    SELECT c_custkey, medida, valor FROM (
+      SELECT c_custkey,
+             CAST(c_acctbal AS DOUBLE) AS saldo,
+             CAST(c_nationkey AS DOUBLE) AS nacao
+      FROM customer) t
+    UNPIVOT (valor FOR medida IN (saldo, nacao))
+    """,
+    tags=("A6", "UNPIVOT"),
+)
+def a12_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt wide→long (inverse of A6's pivot; the reference
+    melts wide CONAB safra blocks the same way): stack() — a
+    generator projection, zero shuffles."""
+    c = load(spark, sf_dir, "customer")
+    return c.selectExpr(
+        "c_custkey",
+        "stack(2, 'saldo', CAST(c_acctbal AS DOUBLE),"
+        " 'nacao', CAST(c_nationkey AS DOUBLE)) AS (medida, valor)",
+    )

@@ -12,6 +12,7 @@ pages); the output list feeds ``spark.createDataFrame``.
 
 from __future__ import annotations
 
+import html as _html
 import re
 
 _TABLE_RE = re.compile(r"<table\b[^>]*>.*?</table>", re.S | re.I)
@@ -23,13 +24,9 @@ _ATTR_RE = re.compile(r'(?:id|class)\s*=\s*["\']([^"\']*)["\']', re.I)
 
 def _clean(cell: str) -> str:
     txt = _TAG_RE.sub("", cell)
-    txt = (
-        txt.replace("&nbsp;", " ")
-        .replace("&amp;", "&")
-        .replace("&lt;", "<")
-        .replace("&gt;", ">")
-    )
-    return re.sub(r"\s+", " ", txt).strip()
+    # full entity decode (&ccedil; &atilde; &nbsp; …) — bs4-equivalent
+    txt = _html.unescape(txt)
+    return re.sub(r"\s+", " ", txt, flags=re.UNICODE).strip()
 
 
 def extract_tables(html: str) -> list[dict]:

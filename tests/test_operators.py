@@ -86,3 +86,24 @@ def test_approx_count_distinct_within_tolerance(spark):
         F.approx_count_distinct("user_id", 0.02).alias("aprox"),
     ).collect()[0]
     assert abs(row["aprox"] - row["exato"]) / row["exato"] < 0.05
+
+
+def test_range_join_matches_naive(spark):
+    """Bucketized range join must equal the naive theta-join result,
+    including intervals that straddle bucket boundaries."""
+    from agrobr_spark.operators.range_join import range_join
+
+    pts = spark.createDataFrame(
+        [(i, i * 3 % 50) for i in range(200)], "pid int, x long"
+    )
+    ivs = spark.createDataFrame(
+        [(1, 0, 7), (2, 5, 21), (3, 21, 28), (4, 48, 49), (5, 10, 10)],
+        "iid int, ini long, fim long",
+    )
+    naive = pts.join(
+        ivs, (pts.x >= ivs.ini) & (pts.x < ivs.fim)
+    ).select("pid", "iid")
+    fast = range_join(pts, ivs, "x", "ini", "fim", bucket_width=7).select(
+        "pid", "iid"
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
