@@ -29,14 +29,17 @@ def norm_key(c: Column) -> Column:
     it in the expression layer keeps the join an equi-join that Spark
     can broadcast-hash, instead of a per-row Python probe.
     """
-    return F.regexp_replace(F.lower(F.trim(fold_accents(c))), r"\s+", " ")
+    # collapse first, trim second: F.trim strips only ASCII spaces, so
+    # a tab-only input must become " " before the trim (found by
+    # tests/test_properties.py idempotence property)
+    return F.trim(F.regexp_replace(F.lower(fold_accents(c)), r"\s+", " "))
 
 
 # The same normalization for the DuckDB oracle side.
 NORM_KEY_SQL = (
-    "regexp_replace(lower(trim(translate({col}, "
+    "trim(regexp_replace(lower(translate({col}, "
     f"'{_ACCENTED}', '{_FOLDED}'"
-    "))), '\\s+', ' ', 'g')"
+    ")), '\\s+', ' ', 'g'))"
 )
 
 

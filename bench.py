@@ -30,9 +30,12 @@ BENCH_QUERIES = [
     "j1_fact_dim_enrich",
     "j2_full_outer_mirror",
     "j7_asof_join",
+    "j8_range_join",
+    "a11_grouping_sets",
     "p4_date_range",
     "w1_pct_change",
     "w4_latest_per_key",
+    "w7_sessionize",
     "m1_merge_upsert",
     "f7_unit_conversion",
     "v1_contract_validate",
@@ -43,6 +46,7 @@ BENCH_QUERIES = [
     "text_quality_score",
     "sim_cosine_topk",
     "stream_tumbling_daily",
+    "stream_stateful_dod",
 ]
 
 
