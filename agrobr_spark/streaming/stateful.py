@@ -38,33 +38,29 @@ def _make_flagger(threshold_pct: float):
     def flag(key, pdfs, state: GroupState):
         (event_type,) = key
         last = state.get[0] if state.exists else None
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for row in pdf.itertuples(index=False):
-                v = row.value
-                if v is None or pd.isna(v):
-                    continue
-                if last is not None and last != 0:
-                    pct = (v / last - 1.0) * 100.0
-                    if abs(pct) > threshold_pct:
-                        out.append(
-                            (event_type, row.event_id, row.ts, v, last, pct)
-                        )
-                last = float(v)
-        state.update((last,))
-        if out:
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "event_type",
-                    "event_id",
-                    "ts",
-                    "value",
-                    "valor_anterior",
-                    "variacao_pct",
-                ],
-            )
+        # vectorized: previous non-null value = shift(1) over the
+        # null-dropped sorted batch, with keyed state seeding row 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = (
+            pdf[pdf["value"].notna()]
+            .sort_values(["ts", "event_id"])
+            .reset_index(drop=True)
+        )
+        if len(pdf):
+            prev = pdf["value"].shift(1)
+            if last is not None:
+                prev.iloc[0] = last
+            pct = (pdf["value"] / prev - 1.0) * 100.0
+            mask = prev.notna() & (prev != 0) & (pct.abs() > threshold_pct)
+            out = pdf.loc[mask, ["event_id", "ts", "value"]].copy()
+            out.insert(0, "event_type", event_type)
+            out["valor_anterior"] = prev[mask]
+            out["variacao_pct"] = pct[mask]
+            state.update((float(pdf["value"].iloc[-1]),))
+            if len(out):
+                yield out
+        else:
+            state.update((last,))
 
     return flag
 
