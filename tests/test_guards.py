@@ -80,3 +80,71 @@ def test_kv_cache_ttl_and_stale(spark, tmp_path):
     assert kv.get(key, now=t0) == b"payload-2"
     kv.invalidate(key)
     assert kv.get(key, now=t0) is None
+
+
+class TestCli:
+    """CLI surface (ref parity: the reference ships an `agrobr` CLI)."""
+
+    def test_list_commands(self, capsys):
+        from agrobr_spark.__main__ import main
+
+        assert main(["datasets"]) == 0
+        assert main(["contracts"]) == 0
+        assert main(["queries", "--tag", "A1"]) == 0
+        out = capsys.readouterr().out
+        assert "preco_diario" in out
+        assert "cepea.indicador" in out
+        assert "a1_rollup_sum" in out
+
+    def test_run_and_validate(self, spark, tmp_path, capsys):
+        import json
+
+        from agrobr_spark.__main__ import main
+
+        assert main(["run", "a1_rollup_sum", "--sf", "/root/testdata/sf0.001"]) == 0
+        assert main(["run", "nope"]) == 2
+
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame(
+            [("2024-01-01", "soja", 100.0, "sc", "cepea")],
+            "data string, produto string, valor double, unidade string, fonte string",
+        ).withColumn("data", F.col("data").cast("date"))
+        df.write.parquet(str(tmp_path / "ok.parquet"))
+        rc = main(["validate", "cepea.indicador", str(tmp_path / "ok.parquet")])
+        got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 1 and got["valid"] is False  # missing nullable cols
+
+
+class TestStability:
+    def test_markers_and_warnings(self):
+        import warnings
+
+        from agrobr_spark.stability import (
+            deprecated,
+            experimental,
+            stability_of,
+            stable,
+        )
+
+        @stable
+        def a():
+            return 1
+
+        @experimental
+        def b():
+            return 2
+
+        @deprecated("use a()")
+        def c():
+            return 3
+
+        assert stability_of(a) == "stable"
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            assert b() == 2 and b() == 2
+            assert c() == 3
+        kinds = [x.category for x in w]
+        assert kinds.count(FutureWarning) == 1  # one-time
+        assert DeprecationWarning in kinds
+        assert stability_of(lambda: 0) == "unspecified"
