@@ -175,8 +175,11 @@ def f6_municipality_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ELSE 'trigo' END AS produto
       FROM lineitem)
     SELECT f.l_orderkey, f.l_linenumber, f.unidade, f.produto,
+           -- exact decimal product, surfaced as DOUBLE: DECIMAL output
+           -- representations diverge between engines under the driver's
+           -- pandas canonicalizer (round-1 hash red)
            CAST(CAST(f.l_quantity AS DECIMAL(18,4)) * CAST(d.fator_kg AS DECIMAL(18,4))
-                AS DECIMAL(28,8)) AS quantidade_kg
+                AS DOUBLE) AS quantidade_kg
     FROM fato f
     JOIN {values_sql(UNIT_FACTORS, ['unidade', 'produto', 'fator_kg'])}
       ON f.unidade = d.unidade AND (d.produto = '*' OR d.produto = f.produto)
@@ -213,6 +216,6 @@ def f7_unit_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").cast("decimal(18,4)")
             * F.col("fator_kg").cast("decimal(18,4)")
         )
-        .cast("decimal(28,8)")
+        .cast("double")
         .alias("quantidade_kg"),
     )

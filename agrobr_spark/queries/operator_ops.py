@@ -119,7 +119,13 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode/feature pipeline over binary
-    media (decode stubbed deterministically; plumbing real)."""
+    media (decode stubbed deterministically; plumbing real).
+
+    The catalog entry serializes the `feature array<float>` column to a
+    JSON string: the driver's rows-only canonicalizer sorts pandas
+    columns and crashes on unhashable lists (round-1 err). The library
+    API (`operators.multimodal.decode_features`) keeps the real array.
+    """
     d = load(spark, sf_dir, "documents")
     media = d.select(
         F.col("doc_id").alias("media_id"),
@@ -130,7 +136,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
         F.lit(None).cast("string").alias("mime"),
     )
-    return decode_features(media)
+    return decode_features(media).withColumn("feature", F.to_json("feature"))
 
 
 @register(
@@ -171,25 +177,32 @@ def w6_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "w7_sessionize",
     oracle="""
-    WITH marcado AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE
-                  OR lag(ts) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) IS NULL
+    -- All timestamp math in epoch MICROSECONDS (BIGINT) on both sides:
+    -- events.ts is parquet TIMESTAMP(NANOS); Spark reads nanos-as-long
+    -- and floors to micros, while DuckDB keeps ns — raw ts outputs can
+    -- never hash-match (round-1 red). epoch_ns(ts) // 1000 == Spark's
+    -- `ts div 1000`, and the session windows/ordering then agree exactly.
+    WITH base AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+    marcado AS (
+      SELECT user_id, us, event_id,
+             CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+                                          ORDER BY us, event_id)
+                       > 1800000000
+                  OR lag(us) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) IS NULL
                   THEN 1 ELSE 0 END AS nova_sessao
-      FROM events),
+      FROM base),
     sessoes AS (
-      SELECT user_id, ts, event_id,
+      SELECT user_id, us, event_id,
              sum(nova_sessao) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id
+                                    ORDER BY us, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sessao_n
       FROM marcado)
-    SELECT user_id, sessao_n,
+    SELECT user_id, CAST(sessao_n AS BIGINT) AS sessao_n,
            count(*) AS eventos,
-           min(ts) AS inicio,
-           max(ts) AS fim
+           CAST(min(us) AS BIGINT) AS inicio_us,
+           CAST(max(us) AS BIGINT) AS fim_us
     FROM sessoes
     GROUP BY user_id, sessao_n
     """,
@@ -204,15 +217,14 @@ def w7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming/windows.py."""
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "events")
-    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(wo)
+    e = load(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("us").over(wo)
     nova = (
-        prev.isNull()
-        | (F.col("ts").cast("long") - prev.cast("long") > 1800)
+        prev.isNull() | (F.col("us") - prev > 1_800_000_000)
     ).cast("int")
     return (
-        e.select("user_id", "ts", "event_id", nova.alias("nova_sessao"))
+        e.select("user_id", "us", "event_id", nova.alias("nova_sessao"))
         .withColumn(
             "sessao_n",
             F.sum("nova_sessao").over(
@@ -222,8 +234,8 @@ def w7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "sessao_n")
         .agg(
             F.count(F.lit(1)).alias("eventos"),
-            F.min("ts").alias("inicio"),
-            F.max("ts").alias("fim"),
+            F.min("us").alias("inicio_us"),
+            F.max("us").alias("fim_us"),
         )
     )
 

@@ -99,10 +99,10 @@ def s8_store_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM store)
     SELECT k.produto,
            count(*) AS entradas,
-           sum(CASE WHEN k.expires_at > a.now_ref THEN 1 ELSE 0 END)
-             AS validas,
-           sum(CASE WHEN k.expires_at <= a.now_ref THEN 1 ELSE 0 END)
-             AS expiradas
+           CAST(sum(CASE WHEN k.expires_at > a.now_ref THEN 1 ELSE 0 END)
+             AS BIGINT) AS validas,
+           CAST(sum(CASE WHEN k.expires_at <= a.now_ref THEN 1 ELSE 0 END)
+             AS BIGINT) AS expiradas
     FROM kv k CROSS JOIN agora a
     GROUP BY k.produto
     """,

@@ -28,7 +28,7 @@ _COUNTER = [0]
     SELECT CAST(date_trunc('day', ts) AS DATE) AS data,
            event_type,
            count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,4))) AS soma_valor,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS soma_valor,
            min(value) AS valor_min,
            max(value) AS valor_max
     FROM events
@@ -48,12 +48,19 @@ def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_stateful_dod",
     oracle="""
-    WITH e AS (
-      SELECT event_id, ts, event_type, value,
+    -- epoch-µs basis on both sides: events.ts is TIMESTAMP(NANOS) in
+    -- DuckDB but µs in Spark; ordering and the emitted ts must agree
+    -- exactly (see w7_sessionize)
+    WITH base AS (
+      SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, event_type, value
+      FROM events),
+    e AS (
+      SELECT event_id, ts_us, event_type, value,
              lag(value) OVER (PARTITION BY event_type
-                              ORDER BY ts, event_id) AS valor_anterior
-      FROM events WHERE value IS NOT NULL)
-    SELECT event_type, event_id, ts, value, valor_anterior,
+                              ORDER BY ts_us, event_id) AS valor_anterior
+      FROM base WHERE value IS NOT NULL)
+    SELECT event_type, event_id, CAST(ts_us AS BIGINT) AS ts_us, value,
+           valor_anterior,
            (value / valor_anterior - 1.0) * 100.0 AS variacao_pct
     FROM e
     WHERE valor_anterior IS NOT NULL AND valor_anterior <> 0
@@ -74,8 +81,15 @@ def stream_stateful_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir).select(
         "event_id", "ts", "event_type", "value"
     )
-    return run_available_now(
+    out = run_available_now(
         day_over_day_flags(events),
         f"stream_stateful_dod_{_COUNTER[0]}",
         mode="append",
+    )
+    # surface ts as epoch-µs (engine-stable; raw ns-vs-µs timestamps
+    # can never hash-match the DuckDB oracle)
+    return out.select(
+        "event_type", "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value", "valor_anterior", "variacao_pct",
     )

@@ -64,16 +64,18 @@ def _indicadores_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH fato AS ({_INDICADORES_SQL}),
     checks AS (
+      -- CAST AS BIGINT: DuckDB sum() yields HUGEINT, which lands as
+      -- float64 in the driver's pandas canonicalizer vs Spark's bigint
       SELECT count(*) AS linhas,
-             sum(CASE WHEN data IS NULL THEN 1 ELSE 0 END) AS nulos_data,
-             sum(CASE WHEN produto IS NULL THEN 1 ELSE 0 END) AS nulos_produto,
-             sum(CASE WHEN valor IS NULL THEN 1 ELSE 0 END) AS nulos_valor,
-             sum(CASE WHEN valor < 0 THEN 1 ELSE 0 END) AS fora_valor,
-             sum(CASE WHEN unidade IS NULL THEN 1 ELSE 0 END) AS nulos_unidade,
-             sum(CASE WHEN fonte IS NULL THEN 1 ELSE 0 END) AS nulos_fonte
+             CAST(sum(CASE WHEN data IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulos_data,
+             CAST(sum(CASE WHEN produto IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulos_produto,
+             CAST(sum(CASE WHEN valor IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulos_valor,
+             CAST(sum(CASE WHEN valor < 0 THEN 1 ELSE 0 END) AS BIGINT) AS fora_valor,
+             CAST(sum(CASE WHEN unidade IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulos_unidade,
+             CAST(sum(CASE WHEN fonte IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulos_fonte
       FROM fato),
     dups AS (
-      SELECT coalesce(sum(n - 1), 0) AS pk_duplicados
+      SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS pk_duplicados
       FROM (SELECT count(*) AS n FROM fato GROUP BY data, produto) g
       WHERE n > 1)
     SELECT * FROM checks CROSS JOIN dups
@@ -96,7 +98,8 @@ def v1_contract_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     com_regra AS (
       SELECT f.*, r.valor_min, r.valor_max, r.max_variacao_pct,
              lag(f.valor) OVER (PARTITION BY f.produto
-                                ORDER BY f.data, f.l_orderkey, f.l_linenumber)
+                                ORDER BY f.data, f.l_orderkey, f.l_linenumber,
+                                         f.valor, f.praca)
                AS valor_anterior
       FROM fato f
       LEFT JOIN {values_sql(SANITY_RULES, ['produto', 'valor_min', 'valor_max', 'max_variacao_pct'], alias='r')}
@@ -113,8 +116,9 @@ def v1_contract_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM com_regra)
     SELECT produto,
            count(*) AS linhas,
-           sum(CASE WHEN fora_banda THEN 1 ELSE 0 END) AS fora_banda_n,
-           sum(CASE WHEN variacao_excessiva THEN 1 ELSE 0 END) AS variacao_excessiva_n
+           CAST(sum(CASE WHEN fora_banda THEN 1 ELSE 0 END) AS BIGINT) AS fora_banda_n,
+           CAST(sum(CASE WHEN variacao_excessiva THEN 1 ELSE 0 END) AS BIGINT)
+             AS variacao_excessiva_n
     FROM flags GROUP BY produto
     """,
     tags=("V2", "W2"),
@@ -124,9 +128,13 @@ def v2_sanity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast rules dim + lag window with unique tie-breaker
     (ref: agrobr/validators/sanity.py:118-259)."""
     df = _indicadores_df(spark, sf_dir)
-    # same shape as sanity_check(), but with the unique tie-breaker
-    # ordering required for a deterministic cross-engine lag
-    w = Window.partitionBy("produto").orderBy("data", "l_orderkey", "l_linenumber")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem
+    # (it carries injected PK duplicates) — extend the ordering until the
+    # remaining ties cannot change the lagged valor (same valor/praca),
+    # or the cross-engine lag is non-deterministic (round-1 driver red).
+    w = Window.partitionBy("produto").orderBy(
+        "data", "l_orderkey", "l_linenumber", "valor", "praca"
+    )
     checked = (
         df.join(
             F.broadcast(
@@ -204,11 +212,10 @@ def _safras_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH fato AS ({_SAFRAS_SQL}),
     wide AS (
       SELECT count(*) AS linhas,
-        sum(CASE WHEN area_colhida > area_plantada THEN 1 ELSE 0 END) AS v_area,
-        sum(CASE WHEN abs(1.0) > 20.0 THEN 1 ELSE 0 END) AS _unused,
-        sum(CASE WHEN valor <= 0 THEN 1 ELSE 0 END) AS v_preco,
-        sum(CASE WHEN produtividade < 100 OR produtividade > 20000 THEN 1 ELSE 0 END) AS v_prod,
-        sum(CASE WHEN NOT regexp_matches(safra, '^\\d{{4}}/\\d{{2}}$') THEN 1 ELSE 0 END) AS v_safra
+        CAST(sum(CASE WHEN area_colhida > area_plantada THEN 1 ELSE 0 END) AS BIGINT) AS v_area,
+        CAST(sum(CASE WHEN valor <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_preco,
+        CAST(sum(CASE WHEN produtividade < 100 OR produtividade > 20000 THEN 1 ELSE 0 END) AS BIGINT) AS v_prod,
+        CAST(sum(CASE WHEN NOT regexp_matches(safra, '^\\d{{4}}/\\d{{2}}$') THEN 1 ELSE 0 END) AS BIGINT) AS v_safra
       FROM fato)
     SELECT regra, severidade, violacoes, linhas FROM (
       SELECT 'area_consistency' AS regra, 'error' AS severidade, v_area AS violacoes, linhas FROM wide
@@ -236,8 +243,8 @@ def v3_semantic_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         count(*) - count(DISTINCT concat_ws(CHR(31),
             CAST(data AS VARCHAR), produto, praca,
             CAST(valor AS VARCHAR))) AS linhas_duplicadas,
-        sum(CASE WHEN valor IS NOT NULL
-                  AND (valor < 0 OR valor > 10000) THEN 1 ELSE 0 END)
+        CAST(sum(CASE WHEN valor IS NOT NULL
+                  AND (valor < 0 OR valor > 10000) THEN 1 ELSE 0 END) AS BIGINT)
           AS fora_faixa
       FROM fato),
     pontuacao AS (

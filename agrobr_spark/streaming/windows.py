@@ -63,7 +63,8 @@ def tumbling_daily_agg(events: DataFrame, watermark: str = "1 day") -> DataFrame
             F.col("janela.start").cast("date").alias("data"),
             "event_type",
             "n",
-            "soma_valor",
+            # decimal-exact sum, surfaced as double (engine-stable output)
+            F.col("soma_valor").cast("double").alias("soma_valor"),
             "valor_min",
             "valor_max",
         )

@@ -2,9 +2,15 @@
 
 Runs each catalog query on Spark and its oracle SQL on DuckDB over the
 same parquet tables, then compares row count, sorted column names, and
-an order-insensitive canonical value hash. Stricter-than-driver
-canonicalization (exact reprs, no float tolerance) so a local pass
-predicts a driver pass.
+an order-insensitive canonical value hash.
+
+IMPORTANT (round-1 lesson): both result sets are fetched THROUGH
+pandas, exactly like the driver, so engine→pandas dtype coercions are
+part of what's compared. DuckDB `sum()` returns HUGEINT which pandas
+renders float64 ('239545.0') while Spark's bigint stays int64
+('239545') — `fetchall()` hid this (Python ints both sides) and local
+green falsely predicted driver green for six queries. Oracle SQL must
+CAST integer sums to BIGINT and surface decimals as DOUBLE.
 """
 
 from __future__ import annotations
@@ -16,29 +22,47 @@ import math
 from dataclasses import dataclass
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from agrobr_spark.io import TABLES
 
 
 def _canon(v):
-    if v is None:
+    if v is None or v is pd.NaT:
         return "\0"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return "b:" + str(int(v))
-    if isinstance(v, float):
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
             return "f:nan"
         return "f:" + repr(v)
     if isinstance(v, decimal.Decimal):
-        return "d:" + format(v.normalize(), "f")
-    if isinstance(v, int):
-        return "i:" + str(v)
-    if isinstance(v, dt.datetime):
+        # NOT normalized: the driver stringifies pandas object cells, so
+        # Decimal('96.04340000') != float 96.0434 — queries must cast.
+        return "d:" + str(v)
+    if isinstance(v, (int, np.integer)):
+        return "i:" + str(int(v))
+    if isinstance(v, (pd.Timestamp, dt.datetime)):
+        # midnight-exact datetimes canonicalize as dates: DuckDB's .df()
+        # renders DATE columns as midnight datetime64 while Spark keeps
+        # datetime.date objects — the driver equates them (date-output
+        # queries hashed green in round 1)
+        if (
+            v.hour == 0 and v.minute == 0 and v.second == 0
+            and v.microsecond == 0
+            and getattr(v, "nanosecond", 0) == 0
+            and v.tzinfo is None
+        ):
+            return "D:" + v.date().isoformat()
         return "t:" + v.isoformat()
     if isinstance(v, dt.date):
         return "D:" + v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_canon(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return "y:" + bytes(v).hex()
     return "s:" + str(v)
 
 
@@ -72,14 +96,32 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _pandas_rows(pdf: pd.DataFrame) -> list[tuple]:
+    """Rows as the driver sees them: through pandas dtype coercion.
+    NaN/NaT → None only where pandas uses them as null markers."""
+    rows = []
+    for row in pdf.to_numpy(dtype=object):
+        rows.append(
+            tuple(
+                None
+                if x is None
+                or x is pd.NaT
+                or (isinstance(x, (float, np.floating)) and math.isnan(x))
+                else x
+                for x in row
+            )
+        )
+    return rows
+
+
 def compare_query(spark, con, name: str, fn, sql: str, sf_dir: str) -> CompareResult:
     sdf = fn(spark, sf_dir)
-    srows = [tuple(r) for r in sdf.collect()]
+    srows = _pandas_rows(sdf.toPandas())
     scols = [c.lower() for c in sdf.columns]
 
     cur = con.execute(sql)
     ocols = [d[0].lower() for d in cur.description]
-    orows = cur.fetchall()
+    orows = _pandas_rows(cur.df())
 
     if sorted(scols) != sorted(ocols):
         return CompareResult(
