@@ -333,34 +333,29 @@ _DOT_SQL = (
     tags=("DEDUP", "EMBEDDING", "COSINE"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold {thr}). Exactness
-    baseline is all-pairs; the scale path blocks candidates through the
-    LSH/IVF bucketing in `sim_ivf_ann` so only same-bucket pairs are
-    scored. Rounded to 6 decimals for cross-engine float stability.
+    """Embedding-cosine near-dup pairs (threshold {thr}), computed by
+    the EXACT triangle block equi-join (operators/allpairs.py): same
+    n²/2 comparisons as all-pairs, but as a hash-shuffled equi-join on
+    block-pair keys — no BroadcastNestedLoopJoin (the round-1 plan was
+    the non-equi `vec_a < vec_b` nested loop, a scale-killer). 100%%
+    recall, so the all-pairs DuckDB oracle still verifies it exactly.
+    Rounded to 6 decimals for cross-engine float stability.
     """.format(thr=_COS_THRESHOLD)
+    from agrobr_spark.operators.allpairs import block_cosine_pairs
+
     e = load(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("label").alias("label_a"),
-        F.col("embedding").alias("ea"),
+    pares = block_cosine_pairs(
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=_COS_THRESHOLD,
+        n_blocks=8,
+        extra_cols=("label",),
     )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
-        F.col("embedding").alias("eb"),
-    )
-    cos = F.round(
-        F.expr(_DOT_SQL.format(a="ea", b="eb"))
-        / F.expr(
-            "nullif(sqrt({na}) * sqrt({nb}), 0)".format(
-                na=_DOT_SQL.format(a="ea", b="ea"),
-                nb=_DOT_SQL.format(a="eb", b="eb"),
-            )
-        ),
-        6,
-    )
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "label_a", "label_b", cos.alias("cosseno"))
-        .filter(F.col("cosseno") >= _COS_THRESHOLD)
+    return pares.select(
+        F.col("id_a").alias("vec_a"),
+        F.col("id_b").alias("vec_b"),
+        "label_a",
+        "label_b",
+        "cosseno",
     )

@@ -83,6 +83,14 @@ class TestJoinStrategy:
             plan = plan_of(entry.fn(spark, SF_SMOKE))
             assert "CartesianProduct" not in plan, name
 
+    def test_embedding_cosine_is_block_equi_join(self, spark, cat):
+        # the exact all-pairs cosine must run as the triangle block
+        # EQUI-join (operators/allpairs.py), never as the non-equi
+        # nested-loop self-join (round-1 scale-killer)
+        plan = plan_of(cat["dedup_embedding_cosine"].fn(spark, SF_SMOKE))
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
 
 class TestSortAndAggShape:
     def test_topk_compiles_to_take_ordered(self, spark, cat):
