@@ -49,11 +49,21 @@ class MetaInfo:
 
 class BaseDataset:
     """A named dataset: sources tried by ascending priority; the first
-    DataFrame that passes contract validation wins."""
+    DataFrame that passes contract validation wins.
+
+    Per-source column harmonization: a subclass method named
+    ``from_<source-name>`` reshapes that source's native schema into
+    the dataset's contract schema (ref: the per-source fetch adapters
+    in agrobr/datasets/*.py, e.g. producao_anual.py:43-51 renaming
+    CONAB's produtividade → PAM's rendimento). ``filter_params`` names
+    fetch kwargs applied as equality predicates AFTER normalization —
+    declarative filters Catalyst pushes into the scan.
+    """
 
     name: str
     contract_name: str | None = None
     date_col: str = "data"
+    filter_params: tuple[str, ...] = ()
 
     def __init__(self, sources: list[DatasetSource]):
         self.sources = sorted(sources, key=lambda s: s.priority)
@@ -61,9 +71,24 @@ class BaseDataset:
     def _contract(self) -> Contract | None:
         return get_contract(self.contract_name) if self.contract_name else None
 
-    def normalize(self, df: DataFrame) -> DataFrame:
+    def harmonize(self, source: str, df: DataFrame) -> DataFrame:
+        """Reshape a source's native schema to the contract schema via
+        the subclass's ``from_<source>`` adapter, if one exists."""
+        fn = getattr(self, f"from_{source}", None)
+        return fn(df) if fn is not None else df
+
+    def normalize(self, df: DataFrame, **kwargs) -> DataFrame:
         """D3 post-fetch normalization hook (inject columns, harmonize
         names, sort). Default: identity."""
+        return df
+
+    def _apply_filters(self, df: DataFrame, **kwargs) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        for k in self.filter_params:
+            v = kwargs.get(k)
+            if v is not None and k in df.columns:
+                df = df.filter(F.col(k) == v)
         return df
 
     def fetch(self, validate: bool = True, **kwargs) -> tuple[DataFrame, MetaInfo]:
@@ -74,7 +99,9 @@ class BaseDataset:
             t0 = time.monotonic()
             try:
                 df = src.fetch_fn(**kwargs)
-                df = self.normalize(df)
+                df = self.harmonize(src.name, df)
+                df = self.normalize(df, **kwargs)
+                df = self._apply_filters(df, **kwargs)
                 if contract is not None:
                     missing = contract.missing_columns(df)
                     if missing:

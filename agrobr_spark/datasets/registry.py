@@ -42,10 +42,11 @@ class PrecoDiarioDataset(BaseDataset):
         super().__init__(sources)
         self.produto = produto
 
-    def normalize(self, df: DataFrame) -> DataFrame:
+    def normalize(self, df: DataFrame, **kwargs) -> DataFrame:
         # D3: inject produto/fonte when missing, recency sort
-        if "produto" not in df.columns and self.produto:
-            df = df.withColumn("produto", F.lit(self.produto))
+        produto = kwargs.get("produto", self.produto)
+        if "produto" not in df.columns and produto:
+            df = df.withColumn("produto", F.lit(produto))
         if "fonte" not in df.columns:
             df = df.withColumn("fonte", F.lit("cepea"))
         for c in ("metodologia", "anomalies"):
@@ -64,11 +65,13 @@ class GenericDataset(BaseDataset):
 def get_dataset(
     name: str, sources: list[DatasetSource], **kwargs
 ) -> BaseDataset:
+    from agrobr_spark.datasets.semantic import SEMANTIC_DATASETS
+
     if name not in DATASETS:
         raise KeyError(f"unknown dataset {name!r}; see list_datasets()")
     if name == "preco_diario":
         return PrecoDiarioDataset(sources, **kwargs)
-    return GenericDataset(name, DATASETS[name], sources)
+    return SEMANTIC_DATASETS[name](sources)
 
 
 def list_datasets() -> list[str]:
