@@ -49,6 +49,27 @@ def _parse(spark, case: Path):
 
         payload = (case / "response.json").read_text()
         return param_date_value_rows(spark, [payload], **meta.get("options", {}))
+    elif reader == "connector":
+        # generic per-source connector case: payloads listed as
+        # [filename, kind] pairs, kind ∈ bytes|text|json|path
+        from agrobr_spark.sources.connectors import get_connector
+
+        def _load(name: str, kind: str):
+            p = case / name
+            if kind == "bytes":
+                return p.read_bytes()
+            if kind == "text":
+                return p.read_text()
+            if kind == "json":
+                return json.loads(p.read_text())
+            if kind == "path":
+                return str(p)
+            raise ValueError(f"unknown payload kind {kind}")
+
+        args = [_load(n, k) for n, k in meta["payloads"]]
+        return get_connector(meta["connector"])(
+            spark, *args, **meta.get("options", {})
+        )
     else:  # pragma: no cover
         raise ValueError(f"unknown reader {reader}")
 
