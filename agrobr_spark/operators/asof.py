@@ -56,19 +56,36 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("_origin").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(F.when(F.col("_origin") == 1, F.col(c)), ignorenulls=True)
+    # Carry ONE struct per matched right row, not per-column lasts: a
+    # per-column carry skips legitimately-NULL payload values (the
+    # struct itself is non-null whenever a right row matched) and can
+    # mix columns from different right rows.  DuckDB ASOF JOIN carries
+    # the whole row; so do we.
+    payload = (
+        F.last(
+            F.when(F.col("_origin") == 1, F.struct(*right_cols)),
+            ignorenulls=True,
+        )
         .over(w)
-        .alias(c)
-        for c in right_cols
-    ]
+        .alias("_asof_payload")
+    )
     matched_ts = (
         F.last(F.when(F.col("_origin") == 1, F.col(ts)), ignorenulls=True)
         .over(w)
         .alias("_asof_ts")
     )
-    out = u.select(*lcols, *carried, matched_ts, "_origin").filter(
-        F.col("_origin") == 0
+    out = (
+        u.select(*lcols, payload, matched_ts, "_origin")
+        .filter(F.col("_origin") == 0)
+        .select(
+            *lcols,
+            *[
+                F.col("_asof_payload").getField(c).alias(c)
+                for c in right_cols
+            ],
+            "_asof_ts",
+            "_origin",
+        )
     )
     if tolerance_days is not None:
         keep = F.datediff(F.col(ts), F.col("_asof_ts")) <= tolerance_days

@@ -31,6 +31,31 @@ def test_asof_join_semantics(spark):
     assert out == {1: 100.0, 2: 110.0, 3: None, 4: None}
 
 
+def test_asof_join_null_payload_carry(spark):
+    """A matched right row whose payload column is legitimately NULL
+    must be carried as NULL — not skipped in favour of an older row —
+    and multi-column payloads must all come from the SAME right row."""
+    left = spark.createDataFrame(
+        [("soja", dt.date(2024, 1, 15), 1)],
+        "produto string, data date, id int",
+    )
+    right = spark.createDataFrame(
+        [
+            ("soja", dt.date(2024, 1, 1), 100.0, "cepea"),
+            # newest match: preco legitimately NULL, fonte present
+            ("soja", dt.date(2024, 1, 10), None, "na"),
+        ],
+        "produto string, data date, preco double, fonte string",
+    )
+    row = asof_join(
+        left, right, "produto", "data", right_cols=["preco", "fonte"]
+    ).collect()[0]
+    # both columns from the 2024-01-10 row: NULL preco preserved,
+    # fonte not mixed in from the older 2024-01-01 row
+    assert row["preco"] is None
+    assert row["fonte"] == "na"
+
+
 def test_asof_join_tolerance(spark):
     left = spark.createDataFrame(
         [("soja", dt.date(2024, 3, 1), 1)], "produto string, data date, id int"
