@@ -16,6 +16,7 @@ from agrobr_spark.sources.connectors import (  # noqa: F401 — registration
     antaq,
     b3,
     bcb,
+    cepea,
     comexstat,
     conab,
     ibge_sidra,
