@@ -18,12 +18,14 @@ from agrobr_spark.sources.connectors import (  # noqa: F401 — registration
     bcb,
     cepea,
     comexstat,
+    comtrade,
     conab,
     ibge_sidra,
     imea,
     inmet,
     mapa_psr,
     nasa_power,
+    noticias_agricolas,
     queimadas,
     sicar,
     usda,
