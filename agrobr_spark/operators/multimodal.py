@@ -49,8 +49,10 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
     d = hashlib.sha256(payload).digest()
     width = 64 + d[0] % 192 if kind in ("image", "video") else None
     height = 64 + d[1] % 192 if kind in ("image", "video") else None
-    duration = round(d[2] / 16.0, 3) if kind in ("audio", "video") else None
-    feature = [round((b - 128) / 128.0, 6) for b in d[:8]]
+    # exact dyadic rationals (x/16, x/128): bit-identical in float32,
+    # float64, and any SQL engine — keeps the stub oracle-reproducible
+    duration = d[2] / 16.0 if kind in ("audio", "video") else None
+    feature = [(b - 128) / 128.0 for b in d[:8]]
     return {
         "n_bytes": len(payload),
         "sha16": d.hex()[:16],

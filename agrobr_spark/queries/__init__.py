@@ -48,45 +48,49 @@ def register(
     return deco
 
 
-# The round driver checks the FIRST ~50 catalog entries (dict order)
-# against the DuckDB oracle and records CORRECTNESS_r{N}; the rest get
-# no row. Order therefore rotates per round so every operator lands in
-# the driver window across rounds: never-driver-checked queries first,
-# then queries whose last driver row was red (fixed since), then new
-# additions, then the already-proven tail (still oracle-checked locally
-# by tests/test_oracle.py every run).
-_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked as of CORRECTNESS_r01 --
-    "s5_json_scan", "s8_store_scan", "p5_null_drop", "j5_dedup_dim_join",
-    "o1_multikey_sort_limit", "o2_desc_recency", "o3_topk_search",
-    "o4_limit_latest",
-    "u1_union_all", "u2_anti_join", "u4_intersect_except",
-    "w4_latest_per_key", "w5_calendar_antijoin",
-    "f1_ptbr_number_parse", "f2_multiformat_date_parse", "f3_safra_algebra",
-    "f8f9_sentinel_and_arithmetic", "f10_string_hygiene", "f11_content_hash",
-    "f13_regex_classify",
-    "m2_ttl_validity", "d4_snapshot_filter",
-    "sim_cosine_topk", "sim_ivf_ann",
-    "stream_tumbling_daily", "stream_stateful_dod",
-    # -- red in CORRECTNESS_r01, fixed this round --
-    "v1_contract_validate", "v2_sanity_rules", "v3_semantic_rules",
-    "v6_quality_certification", "f7_unit_conversion", "w7_sessionize",
-    "mm_decode_features",
-    # -- scale-path rework this round (re-verify) --
-    "dedup_embedding_cosine",
-    # -- previously-green rotation tail (highest-value first) --
-    "m1_merge_upsert", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_simhash",
-    "j7_asof_join", "j8_range_join", "w6_topk_per_group",
-    "a11_grouping_sets", "a12_unpivot",
-    "text_token_count", "text_quality_score", "text_lang_id",
-    "text_fingerprint", "mm_binary_metadata",
-)
+def _verification_history() -> dict[str, tuple[int, int]]:
+    """Per query: (last round with a fully-green driver row, count of
+    green rounds), from the recorded ``CORRECTNESS_r*.json`` files.
+
+    Drives the driver-window rotation automatically (no hand-kept
+    list): the round driver hash-checks the FIRST ~50 catalog entries,
+    so queries that were never green — new, changed-and-failed, or
+    rows-only — sort first, then the least-recently-verified, and the
+    freshest greens rotate out. Every query keeps a green row within
+    any two consecutive rounds, and anything unverified re-enters the
+    window immediately.
+    """
+    import json
+    import re as _re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    hist: dict[str, tuple[int, int]] = {}
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = _re.search(r"r(\d+)", f.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(f.read_text())
+        except (OSError, json.JSONDecodeError):  # pragma: no cover
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and all(
+                row.get(k) for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                last, count = hist.get(name, (-1, 0))
+                hist[name] = (max(last, rnd), count + 1)
+    return hist
 
 
 def catalog() -> dict[str, CatalogEntry]:
-    """All registered queries (imports every query module on first use),
-    in driver-window priority order (see ``_PRIORITY``)."""
+    """All registered queries (imports every query module on first
+    use), ordered least-recently-driver-verified first (see
+    ``_verification_history``) so the driver's ~50-entry check window
+    rotates over the whole catalog; all queries stay oracle-checked
+    locally every run by ``tests/test_oracle.py`` regardless of
+    order."""
     from agrobr_spark.queries import (  # noqa: F401
         dedup,
         merge,
@@ -101,9 +105,10 @@ def catalog() -> dict[str, CatalogEntry]:
         validation_ops,
     )
 
-    rank = {n: i for i, n in enumerate(_PRIORITY)}
+    hist = _verification_history()
     ordered = sorted(
-        _REGISTRY, key=lambda n: (rank.get(n, len(_PRIORITY)), n)
+        _REGISTRY,
+        key=lambda n: (hist.get(n, (-1, 0))[0], hist.get(n, (-1, 0))[1], n),
     )
     return {n: _REGISTRY[n] for n in ordered}
 

@@ -359,3 +359,69 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label_b",
         "cosseno",
     )
+
+
+_NEARDUP_CENTROIDS = 10
+
+
+@register(
+    "near_dup_embeddings",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {_NEARDUP_CENTROIDS}),
+    base AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev,
+        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    scored AS (
+      SELECT b.vec_id, b.label, b.ev, b.nrm, c.cid,
+        round(list_dot_product(c.cv, b.ev)
+              / nullif(sqrt(list_dot_product(c.cv, c.cv)) * b.nrm, 0),
+              6) AS cos_cent
+      FROM base b CROSS JOIN cent c),
+    assigned AS (
+      SELECT vec_id, label, ev, nrm, cid FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos_cent DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+    pares AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        a.label AS label_a, b.label AS label_b,
+        round(list_dot_product(a.ev, b.ev)
+              / nullif(a.nrm * b.nrm, 0), 6) AS cosseno
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, label_a, label_b, cosseno
+    FROM pares WHERE cosseno >= {_COS_THRESHOLD}
+    """,
+    tags=("DEDUP", "EMBEDDING", "ANN", "SCALE_DEFAULT"),
+)
+def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup — the 100 TB DEFAULT path (VERDICT r2 #3):
+    IVF-style cluster blocking (operators/allpairs.cluster_cosine_pairs)
+    so exact cosine runs only WITHIN clusters via an equi-join on the
+    cluster key — no stage ever materializes the full n²/2 pair space
+    (`dedup_embedding_cosine` keeps the exact triangle join as the
+    oracle baseline / exactness fallback). Cluster assignment uses the
+    same rounded-cosine + id tie-break determinism as `sim_ivf_ann`,
+    so the full pipeline is hash-verified against pure SQL."""
+    from agrobr_spark.operators.allpairs import cluster_cosine_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    pares = cluster_cosine_pairs(
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=_COS_THRESHOLD,
+        n_centroids=_NEARDUP_CENTROIDS,
+        extra_cols=("label",),
+    )
+    return pares.select(
+        F.col("id_a").alias("vec_a"),
+        F.col("id_b").alias("vec_b"),
+        "label_a",
+        "label_b",
+        "cosseno",
+    )

@@ -112,19 +112,54 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_metadata(media).drop("mime")
 
 
+_MM_HEXVAL = "(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1)"
+
+
+def _mm_byte(i: int) -> str:
+    """SQL for byte ``i`` of the sha256 digest from its hex string."""
+    return (
+        f"({_MM_HEXVAL.format(p=2 * i + 1)} * 16 + {_MM_HEXVAL.format(p=2 * i + 2)})"
+    )
+
+
 @register(
     "mm_decode_features",
-    oracle=None,  # Pandas-UDF pipeline with stubbed decode → rows-only
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+        CASE CAST(doc_id % 3 AS INT)
+          WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        text FROM documents),
+    h AS (
+      -- this DuckDB's sha256 takes VARCHAR (hashes its UTF-8 bytes —
+      -- exactly the Spark side's encode(text,'utf-8') payload)
+      SELECT media_id, kind,
+        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        sha256(text) AS hx
+      FROM media)
+    SELECT media_id, kind, n_bytes,
+      substr(hx, 1, 16) AS sha16,
+      CASE WHEN kind IN ('image', 'video')
+           THEN CAST(64 + {_mm_byte(0)} % 192 AS INT) END AS width,
+      CASE WHEN kind IN ('image', 'video')
+           THEN CAST(64 + {_mm_byte(1)} % 192 AS INT) END AS height,
+      CASE WHEN kind IN ('audio', 'video')
+           THEN {_mm_byte(2)} / 16.0 END AS duration_s,
+      to_json([{", ".join(f"{_mm_byte(i)} - 128" for i in range(8))}]) AS feature_q8
+    FROM h
+    """,
     tags=("MULTIMODAL", "UDF"),
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode/feature pipeline over binary
     media (decode stubbed deterministically; plumbing real).
 
-    The catalog entry serializes the `feature array<float>` column to a
-    JSON string: the driver's rows-only canonicalizer sorts pandas
-    columns and crashes on unhashable lists (round-1 err). The library
-    API (`operators.multimodal.decode_features`) keeps the real array.
+    The catalog entry re-quantizes `feature array<float>` back to its
+    int8 lattice (values are k/128 by construction) and serializes as
+    JSON ints — an exact, engine-neutral canonical form, so the driver
+    hash-checks the full pipeline against pure SQL over sha256 hex
+    arithmetic (closing the round-2 `no_oracle` gap; the library API
+    `operators.multimodal.decode_features` keeps the real float array).
     """
     d = load(spark, sf_dir, "documents")
     media = d.select(
@@ -136,7 +171,18 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
         F.lit(None).cast("string").alias("mime"),
     )
-    return decode_features(media).withColumn("feature", F.to_json("feature"))
+    return decode_features(media).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "sha16",
+        "width",
+        "height",
+        "duration_s",
+        F.to_json(
+            F.transform("feature", lambda x: F.round(x * 128).cast("int"))
+        ).alias("feature_q8"),
+    )
 
 
 @register(

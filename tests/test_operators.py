@@ -132,3 +132,26 @@ def test_range_join_matches_naive(spark):
         "pid", "iid"
     )
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    """IVF ANN must agree with the exact brute-force top-k on most
+    neighbors (recall@10): semantic check that cluster pruning returns
+    real neighbors, not merely deterministic rows (VERDICT r2 #2)."""
+    from agrobr_spark.queries.similarity import sim_cosine_topk, sim_ivf_ann
+
+    sf_dir = "/root/testdata/sf0.001"
+    exact = sim_cosine_topk(spark, sf_dir).collect()
+    approx = sim_ivf_ann(spark, sf_dir).collect()
+    truth: dict[int, set] = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    got: dict[int, set] = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    assert set(got) == set(truth)  # every query answered
+    recalls = [len(truth[q] & got[q]) / len(truth[q]) for q in truth]
+    mean_recall = sum(recalls) / len(recalls)
+    # single-probe IVF on 10 coarse centroids: demand a meaningful
+    # fraction of true neighbors on the fixed corpus (deterministic)
+    assert mean_recall >= 0.5, f"recall@10 too low: {recalls}"

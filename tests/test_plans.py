@@ -91,6 +91,25 @@ class TestJoinStrategy:
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
 
+    def test_near_dup_default_has_no_full_pair_stage(self, spark, cat):
+        # the scale-default embedding near-dup (VERDICT r2 #3): the
+        # pair stage must be an equi-join on the cluster key — the only
+        # nested-loop allowed is corpus × tiny-centroid assignment
+        # (O(C·n) rows, C=10), never a corpus × corpus product
+        plan = plan_of(cat["near_dup_embeddings"].fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, plan
+        # the pair self-join is keyed on the cluster id (formatted
+        # explain lists equi-join keys as "Left keys" detail lines)
+        key_lines = [ln for ln in plan.splitlines() if "Left keys" in ln]
+        assert key_lines and any("_blk" in ln for ln in key_lines), plan
+        # nested loops only against the broadcast centroid build side
+        # (tree lines carry the build side; detail headers don't)
+        tree_nlj = [
+            ln for ln in plan.splitlines()
+            if "BroadcastNestedLoopJoin" in ln and "Build" in ln
+        ]
+        assert tree_nlj and all("BuildRight" in ln for ln in tree_nlj), plan
+
 
 class TestSortAndAggShape:
     def test_topk_compiles_to_take_ordered(self, spark, cat):
