@@ -14,14 +14,20 @@ pinned by tests/golden_data cases captured from the reference.
 from agrobr_spark.sources.connectors import (  # noqa: F401 — registration
     abiove,
     anda,
+    anp_diesel,
     antaq,
+    antt_pedagio,
     b3,
     bcb,
     cepea,
     comexstat,
     comtrade,
     conab,
+    conab_ceasa,
+    conab_progresso,
+    conab_serie,
     deral,
+    desmatamento,
     ibge_sidra,
     imea,
     inmet,

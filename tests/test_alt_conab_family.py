@@ -1,0 +1,174 @@
+"""Alt-family (desmatamento / ANP / ANTT) + CONAB sub-source
+connectors, pinned to the reference's golden expectations (ref:
+tests/golden_data/{desmatamento,anp_diesel,antt_pedagio,conab_ceasa,
+conab_progresso} in the reference suite)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from agrobr_spark.sources.connectors.antt_pedagio import read_fluxo
+from agrobr_spark.sources.connectors.anp_diesel import read_precos, read_vendas
+from agrobr_spark.sources.connectors.conab_ceasa import read_precos as read_ceasa
+from agrobr_spark.sources.connectors.conab_progresso import read_progresso
+from agrobr_spark.sources.connectors.conab_serie import read_serie_historica
+from agrobr_spark.sources.connectors.desmatamento import read_deter, read_prodes
+
+GOLDEN = Path(__file__).parent / "golden_data"
+
+
+def test_prodes_reference_pins(spark):
+    payload = (GOLDEN / "desmatamento/prodes_sample/response.csv").read_bytes()
+    rows = read_prodes(spark, payload, bioma="Cerrado").collect()
+    # ref golden_data/desmatamento/prodes_sample/expected.json
+    assert len(rows) >= 15
+    assert {r.uf for r in rows} == {"PA"}
+    assert all(r.bioma == "Cerrado" and r.area_km2 > 0 for r in rows)
+    assert {r.ano for r in rows} <= set(range(2017, 2026))
+    assert all(r.classe == "desmatamento" for r in rows)
+
+
+def test_deter_reference_pins(spark):
+    payload = (GOLDEN / "desmatamento/deter_sample/response.csv").read_bytes()
+    rows = read_deter(spark, payload, bioma="Amazônia").collect()
+    # ref golden_data/desmatamento/deter_sample/expected.json
+    assert len(rows) >= 15
+    assert {r.uf for r in rows} == {"PA"}
+    assert {r.classe for r in rows} == {
+        "CICATRIZ_DE_QUEIMADA", "CS_DESORDENADO", "CS_GEOMETRICO",
+        "DEGRADACAO", "DESMATAMENTO_CR",
+    }
+    assert all(r.data is not None and r.area_km2 > 0 for r in rows)
+    assert all(r.municipio_id is not None for r in rows)
+
+
+def test_antt_v1_aggregates_tipo_cobranca(spark):
+    payload = (GOLDEN / "antt_pedagio/fluxo_v1_sample/response.csv").read_bytes()
+    rows = read_fluxo(spark, payload, ano=2023).collect()
+    # ref golden_data/antt_pedagio/fluxo_v1_sample/expected.json
+    assert len(rows) >= 4
+    assert all(r.volume > 0 for r in rows)
+    assert all(r.data.day == 1 for r in rows)
+    assert all(r.concessionaria == "CCR AutoBAn" for r in rows)
+    # Categoria 1 Automatica(48500) + Manual(4200) collapse to one row
+    cat1 = [r for r in rows if r.n_eixos == 2 and r.sentido == "Crescente"
+            and r.data.month == 3]
+    assert any(r.volume == 52700 for r in cat1)
+    assert {r.tipo_veiculo for r in rows} <= {"Passeio", "Comercial", "Moto"}
+
+
+def test_antt_v2_headerless(spark):
+    payload = (GOLDEN / "antt_pedagio/fluxo_v2_sample/response.csv").read_bytes()
+    rows = read_fluxo(spark, payload, ano=2024).collect()
+    # ref golden_data/antt_pedagio/fluxo_v2_sample/expected.json
+    assert len(rows) >= 3
+    assert all(r.volume > 0 and r.data.day == 1 for r in rows)
+    # numeric axle categories map 2→Passeio, 3+→Comercial
+    assert all(r.tipo_veiculo == "Comercial" for r in rows if r.n_eixos >= 3)
+    # Anchieta 4-eixos Jan Crescente: 28500 + 1500 aggregated
+    assert any(r.volume == 30000 for r in rows)
+
+
+def test_ceasa_reference_pins(spark):
+    precos = json.loads((GOLDEN / "conab_ceasa/precos_sample/precos_response.json").read_text())
+    ceasas = json.loads((GOLDEN / "conab_ceasa/precos_sample/ceasas_response.json").read_text())
+    df = read_ceasa(spark, precos, ceasas)
+    rows = df.collect()
+    # ref golden_data/conab_ceasa/precos_sample/expected.json
+    assert len(rows) >= 1900
+    assert len({r.produto for r in rows}) == 48
+    assert len({r.ceasa for r in rows}) == 43
+    tomate = [r for r in rows if r.produto == "TOMATE" and r.ceasa == "CEAGESP - SAO PAULO"]
+    assert tomate and tomate[0].preco == 2.24
+    assert tomate[0].ceasa_uf == "SP" and tomate[0].unidade == "KG"
+    assert tomate[0].categoria == "HORTALICAS"
+    abacaxi = [r for r in rows if r.produto == "ABACAXI" and r.ceasa == "CEASA/CE - FORTALEZA"]
+    assert abacaxi and abacaxi[0].preco == 6.0
+    assert abacaxi[0].categoria == "FRUTAS" and abacaxi[0].unidade == "UN"
+    assert {r.unidade for r in rows} == {"KG", "UN", "DZ"}
+    assert {r.produto for r in rows if r.unidade == "DZ"} == {"ALFACE", "OVOS"}
+
+
+def test_progresso_reference_pins(spark):
+    rows = read_progresso(
+        spark, str(GOLDEN / "conab_progresso/progresso_sample/response.xlsx")
+    ).collect()
+    # ref golden_data/conab_progresso/expected.json
+    assert len(rows) == 8
+    assert {r.cultura for r in rows} == {"Milho 2ª", "Soja"}
+    assert {r.operacao for r in rows} == {"Colheita", "Semeadura"}
+    assert {r.estado for r in rows} == {"GO", "MT", "PR"}
+    assert {r.safra for r in rows} == {"2025/26"}
+    assert {r.semana_atual for r in rows} == {"2026-02-07"}
+    mt = [r for r in rows if r.estado == "MT" and r.cultura == "Soja"
+          and r.operacao == "Colheita"]
+    assert mt and mt[0].pct_semana_atual == 0.468
+
+
+def test_anp_precos_diesel_filter_and_margin(spark):
+    df = read_precos(
+        spark, str(GOLDEN / "anp_diesel/precos_sample/response.xlsx")
+    )
+    rows = df.collect()
+    assert all("DIESEL" in r.produto for r in rows)  # gasolina filtered out
+    assert all(not r.produto.startswith("ÓLEO") for r in rows)
+    first = rows[0]
+    # mirrors the reference pin: AC DIESEL 2012-12-30, 2.659/2.35, 52 postos
+    assert (first.uf, first.produto) == ("AC", "DIESEL")
+    assert str(first.data) == "2012-12-30"
+    assert first.preco_venda == 2.659 and first.preco_compra == 2.35
+    assert first.n_postos == 52
+    assert abs(first.margem - 0.309) < 1e-9
+    # sentinel '-' in preco_compra → NULL margem, row kept
+    s10 = [r for r in rows if r.produto == "DIESEL S10" and r.uf == "MT"]
+    assert s10 and s10[0].preco_compra is None and s10[0].margem is None
+    assert read_precos(
+        spark, str(GOLDEN / "anp_diesel/precos_sample/response.xlsx"), uf="AC"
+    ).count() == 3
+
+
+def test_anp_vendas_flat_csv(spark):
+    payload = (GOLDEN / "anp_diesel/vendas_sample/response.csv").read_bytes()
+    rows = read_vendas(spark, payload).collect()
+    # documented pin shape: MT/CENTRO-OESTE/DIESEL 500000.0 first
+    assert len(rows) == 3  # gasolina + invalid month 13 dropped
+    mt_jan = [r for r in rows if r.uf == "MT" and r.data.month == 1]
+    assert mt_jan and mt_jan[0].regiao == "CENTRO-OESTE"
+    assert mt_jan[0].produto == "DIESEL"
+    assert mt_jan[0].volume_m3 == 500000.0 and str(mt_jan[0].data) == "2024-01-01"
+    assert all(r.volume_m3 > 0 for r in rows)
+    go = [r for r in rows if r.uf == "GO"]
+    assert go and go[0].volume_m3 == 310500.5  # decimal comma parsed
+
+
+def test_serie_historica_null_markers_and_merge(spark):
+    rows = read_serie_historica(
+        spark, str(GOLDEN / "conab_serie/soja_sample/response.xlsx"), produto="soja"
+    ).collect()
+    by_key = {(r.safra, r.uf): r for r in rows}
+    # three metric sheets merged into wide records
+    r = by_key[("2022/23", "MT")]
+    assert r.area_plantada_mil_ha == 12000.3
+    assert r.producao_mil_ton == 45000.8
+    assert r.produtividade_kg_ha == 3750.0
+    assert r.regiao == "CENTRO-OESTE"
+    # null markers: '-' and '...' and zero-as-missing drop the value
+    assert ("1976/77", "GO") not in by_key or by_key[("1976/77", "GO")].area_plantada_mil_ha is None
+    pr77 = by_key.get(("1976/77", "PR"))
+    assert pr77 is None or pr77.area_plantada_mil_ha is None  # zero → missing
+    # '(1.234,5)' (footnote-paren + decimal comma) is a null marker
+    # after the reference's replace chain → no 2023/24 PR record at all
+    assert ("2023/24", "PR") not in by_key
+    pr23 = by_key[("2022/23", "PR")]
+    assert pr23.area_plantada_mil_ha == 5700.4 and pr23.regiao == "SUL"
+    # BRASIL totals excluded
+    assert all(r.uf in {"RO", "MT", "GO", "PR"} for r in rows)
+    # uf filter
+    only_mt = read_serie_historica(
+        spark, str(GOLDEN / "conab_serie/soja_sample/response.xlsx"),
+        produto="soja", uf="MT",
+    ).collect()
+    assert {r.uf for r in only_mt} == {"MT"}
