@@ -167,3 +167,79 @@ def read_fluxo(
     if not rows:
         raise ValueError("antt_pedagio: CSV v2 vazio")
     return fluxo_v2_columns(rows_df(spark, list(COLUNAS_V2), rows))
+
+
+_PRACAS_SAIDA = (
+    "concessionaria", "praca_de_pedagio", "rodovia", "uf", "km_m",
+    "municipio", "lat", "lon", "situacao",
+)
+
+
+def pracas_columns(df: DataFrame) -> DataFrame:
+    """Toll-plaza registry rows → contract shape
+    (ref parser.py:296-353: snake-case headers, lat/lon remap, pt-BR
+    numeric coords)."""
+    df = df.toDF(*[c.strip().lower().replace(" ", "_") for c in df.columns])
+    df = df.withColumnsRenamed(
+        {k: v for k, v in (("latitude", "lat"), ("longitude", "lon"))
+         if k in df.columns}
+    )
+    cols = set(df.columns)
+
+    def _txt(name):
+        return F.trim(name) if name in cols else F.lit(None).cast("string")
+
+    def _coord(name):
+        if name not in cols:
+            return F.lit(None).cast("double")
+        s = F.translate(F.trim(name), " ", "")
+        s = F.when(
+            s.contains(",") & s.contains("."),
+            F.regexp_replace(F.regexp_replace(s, r"\.", ""), ",", "."),
+        ).otherwise(F.regexp_replace(s, ",", "."))
+        return s.try_cast("double")
+
+    out = df.select(
+        _txt("concessionaria").alias("concessionaria"),
+        F.coalesce(_txt("praca_de_pedagio"), _txt("praca")).alias("praca_de_pedagio"),
+        _txt("rodovia").alias("rodovia"),
+        (F.upper(F.trim("uf")) if "uf" in cols else F.lit(None).cast("string")).alias("uf"),
+        _txt("km_m").alias("km_m"),
+        _txt("municipio").alias("municipio"),
+        _coord("lat").alias("lat"),
+        _coord("lon").alias("lon"),
+        _txt("situacao").alias("situacao"),
+    )
+    return out.select(*_PRACAS_SAIDA)
+
+
+@register_connector("antt_pedagio.pracas")
+def read_pracas(spark: SparkSession, payload: bytes | str) -> DataFrame:
+    text = decode_csv(payload)
+    first = text.split("\n", 1)[0]
+    sep = ";" if first.count(";") >= first.count(",") else ","
+    header, rows = csv_text_rows(text, sep=sep)
+    if not rows:
+        raise ValueError("antt_pedagio: CSV de pracas vazio")
+    return pracas_columns(rows_df(spark, header, rows))
+
+
+def join_fluxo_pracas(fluxo: DataFrame, pracas: DataFrame) -> DataFrame:
+    """Enrich flow rows with rodovia/uf/municipio from the plaza
+    registry (ref parser.py:356-420). The registry is tiny (hundreds
+    of plazas) → broadcast; the flow side never shuffles."""
+    slim = (
+        pracas.select(
+            F.upper(F.trim("concessionaria")).alias("_jc"),
+            F.upper(F.trim("praca_de_pedagio")).alias("_jp"),
+            "rodovia", "uf", "municipio",
+        )
+        .dropDuplicates(["_jc", "_jp"])
+    )
+    out = fluxo.join(
+        F.broadcast(slim),
+        (F.upper(F.trim(fluxo["concessionaria"])) == F.col("_jc"))
+        & (F.upper(F.trim(fluxo["praca"])) == F.col("_jp")),
+        "left",
+    ).drop("_jc", "_jp")
+    return out

@@ -172,3 +172,30 @@ def test_serie_historica_null_markers_and_merge(spark):
         produto="soja", uf="MT",
     ).collect()
     assert {r.uf for r in only_mt} == {"MT"}
+
+
+def test_antt_pracas_and_enrich_join(spark):
+    from agrobr_spark.sources.connectors.antt_pedagio import (
+        join_fluxo_pracas,
+        read_pracas,
+    )
+
+    pracas_csv = (
+        "Concessionaria;Praca de Pedagio;Rodovia;UF;km m;Municipio;"
+        "Latitude;Longitude;Situacao\n"
+        "CCR AutoBAn;Campinas;SP-348;SP;km 94;Campinas;-22,907;-47,063;Ativa\n"
+        "EcoRodovias;Anchieta;SP-150;SP;km 31;Cubatao;-23,88;-46,42;Ativa\n"
+    ).encode()
+    pracas = read_pracas(spark, pracas_csv)
+    rows = {r.praca_de_pedagio: r for r in pracas.collect()}
+    assert rows["Campinas"].uf == "SP" and rows["Campinas"].lat == -22.907
+    assert rows["Anchieta"].rodovia == "SP-150"
+
+    fluxo_csv = (GOLDEN / "antt_pedagio/fluxo_v1_sample/response.csv").read_bytes()
+    fluxo = read_fluxo(spark, fluxo_csv, ano=2023)
+    joined = join_fluxo_pracas(fluxo, pracas)
+    out = joined.collect()
+    assert all(r.rodovia == "SP-348" and r.municipio == "Campinas" for r in out)
+    # plaza registry is broadcast (tiny dim), flow side un-shuffled
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
