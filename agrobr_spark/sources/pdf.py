@@ -17,19 +17,22 @@ from pyspark.sql import DataFrame, SparkSession
 from agrobr_spark.sources.excel import find_header_row, rows_to_records
 
 
-def extract_tables(path: str) -> list[list[list]]:
+def extract_tables(path: str | bytes) -> list[list[list]]:
     """Decode every table on every page of a PDF (driver-side).
 
-    Gated on pdfplumber; raises NotImplementedError when the library is
-    not installed so callers can fall back to fixture-driven parsing.
+    pdfplumber when available (full layout analysis); otherwise the
+    stdlib extractor (``sources/pdf_text.py``) handles the common
+    digitally-produced text PDFs — FlateDecode streams + positioned
+    text runs grouped geometrically. Scanned/exotic PDFs still raise
+    (ValueError) so callers can fall back to fixture-driven parsing.
     """
     try:
         import pdfplumber  # noqa: PLC0415
-    except ImportError as e:  # pragma: no cover — lib absent here
-        raise NotImplementedError(
-            "pdfplumber is not available in this environment; pass "
-            "pre-extracted tables to pdf_tables_to_df instead"
-        ) from e
+    except ImportError:
+        from agrobr_spark.sources.pdf_text import extract_tables_stdlib
+
+        data = path if isinstance(path, bytes) else open(path, "rb").read()
+        return extract_tables_stdlib(data)
     tables: list[list[list]] = []
     with pdfplumber.open(path) as pdf:  # pragma: no cover
         for page in pdf.pages:

@@ -157,11 +157,13 @@ class TestPdfSource:
         with pytest.raises(ValueError):
             pdf_tables_to_df(spark, [self.TABLES[0]], ["produto", "total"])
 
-    def test_decode_gated(self):
+    def test_decode_routes_to_stdlib_extractor(self):
+        # pdfplumber absent → extract_tables routes to the stdlib text
+        # extractor; undecodable input fails with its honest ValueError
         from agrobr_spark.sources.pdf import extract_tables
 
-        with pytest.raises(NotImplementedError):
-            extract_tables("/tmp/nonexistent.pdf")
+        with pytest.raises(ValueError, match="no text runs"):
+            extract_tables(b"%PDF-1.4\nnothing decodable\n%%EOF")
 
 
 def test_bigquery_gated(spark):
@@ -171,3 +173,67 @@ def test_bigquery_gated(spark):
 
     with pytest.raises(NotImplementedError):
         read_bigquery(spark, "basedosdados.br_bcb_sicor.microdados")
+
+
+class TestPdfStdlibExtraction:
+    """S4: stdlib text-PDF extraction (sources/pdf_text.py) behind the
+    pdfplumber gate — digitally-produced bulletins decode end-to-end."""
+
+    def _bulletin(self):
+        from tests.pdf_fixture import write_pdf_table
+
+        return write_pdf_table(
+            [
+                ["ENTREGAS DE FERTILIZANTES - 2024"],
+                ["UF", "Janeiro", "Fevereiro", "Março"],
+                ["MT", "1.234,5", "1.100,2", "998,7"],
+                ["PR", "845,3", "-", "902,1"],
+            ]
+        )
+
+    def test_extract_tables_falls_back_to_stdlib(self, spark):
+        # pdfplumber is absent here, so extract_tables must route to
+        # the stdlib extractor rather than raising
+        from agrobr_spark.sources.pdf import extract_tables, pdf_tables_to_df
+
+        tables = extract_tables(self._bulletin())
+        assert tables and tables[0][1] == ["UF", "Janeiro", "Fevereiro", "Março"]
+        df = pdf_tables_to_df(spark, tables, header_keywords=["UF", "Janeiro"])
+        rows = {r["UF"]: r for r in df.collect()}
+        assert rows["MT"]["Janeiro"] == "1.234,5"
+        assert rows["PR"]["Fevereiro"] == "-"
+
+    def test_text_operators_td_tj_arrays_escapes_hex(self):
+        import zlib
+
+        from agrobr_spark.sources.pdf_text import extract_text_runs, runs_to_table
+
+        content = zlib.compress(
+            b"BT /F1 10 Tf 14 TL "
+            b"1 0 0 1 50 700 Tm [(Val) -120 (or)] TJ "   # TJ array w/ kerning
+            b"1 0 0 1 200 700 Tm (par\\(en\\)s) Tj "       # escaped parens
+            b"1 0 0 1 50 684 Tm <48692e> Tj "              # hex string 'Hi.'
+            b"150 0 Td (desloc) Tj "                       # relative Td
+            b"ET"
+        )
+        pdf = (
+            b"%PDF-1.4\n1 0 obj\n<< /Length "
+            + str(len(content)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n"
+            + content
+            + b"\nendstream\nendobj\n%%EOF\n"
+        )
+        runs = extract_text_runs(pdf)
+        texts = [t for _, _, t in runs]
+        assert "Valor" in texts            # TJ parts concatenated
+        assert "par(en)s" in texts
+        assert "Hi." in texts
+        table = runs_to_table(runs)
+        assert table[0] == ["Valor", "par(en)s"]
+        assert table[1] == ["Hi.", "desloc"]  # Td moved x by +150
+
+    def test_scanned_pdf_raises(self):
+        from agrobr_spark.sources.pdf_text import extract_tables_stdlib
+
+        with pytest.raises(ValueError, match="no text runs"):
+            extract_tables_stdlib(b"%PDF-1.4\nno streams here\n%%EOF")
