@@ -212,3 +212,129 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("doc_id_mantido"),
         )
     )
+
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
+
+
+@register(
+    "text_chunk",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0
+             THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(trim(text), '\s+') END AS toks
+      FROM documents),
+    s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    c AS (
+      SELECT s.doc_id, s.toks, s.n, u.start
+      FROM s, UNNEST(range(0, s.n, {CHUNK_STRIDE})) AS u(start))
+    SELECT doc_id,
+      CAST(start / {CHUNK_STRIDE} AS INT) AS chunk_id,
+      CAST(least({CHUNK_TOKENS}, n - start) AS INT) AS n_tokens_chunk,
+      array_to_string(
+        list_slice(toks, start + 1, least(start + {CHUNK_TOKENS}, n)),
+        ' ') AS chunk_text
+    FROM c
+    """,
+    tags=("TEXT", "CHUNK", "TRAINING_PIPELINE"),
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (the training-pipeline
+    pre-tokenization split): {W}-token windows every {S} tokens.
+
+    Pure Catalyst — sequence() generates chunk starts, explode fans
+    out, slice() takes each window; no Python, no shuffle (narrow
+    maps only), so chunking 100 TB of text is scan-bound.
+    """.format(W=CHUNK_TOKENS, S=CHUNK_STRIDE)
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    with_toks = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    starts = F.sequence(
+        F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE)
+    )
+    return (
+        with_toks.select(
+            "doc_id",
+            F.size("toks").alias("n"),
+            "toks",
+            F.explode(starts).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start"))
+            .cast("int")
+            .alias("n_tokens_chunk"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start") + 1, F.lit(CHUNK_TOKENS)),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
+# PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB)
+# treat identically
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_CPF = r"\d{3}\.\d{3}\.\d{3}-\d{2}"
+_PII_FONE = r"\(\d{2}\) ?\d{4,5}-\d{4}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=rf"""
+    WITH com_pii AS (
+      SELECT doc_id,
+        text || ' contato: user' || CAST(doc_id AS VARCHAR)
+             || '@example.com.br tel (11) 91234-5678 CPF 123.456.789-09'
+          AS raw
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS INT)
+        + CAST(len(regexp_extract_all(raw, '{_PII_CPF}')) AS INT)
+        + CAST(len(regexp_extract_all(raw, '{_PII_FONE}')) AS INT) AS n_pii,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+          '{_PII_CPF}', '<CPF>', 'g'),
+        '{_PII_FONE}', '<FONE>', 'g') AS text_scrubbed
+    FROM com_pii
+    """,
+    tags=("TEXT", "PII", "TRAINING_PIPELINE"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (email / CPF / phone masking) — the standard
+    pre-training redaction pass, as pure regexp expressions.
+
+    The fixture injects deterministic PII derived from doc_id so the
+    oracle verifies actual masking, not a no-op; on real corpora only
+    the scrub expressions apply. Counts via regexp_count (JVM), masks
+    via chained regexp_replace — codegen-friendly, scan-bound at
+    100 TB.
+    """
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contato: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com.br tel (11) 91234-5678 CPF 123.456.789-09"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, _PII_EMAIL, "<EMAIL>"),
+            _PII_CPF, "<CPF>",
+        ),
+        _PII_FONE, "<FONE>",
+    )
+    return d.select(
+        "doc_id",
+        (
+            F.regexp_count(raw, F.lit(_PII_EMAIL))
+            + F.regexp_count(raw, F.lit(_PII_CPF))
+            + F.regexp_count(raw, F.lit(_PII_FONE))
+        ).cast("int").alias("n_pii"),
+        scrubbed.alias("text_scrubbed"),
+    )

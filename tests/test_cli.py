@@ -1,0 +1,65 @@
+"""CLI surface (ref agrobr/cli.py — the offline-capable subset)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from agrobr_spark import cli
+
+
+@pytest.fixture(autouse=True)
+def _use_test_session(spark, monkeypatch):
+    monkeypatch.setattr(cli, "_spark", lambda: spark)
+
+
+def test_datasets_contracts_connectors_queries(capsys):
+    assert cli.main(["datasets"]) == 0
+    out = capsys.readouterr().out
+    assert "preco_diario\tcepea.indicador" in out
+    assert len(out.strip().splitlines()) == 12
+
+    assert cli.main(["contracts"]) == 0
+    assert "desmatamento.prodes" in capsys.readouterr().out
+
+    assert cli.main(["connectors"]) == 0
+    out = capsys.readouterr().out
+    assert "cepea.indicador" in out and "conab.serie_historica" in out
+
+    assert cli.main(["queries"]) == 0
+    out = capsys.readouterr().out
+    assert "a1_rollup_sum\toracle" in out
+
+
+def test_query_run_and_unknown(capsys):
+    assert cli.main(["query", "o4_limit_latest"]) == 0
+    rows = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert len(rows) == 1
+
+    assert cli.main(["query", "nope"]) == 2
+    assert "unknown query" in capsys.readouterr().err
+
+
+def test_doctor_and_sla(capsys):
+    assert cli.main(["doctor"]) == 0
+    diag = json.loads(capsys.readouterr().out)
+    assert diag["orphan_contracts"] == []
+
+    assert cli.main(["sla", "cepea"]) == 0
+    assert json.loads(capsys.readouterr().out)["tier"] == "critical"
+    assert cli.main(["sla"]) == 0
+    assert set(json.loads(capsys.readouterr().out)) == {
+        "cepea", "conab", "ibge", "noticias_agricolas"
+    }
+
+
+def test_freshness_from_parquet(tmp_path, spark, capsys):
+    import datetime as dt
+
+    spark.createDataFrame(
+        [("cepea", dt.date.today())], "source string, data date"
+    ).write.parquet(str(tmp_path / "hist"))
+    assert cli.main(["freshness", str(tmp_path / "hist")]) == 0
+    rows = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert rows[0]["source"] == "cepea" and rows[0]["status"] == "fresh"
