@@ -4,9 +4,13 @@ surface:
 
     python -m agrobr_spark datasets                 # list datasets
     python -m agrobr_spark contracts                # list contracts
+    python -m agrobr_spark connectors               # list connector entry points
     python -m agrobr_spark queries [--tag A1]       # list catalog queries
-    python -m agrobr_spark run <query> [--sf DIR] [--limit N] [--explain]
+    python -m agrobr_spark run <query> [--sf DIR] [--limit N] [--explain] [--json]
     python -m agrobr_spark validate <contract> <parquet_path>
+    python -m agrobr_spark doctor [--store PATH]    # registry/store diagnostics
+    python -m agrobr_spark sla [source]             # SLA registry (ref sla.py)
+    python -m agrobr_spark freshness <history.parquet>  # SLA freshness report
     python -m agrobr_spark bench [--sf DIR]
 """
 
@@ -51,6 +55,15 @@ def cmd_queries(args) -> int:
     return 0
 
 
+def cmd_connectors(_args) -> int:
+    from agrobr_spark.sources import connectors  # noqa: F401 — registration
+    from agrobr_spark.sources.connectors._base import list_connectors
+
+    for name in list_connectors():
+        print(name)
+    return 0
+
+
 def cmd_run(args) -> int:
     from agrobr_spark.queries import catalog
 
@@ -62,7 +75,43 @@ def cmd_run(args) -> int:
     if args.explain:
         df.explain("formatted")
         return 0
+    if args.json:
+        for row in df.limit(args.limit).collect():
+            print(json.dumps(row.asDict(), default=str, ensure_ascii=False))
+        return 0
     df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_doctor(args) -> int:
+    from agrobr_spark.health import doctor
+
+    print(json.dumps(doctor(_spark(), store_path=args.store), indent=2))
+    return 0
+
+
+def cmd_sla(args) -> int:
+    from agrobr_spark.sla import SLA_REGISTRY, get_sla
+
+    if args.source:
+        print(json.dumps(get_sla(args.source).to_dict(), indent=2))
+    else:
+        print(json.dumps(
+            {name: sla.to_dict() for name, sla in sorted(SLA_REGISTRY.items())},
+            indent=2,
+        ))
+    return 0
+
+
+def cmd_freshness(args) -> int:
+    from agrobr_spark.sla import freshness_report
+
+    spark = _spark()
+    hist = spark.read.parquet(args.history)
+    for row in freshness_report(
+        hist, source_col=args.source_col, date_col=args.date_col
+    ).collect():
+        print(json.dumps(row.asDict(), default=str, ensure_ascii=False))
     return 0
 
 
@@ -96,6 +145,7 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     sub.add_parser("datasets")
     sub.add_parser("contracts")
+    sub.add_parser("connectors")
     q = sub.add_parser("queries")
     q.add_argument("--tag")
     r = sub.add_parser("run")
@@ -103,18 +153,31 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--sf", default="/root/testdata/sf0.001")
     r.add_argument("--limit", type=int, default=20)
     r.add_argument("--explain", action="store_true")
+    r.add_argument("--json", action="store_true")
     v = sub.add_parser("validate")
     v.add_argument("contract")
     v.add_argument("path")
+    d = sub.add_parser("doctor")
+    d.add_argument("--store", default=None)
+    s = sub.add_parser("sla")
+    s.add_argument("source", nargs="?", default=None)
+    fr = sub.add_parser("freshness")
+    fr.add_argument("history")
+    fr.add_argument("--source-col", default="source")
+    fr.add_argument("--date-col", default="data")
     b = sub.add_parser("bench")
     b.add_argument("--sf")
     args = p.parse_args(argv)
     return {
         "datasets": cmd_datasets,
         "contracts": cmd_contracts,
+        "connectors": cmd_connectors,
         "queries": cmd_queries,
         "run": cmd_run,
         "validate": cmd_validate,
+        "doctor": cmd_doctor,
+        "sla": cmd_sla,
+        "freshness": cmd_freshness,
         "bench": cmd_bench,
     }[args.cmd](args)
 

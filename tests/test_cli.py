@@ -1,4 +1,6 @@
-"""CLI surface (ref agrobr/cli.py — the offline-capable subset)."""
+"""CLI surface (`python -m agrobr_spark`, ref agrobr/cli.py) — the
+round-3 additions: connectors listing, doctor, sla, freshness,
+run --json."""
 
 from __future__ import annotations
 
@@ -6,7 +8,7 @@ import json
 
 import pytest
 
-from agrobr_spark import cli
+from agrobr_spark import __main__ as cli
 
 
 @pytest.fixture(autouse=True)
@@ -14,7 +16,7 @@ def _use_test_session(spark, monkeypatch):
     monkeypatch.setattr(cli, "_spark", lambda: spark)
 
 
-def test_datasets_contracts_connectors_queries(capsys):
+def test_listing_commands(capsys):
     assert cli.main(["datasets"]) == 0
     out = capsys.readouterr().out
     assert "preco_diario\tcepea.indicador" in out
@@ -28,23 +30,25 @@ def test_datasets_contracts_connectors_queries(capsys):
     assert "cepea.indicador" in out and "conab.serie_historica" in out
 
     assert cli.main(["queries"]) == 0
-    out = capsys.readouterr().out
-    assert "a1_rollup_sum\toracle" in out
+    assert "a1_rollup_sum" in capsys.readouterr().out
 
 
-def test_query_run_and_unknown(capsys):
-    assert cli.main(["query", "o4_limit_latest"]) == 0
+def test_run_json_and_unknown(capsys):
+    assert cli.main(["run", "o4_limit_latest", "--json"]) == 0
     rows = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
     assert len(rows) == 1
 
-    assert cli.main(["query", "nope"]) == 2
+    assert cli.main(["run", "nope"]) == 2
     assert "unknown query" in capsys.readouterr().err
 
 
 def test_doctor_and_sla(capsys):
     assert cli.main(["doctor"]) == 0
     diag = json.loads(capsys.readouterr().out)
+    # the round-2 orphan-contract list (desmatamento, anp, antt, ceasa)
+    # is closed: every contract has a feeding connector family
     assert diag["orphan_contracts"] == []
+    assert diag["contracts"] >= 30 and diag["datasets"] == 12
 
     assert cli.main(["sla", "cepea"]) == 0
     assert json.loads(capsys.readouterr().out)["tier"] == "critical"
