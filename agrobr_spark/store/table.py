@@ -17,10 +17,10 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
-import os
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+
+_MAX_PARTITIONS_PER_MERGE = 10_000
 
 
 class ParquetStore:
@@ -43,10 +43,29 @@ class ParquetStore:
         self.precedence = tuple(precedence)
 
     def exists(self) -> bool:
-        return os.path.exists(os.path.join(self.path, "_SUCCESS")) or any(
-            n.startswith(f"{self.partition_col}=") if self.partition_col else n.endswith(".parquet")
-            for n in (os.listdir(self.path) if os.path.isdir(self.path) else [])
-        )
+        """True when the table has been written at least once.
+
+        Goes through the Hadoop FileSystem API so the same store works
+        on s3a://, hdfs://, etc — not only the local filesystem
+        (round-2 review finding on the ``os.listdir`` version).
+        """
+        jvm = self.spark._jvm
+        jsc = self.spark._jsc
+        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return False
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(self.path, "_SUCCESS")):
+            return True
+        for status in fs.listStatus(hpath):
+            name = status.getPath().getName()
+            if (
+                name.startswith(f"{self.partition_col}=")
+                if self.partition_col
+                else name.endswith(".parquet")
+            ):
+                return True
+        return False
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
@@ -104,10 +123,22 @@ class ParquetStore:
             return n
         target = self.read()
         if self.partition_col:
-            parts = [
-                r[0]
-                for r in staging.select(self.partition_col).distinct().collect()
-            ]
+            # distinct partition values come to the driver to prune the
+            # target scan — correct for low-cardinality partition columns
+            # (produto: ~6). A high-cardinality partition column would
+            # make both this collect and the file layout pathological,
+            # so guard it explicitly rather than degrade silently.
+            parts_df = staging.select(self.partition_col).distinct().limit(
+                _MAX_PARTITIONS_PER_MERGE + 1
+            )
+            parts = [r[0] for r in parts_df.collect()]
+            if len(parts) > _MAX_PARTITIONS_PER_MERGE:
+                raise ValueError(
+                    f"merge_upsert: staging batch spans >"
+                    f"{_MAX_PARTITIONS_PER_MERGE} {self.partition_col!r} "
+                    "partitions; partition this table by a low-cardinality "
+                    "column (or raise the guard deliberately)"
+                )
             affected = target.filter(F.col(self.partition_col).isin(parts))
             merged = self._merged(affected, staging)
             conf = self.spark.conf

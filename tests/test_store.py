@@ -172,3 +172,31 @@ class TestMigrations:
         )
         assert out == 2
         assert set(store.read().columns) == {"k", "a", "b"}
+
+
+def test_merge_upsert_partition_cardinality_guard(spark, tmp_path, monkeypatch):
+    from agrobr_spark.store import table as table_mod
+    from agrobr_spark.store.table import ParquetStore
+
+    monkeypatch.setattr(table_mod, "_MAX_PARTITIONS_PER_MERGE", 3)
+    store = ParquetStore(
+        spark, str(tmp_path / "t"), primary_key=("k",), partition_col="p"
+    )
+    small = spark.createDataFrame(
+        [(i, f"p{i % 2}") for i in range(6)], "k int, p string"
+    )
+    assert store.merge_upsert(small) == 6  # first write, 2 partitions: fine
+    wide = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(5)], "k int, p string"
+    )
+    with pytest.raises(ValueError, match="spans >3"):
+        store.merge_upsert(wide)
+
+
+def test_exists_via_hadoop_fs(spark, tmp_path):
+    from agrobr_spark.store.table import ParquetStore
+
+    store = ParquetStore(spark, str(tmp_path / "nowhere"), primary_key=("k",))
+    assert not store.exists()
+    spark.createDataFrame([(1,)], "k int").write.parquet(str(tmp_path / "t2"))
+    assert ParquetStore(spark, str(tmp_path / "t2"), primary_key=("k",)).exists()
