@@ -152,3 +152,25 @@ def read_entregas(
 ) -> DataFrame:
     rows = parse_entregas_rows(table, ano, produto, uf)
     return spark.createDataFrame(rows, ENTREGAS_SCHEMA).orderBy("mes")
+
+
+@register_connector("anda.entregas_pdf")
+def read_entregas_pdf(
+    spark: SparkSession,
+    pdf_bytes: bytes,
+    ano: int,
+    produto: str = "total",
+    uf: str = "BR",
+) -> DataFrame:
+    """End-to-end PDF path (ref: anda/parser.py:382-420
+    parse_entregas_pdf): decode via sources/pdf.extract_tables —
+    pdfplumber when installed, else the stdlib text extractor — then
+    the same table-shaping as the list-of-lists entry point."""
+    from agrobr_spark.sources.pdf import extract_tables
+
+    rows: list[tuple] = []
+    for table in extract_tables(pdf_bytes):
+        rows.extend(parse_entregas_rows(table, ano, produto, uf))
+    if not rows:
+        raise ValueError("anda: no delivery records extracted from PDF")
+    return spark.createDataFrame(rows, ENTREGAS_SCHEMA).orderBy("mes")

@@ -174,8 +174,11 @@ def runs_to_table(
 ) -> list[list[str]]:
     """Group positioned runs into a row/column grid.
 
-    Rows cluster on y within ``y_tol``; within a row, runs separated
-    by at least ``min_col_gap`` points start a new cell.
+    Rows cluster on y within ``y_tol``. Columns are binned **globally**
+    — distinct x starts across the whole table cluster into column
+    positions — so a row that skips its leading cell (the classic
+    year-header row above month labels) still lands its values under
+    the right columns instead of shifting left.
     """
     if not runs:
         return []
@@ -187,19 +190,42 @@ def runs_to_table(
             rows[-1][1].append((x, text))
         else:
             rows.append((y, [(x, text)]))
+
+    # global column bins from all x starts
+    xs = sorted({x for _, cells in rows for x, _ in cells})
+    bins: list[float] = []
+    for x in xs:
+        if not bins or x - bins[-1] >= min_col_gap:
+            bins.append(x)
+
+    def bin_of(x: float) -> int:
+        best = 0
+        for i, b in enumerate(bins):
+            if x >= b - min_col_gap / 2:
+                best = i
+        return best
+
+    # header-only columns (e.g. a wide title run) would force empty
+    # cells everywhere; keep only bins used by >1 row or by most rows
     table: list[list[str]] = []
+    width = len(bins)
     for _, cells in rows:
         cells.sort()
-        merged: list[str] = []
-        last_x = None
+        out = [""] * width
         for x, text in cells:
-            if last_x is not None and x - last_x < min_col_gap and merged:
-                merged[-1] = merged[-1] + text
-            else:
-                merged.append(text)
-            last_x = x + 6.0 * max(1, len(text))  # rough advance estimate
-        table.append([c.strip() for c in merged])
-    return table
+            i = bin_of(x)
+            out[i] = (out[i] + text) if out[i] else text
+        table.append([c.strip() for c in out])
+    # drop fully-empty trailing columns, then strip per-row trailing
+    # empties so single-cell title rows stay single-cell
+    used = [any(r[i] for r in table) for i in range(width)]
+    table = [[c for i, c in enumerate(r) if used[i]] for r in table]
+    trimmed: list[list[str]] = []
+    for r in table:
+        while r and r[-1] == "":
+            r = r[:-1]
+        trimmed.append(r)
+    return trimmed
 
 
 def extract_tables_stdlib(pdf: bytes) -> list[list[list[str]]]:
