@@ -93,3 +93,58 @@ def stream_stateful_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         "value", "valor_anterior", "variacao_pct",
     )
+
+
+_US_12H = 12 * 3600 * 1_000_000
+_US_24H = 2 * _US_12H
+
+
+@register(
+    "stream_sliding_daily",
+    oracle=f"""
+    -- each event lands in exactly size/slide = 2 overlapping windows;
+    -- window starts are epoch-aligned like Spark's window(ts, w, s)
+    WITH base AS (
+      SELECT event_type, value, epoch_ns(ts) // 1000 AS us FROM events),
+    k AS (SELECT unnest(range(0, 2)) AS k),
+    janelas AS (
+      SELECT b.event_type, b.value,
+        (b.us // {_US_12H} - k.k) * {_US_12H} AS inicio_us
+      FROM base b CROSS JOIN k
+      WHERE (b.us // {_US_12H} - k.k) * {_US_12H} + {_US_24H} > b.us)
+    SELECT inicio_us, event_type,
+      count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS soma_valor
+    FROM janelas
+    GROUP BY 1, 2
+    """,
+    tags=("STREAM", "SLIDING"),
+)
+def stream_sliding_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-day windows every 12 hours (2× overlap) per
+    event_type — real Structured Streaming with watermark, run to
+    completion (SURVEY §2.12: overlapping-window coverage beyond the
+    tumbling case). Window starts emitted as epoch-µs ints so the
+    cross-engine hash is timezone-proof."""
+    from agrobr_spark.streaming.windows import read_events_stream, run_available_now
+
+    _COUNTER[0] += 1
+    name = f"stream_sliding_daily_{_COUNTER[0]}"
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 day")
+        .groupBy(
+            F.window("ts", "1 day", "12 hours").alias("janela"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("soma_valor"),
+        )
+        .select(
+            F.unix_micros("janela.start").alias("inicio_us"),
+            "event_type",
+            "n",
+            F.col("soma_valor").cast("double").alias("soma_valor"),
+        )
+    )
+    return run_available_now(agg, name)
