@@ -148,3 +148,61 @@ def stream_sliding_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg, name)
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    -- same island construction as w7 but with Spark session_window
+    -- semantics: a NEW session starts when the gap is >= 30 min
+    -- (session_window merges only strictly-overlapping [t, t+gap))
+    WITH base AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+    marcado AS (
+      SELECT user_id, us, event_id,
+             CASE WHEN lag(us) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id) IS NULL
+                  OR us - lag(us) OVER (PARTITION BY user_id
+                                        ORDER BY us, event_id)
+                       >= 1800000000
+                  THEN 1 ELSE 0 END AS nova_sessao
+      FROM base),
+    sessoes AS (
+      SELECT user_id, us,
+             sum(nova_sessao) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sessao_n
+      FROM marcado)
+    SELECT user_id,
+           count(*) AS eventos,
+           CAST(min(us) AS BIGINT) AS inicio_us,
+           CAST(max(us) AS BIGINT) AS fim_us
+    FROM sessoes
+    GROUP BY user_id, sessao_n
+    """,
+    tags=("STREAM", "SESSION"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming sessionization: session_window(ts, 30 min)
+    per user as a real watermarked Structured Streaming query — the
+    streaming twin of the batch w7 lag-gap sessionize (SURVEY §2.12).
+    State is bounded by the watermark; at scale the session store
+    shards on user_id like any keyed state."""
+    from agrobr_spark.streaming.windows import read_events_stream, run_available_now
+
+    _COUNTER[0] += 1
+    name = f"stream_session_windows_{_COUNTER[0]}"
+    events = read_events_stream(spark, sf_dir).withColumn(
+        "us", F.unix_micros("ts")
+    )
+    agg = (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", "30 minutes").alias("janela"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("eventos"),
+            F.min("us").alias("inicio_us"),
+            F.max("us").alias("fim_us"),
+        )
+        .select("user_id", "eventos", "inicio_us", "fim_us")
+    )
+    return run_available_now(agg, name)

@@ -43,8 +43,12 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "near_dup_embeddings",
     "text_quality_score",
+    "text_chunk",
+    "text_pii_scrub",
     "sim_cosine_topk",
+    "sim_ivf_ann",
     "stream_tumbling_daily",
     "stream_stateful_dod",
 ]
