@@ -24,6 +24,7 @@ from agrobr_spark.sources.connectors import (  # noqa: F401 — registration
     comtrade,
     conab,
     conab_ceasa,
+    conab_custo,
     conab_progresso,
     conab_serie,
     deral,

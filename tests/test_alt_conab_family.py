@@ -199,3 +199,30 @@ def test_antt_pracas_and_enrich_join(spark):
     # plaza registry is broadcast (tiny dim), flow side un-shuffled
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_custo_producao_categories_and_totals(spark):
+    from agrobr_spark.sources.connectors.conab_custo import (
+        parse_planilha_rows,
+        read_custo_producao,
+    )
+    from agrobr_spark.sources.workbook import read_sheet_rows
+
+    path = str(GOLDEN / "conab_custo/soja_mt_sample/response.xlsx")
+    df = read_custo_producao(spark, path, cultura="Soja", uf="mt", safra="2024/25")
+    rows = df.collect()
+    assert len(rows) == 9
+    by_item = {r.item.split(" - ")[-1]: r for r in rows}
+    assert by_item["Sementes"].categoria == "insumos"
+    assert by_item["Operações com máquinas"].categoria == "operacoes"
+    assert by_item["Mão de obra temporária"].categoria == "mao_de_obra"
+    assert by_item["Depreciação de máquinas"].categoria == "custos_fixos"
+    assert by_item["Arrendamento"].categoria == "outros"
+    assert by_item["Defensivos"].valor_ha == 1250.5
+    assert all(r.cultura == "soja" and r.uf == "MT" for r in rows)
+    # COE/COT/CT totals captured separately, never as items
+    _, totais = parse_planilha_rows(
+        read_sheet_rows(path, 0), "soja", "MT", "2024/25"
+    )
+    assert totais == {"coe": 4316.5, "cot": 5052.83, "ct": 8334.83}
+    assert not any("COE" in r.item or "CUSTO TOTAL" in r.item for r in rows)
