@@ -124,3 +124,50 @@ def test_doctor_registry_coverage(tmp_path, spark):
     diag2 = doctor(spark, store_path=str(tmp_path))
     assert diag2["store"]["parquet_files"] >= 1
     assert diag2["store"]["bytes"] > 0
+
+
+# ---- telemetry (ref agrobr/telemetry/collector.py) ----
+
+
+def test_telemetry_disabled_by_default_and_opt_in():
+    from agrobr_spark.telemetry import TelemetryCollector
+
+    sent: list = []
+    off = TelemetryCollector(sender=sent.append)
+    off.track("fetch", {"source": "cepea"})
+    assert off.pending() == 0 and sent == []  # opt-in gate, like the ref
+
+    on = TelemetryCollector(sender=sent.append, enabled=True, batch_size=3)
+    on.track_fetch("cepea", "soja", 123.4, from_cache=False)
+    on.track_parse_error("conab", 1, "ValueError")
+    assert on.pending() == 2 and sent == []
+    on.track_cache_operation("get", hit=True)  # fills the batch → flush
+    assert on.pending() == 0 and len(sent) == 1 and len(sent[0]) == 3
+    evt = sent[0][0]
+    assert evt["event"] == "fetch"
+    assert evt["properties"]["latency_ms"] == 123.4
+    # anonymized: 16-hex instance id, no raw identifiers
+    assert len(evt["context"]["instance_id"]) == 16
+    int(evt["context"]["instance_id"], 16)
+
+
+def test_telemetry_sender_failure_never_raises():
+    from agrobr_spark.telemetry import TelemetryCollector
+
+    def boom(_events):
+        raise ConnectionError("endpoint down")
+
+    t = TelemetryCollector(sender=boom, enabled=True, batch_size=100)
+    t.track("x")
+    assert t.flush() == 0  # swallowed, buffer cleared
+
+
+def test_telemetry_events_df(spark):
+    from agrobr_spark.telemetry import TelemetryCollector
+
+    t = TelemetryCollector(enabled=True, batch_size=100)
+    t.track("fetch", {"source": "b3"})
+    t.track("cache", {"hit": True})
+    df = t.events_df(spark)
+    assert df.count() == 2
+    assert set(df.columns) == {"event", "instance_id", "ts", "properties"}
