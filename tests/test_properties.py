@@ -110,3 +110,86 @@ class TestSafraLabel:
         for r in rows:
             ano = r["d"].year if r["d"].month >= 7 else r["d"].year - 1
             assert r["s"] == f"{ano}/{(ano + 1) % 100:02d}"
+
+
+class TestBiffRkRoundTrip:
+    """RK encoding (MS-XLS 2.5.276) decode is exact for every
+    representable value class."""
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=-(2**29), max_value=2**29 - 1))
+    def test_int_rk(self, n):
+        from agrobr_spark.sources.xls_biff import _rk_value
+
+        assert _rk_value(((n << 2) & 0xFFFFFFFF) | 2) == float(n)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=-(2**29), max_value=2**29 - 1))
+    def test_int_rk_div100(self, n):
+        from agrobr_spark.sources.xls_biff import _rk_value
+
+        assert _rk_value(((n << 2) & 0xFFFFFFFF) | 3) == n / 100.0
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.floats(allow_nan=False, allow_infinity=False,
+                     min_value=-1e12, max_value=1e12))
+    def test_float_rk_truncated_mantissa(self, x):
+        import struct
+
+        from agrobr_spark.sources.xls_biff import _rk_value
+
+        bits = struct.unpack("<Q", struct.pack("<d", x))[0]
+        rk = (bits >> 32) & 0xFFFFFFFC
+        expected = struct.unpack("<Q", struct.pack("<d", x))[0] & ~0x3FFFFFFFF
+        assert _rk_value(rk) == struct.unpack("<d", struct.pack("<Q", expected))[0]
+
+
+class TestSafraNormalization:
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(min_value=1970, max_value=2049))
+    def test_all_formats_converge(self, y):
+        from agrobr_spark.sources.connectors.conab_serie import _normalize_safra
+
+        nxt = (y + 1) % 100
+        canonical = f"{y}/{nxt:02d}"
+        assert _normalize_safra(canonical) == canonical
+        assert _normalize_safra(f"{y}/{y + 1}") == canonical
+        assert _normalize_safra(str(y)) == canonical
+        if 2000 <= y < 2050:
+            assert _normalize_safra(f"{y % 100:02d}/{nxt:02d}") == canonical
+
+    def test_rejects_non_safra(self):
+        from agrobr_spark.sources.connectors.conab_serie import _normalize_safra
+
+        for junk in ("", "total", "12/345", "1899", "Região/UF"):
+            assert _normalize_safra(junk) is None
+
+
+class TestPiiScrubExpressions:
+    """The PII regexes (shared by Spark and DuckDB) mask every match
+    and are idempotent."""
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.from_regex(r"[a-z]{1,8}\.[a-z]{1,5}@[a-z]{2,10}\.[a-z]{2,3}",
+                      fullmatch=True)
+    )
+    def test_email_masked(self, email):
+        import re
+
+        from agrobr_spark.queries.pipeline_text import _PII_EMAIL
+
+        masked = re.sub(_PII_EMAIL, "<EMAIL>", f"fale com {email} hoje")
+        assert email not in masked and "<EMAIL>" in masked
+        assert re.sub(_PII_EMAIL, "<EMAIL>", masked) == masked  # idempotent
+
+    def test_cpf_and_phone_masked(self):
+        import re
+
+        from agrobr_spark.queries.pipeline_text import _PII_CPF, _PII_FONE
+
+        s = "CPF 123.456.789-09 tel (11) 91234-5678 e (21) 3456-7890"
+        s = re.sub(_PII_CPF, "<CPF>", s)
+        s = re.sub(_PII_FONE, "<FONE>", s)
+        assert "123.456" not in s and "91234" not in s and "3456-7890" not in s
+        assert s.count("<FONE>") == 2 and s.count("<CPF>") == 1
