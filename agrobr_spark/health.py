@@ -68,13 +68,12 @@ def check_cepea(
         latency = (time.monotonic() - start) * 1000
         details["fetch_ok"] = True
         details["latency_ms"] = latency
-        if latency > high_latency_ms:
-            return CheckResult(
-                "cepea", CheckStatus.WARNING, latency,
-                f"High latency: {latency:.0f}ms", details,
-                dt.datetime.now(dt.timezone.utc),
-            )
         warning = None
+        if latency > high_latency_ms:
+            # record it but KEEP CHECKING — a slow AND broken source
+            # must still surface FAILED from the drift/parse gates
+            # (the reference returns early here, checker.py:50-58)
+            warning = f"High latency: {latency:.0f}ms"
         if baseline_html is not None:
             score = similarity(fingerprint(html), fingerprint(baseline_html))
             details["fingerprint_similarity"] = score

@@ -100,27 +100,34 @@ def _cell_year(value) -> int | None:
     return int(s) if s.isdigit() and 1990 <= int(s) <= 2100 else None
 
 
-def _pick_year_col(rows: list[list], hdr_row: int, start: int, ano: int | None) -> int:
-    """Within a column group, the sub-column (from the row below the
-    header) whose year matches ``ano`` — else the latest — else the
-    group's first column (ref parser.py:392-416; year sub-headers are
-    Excel date serials in the real workbook, which ``_cell_year``
-    decodes)."""
-    if hdr_row + 1 >= len(rows):
-        return start
-    sub = rows[hdr_row + 1]
+def _pick_year_col(
+    rows: list[list], hdr_row: int, start: int, ano: int | None
+) -> tuple[int, int | None]:
+    """Within a column group, the sub-column whose year matches
+    ``ano`` — else the latest — else the group's first column; returns
+    (column, resolved year). Year sub-headers are Excel date serials
+    in the real workbook (``_cell_year`` decodes them) and sit one OR
+    two rows below the header (the 1.5.x summary sections interpose a
+    blank row — ref parser.py:392-416 only checks header+1 and falls
+    back to the oldest column there; deliberate divergence)."""
     candidates: list[tuple[int, int]] = []
-    for idx in range(start, min(start + 4, len(sub))):
-        y = _cell_year(sub[idx])
-        if y is not None:
-            candidates.append((idx, y))
+    for sub_off in (1, 2):
+        if hdr_row + sub_off >= len(rows):
+            break
+        sub = rows[hdr_row + sub_off]
+        for idx in range(start, min(start + 4, len(sub))):
+            y = _cell_year(sub[idx])
+            if y is not None:
+                candidates.append((idx, y))
+        if candidates:
+            break
     if not candidates:
-        return start
+        return start, None
     if ano is not None:
-        exact = [idx for idx, y in candidates if y == ano]
+        exact = [(idx, y) for idx, y in candidates if y == ano]
         if exact:
             return exact[0]
-    return max(candidates, key=lambda c: c[1])[0]
+    return max(candidates, key=lambda c: c[1])
 
 
 def _find_month_col(rows: list[list]) -> int:
@@ -157,11 +164,14 @@ def _detect_section_produto(
 
 def _detect_data_cols(
     rows: list[list], month_col: int, first_month_row: int, ano: int | None
-) -> dict[int, str]:
+) -> tuple[dict[int, str], int | None]:
     """Header rows above the section name the Peso/Valor column
-    groups; resolve each group to its year sub-column
+    groups; resolve each group to its year sub-column. Also returns
+    the year the sub-column resolved to, so records carry the real
+    year even when the caller passed ``ano=None``
     (ref parser.py:358-389)."""
     col_map: dict[int, str] = {}
+    years: list[int] = []
     for offset in range(1, 5):
         r = first_month_row - offset
         if r < 0:
@@ -172,14 +182,22 @@ def _detect_data_cols(
                 continue
             s = str(v).strip().lower()
             if any(k in s for k in ("peso", "volume", "ton", "mil t", "quantidade")):
-                col_map[_pick_year_col(rows, r, c, ano)] = "volume"
+                picked, y = _pick_year_col(rows, r, c, ano)
+                col_map[picked] = "volume"
             elif any(k in s for k in ("valor", "fob", "receita", "us$", "usd")):
-                col_map[_pick_year_col(rows, r, c, ano)] = "receita"
+                picked, y = _pick_year_col(rows, r, c, ano)
+                col_map[picked] = "receita"
+            else:
+                continue
+            if y is not None:
+                years.append(y)
     if not col_map:
         start = month_col + 1
         col_map[start] = "receita"
         col_map[start + 1] = "volume"
-    return col_map
+    # max over every picked sub-column: a side table sharing the header
+    # rows may hit first, but the latest year is the primary group's
+    return col_map, (max(years) if years else None)
 
 
 def _parse_sheet_records(
@@ -212,11 +230,11 @@ def _parse_sheet_records(
     for grp in groups:
         first_row = grp[0][0]
         produto = _detect_section_produto(rows, first_row, sheet_name)
-        data_cols = _detect_data_cols(rows, month_col, first_row, ano)
+        data_cols, resolved_year = _detect_data_cols(rows, month_col, first_row, ano)
         for row_idx, month in grp:
             row = rows[row_idx]
             rec = {
-                "ano": ano or 0,
+                "ano": ano or resolved_year or 0,
                 "mes": month,
                 "produto": produto,
                 "volume_ton": 0.0,

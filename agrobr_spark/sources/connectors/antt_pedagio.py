@@ -91,7 +91,9 @@ def fluxo_v1_columns(df: DataFrame) -> DataFrame:
     df = df.toDF(*[c.strip().lower().replace(" ", "_") for c in df.columns])
     if "mes_ano" not in cols:
         raise ValueError(f"antt_pedagio: coluna de data ausente em {sorted(cols)}")
-    cat = F.trim("categoria")
+    # a missing categoria column degrades to NULL eixos/tipo, like the
+    # reference's else-branch (ref parser.py:134-137)
+    cat = F.trim("categoria") if "categoria" in cols else F.lit(None)
     vol_col = next((c for c in ("quantidade", "volume", "qtd") if c in cols), None)
     return _fluxo_agg(
         df.select(
@@ -151,8 +153,13 @@ def read_fluxo(
     if headered:
         header, rows = csv_text_rows(text, sep=";")
         df = rows_df(spark, header, rows)
-        if ano is not None and ano >= ANO_INICIO_V2 and "categoria_eixo" in df.columns:
-            return fluxo_v2_columns(df)
+        # dispatch on NORMALIZED header names (raw headers are e.g.
+        # 'Categoria Eixo'); the v1 path needs its 'categoria' column
+        normed = {c.strip().lower().replace(" ", "_") for c in df.columns}
+        if "categoria_eixo" in normed:
+            return fluxo_v2_columns(
+                df.toDF(*[c.strip().lower().replace(" ", "_") for c in df.columns])
+            )
         return fluxo_v1_columns(df)
     # headerless → fixed v2 column order (ref parser.py:196-204)
     import csv as _csv

@@ -104,9 +104,14 @@ def trade_columns(df: DataFrame) -> DataFrame:
         else F.lit(None).cast("double")
     )
     df = _ano_mes(df.withColumn("volume_ton", vol))
+    # back-fill absent columns with their CONTRACT type, not string —
+    # otherwise unions/parquet appends across payloads with different
+    # key sets hit schema conflicts
+    _types = {c: "double" for c in _NUMERIC}
+    _types.update({"volume_ton": "double", "ano": "int", "mes": "int"})
     for c in COLUNAS_SAIDA:
         if c not in df.columns:
-            df = df.withColumn(c, F.lit(None).cast("string"))
+            df = df.withColumn(c, F.lit(None).cast(_types.get(c, "string")))
     return df.select(*COLUNAS_SAIDA).orderBy(
         "periodo", "hs_code", "reporter_iso", "partner_iso"
     )

@@ -69,13 +69,20 @@ def classify_categoria(item_name: str) -> str:
 
 
 def _safe_float(value) -> float | None:
+    """pt-BR numeric hygiene incl. thousands dots — '1.234,56' → 1234.56
+    (the reference's comma-only replace drops such cells,
+    custo_producao/parser.py:96-109; deliberate divergence)."""
     if value is None:
         return None
     if isinstance(value, (int, float)):
         return float(value)
-    s = str(value).strip().replace(",", ".").replace("R$", "").replace("%", "").strip()
+    s = str(value).strip().replace("R$", "").replace("%", "").replace(" ", "")
     if not s or s == "-":
         return None
+    if "," in s:
+        s = s.replace(".", "").replace(",", ".")
+    elif s.count(".") > 1:
+        s = s.replace(".", "")
     try:
         return float(s)
     except ValueError:

@@ -47,6 +47,11 @@ _SAIDA = (
 
 
 def _safe_pct(val) -> float | None:
+    """'%'-suffixed cells are percent units → always /100 (the
+    reference divides only when v > 1, progresso/parser.py:25-38, so
+    '0,5%' comes back as 0.5 = 50% — scale mixing within one column;
+    deliberate divergence). Bare numbers pass through (already
+    fractions in the workbook)."""
     if val is None:
         return None
     if isinstance(val, (int, float)):
@@ -56,7 +61,7 @@ def _safe_pct(val) -> float | None:
         return None
     try:
         v = float(s)
-        return v / 100.0 if "%" in str(val) and v > 1 else v
+        return v / 100.0 if "%" in str(val) else v
     except ValueError:
         return None
 

@@ -76,11 +76,19 @@ def _safe_float(value) -> float | None:
 
 
 def _produto_from_label(label: str) -> str | None:
+    """Row label → canonical product. The FULL label is tried first so
+    '1ª/2ª safra' variants resolve to milho_1/milho_2 etc (the
+    reference strips the safra suffix before its exact lookup,
+    agrobr/deral/parser.py:184-200, which makes those alias keys
+    unreachable from row labels and collapses first/second crops —
+    deliberate divergence, fixed here)."""
     s = label.strip().lower()
     s = re.sub(r"\(.*?\)", "", s).strip()
-    s = re.sub(r"\d+[ªa]\s*safra", "", s).strip()
     if s in PRODUTO_ALIASES:
         return PRODUTO_ALIASES[s]
+    stripped = re.sub(r"\d+[ªa]\s*safra", "", s).strip()
+    if stripped in PRODUTO_ALIASES:
+        return PRODUTO_ALIASES[stripped]
     for alias, canonical in sorted(PRODUTO_ALIASES.items(), key=lambda x: -len(x[0])):
         if alias in s:
             return canonical

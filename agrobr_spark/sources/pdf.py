@@ -31,7 +31,11 @@ def extract_tables(path: str | bytes) -> list[list[list]]:
     except ImportError:
         from agrobr_spark.sources.pdf_text import extract_tables_stdlib
 
-        data = path if isinstance(path, bytes) else open(path, "rb").read()
+        if isinstance(path, bytes):
+            data = path
+        else:
+            with open(path, "rb") as f:
+                data = f.read()
         return extract_tables_stdlib(data)
     tables: list[list[list]] = []
     with pdfplumber.open(path) as pdf:  # pragma: no cover

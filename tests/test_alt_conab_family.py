@@ -18,6 +18,7 @@ from agrobr_spark.sources.connectors.conab_serie import read_serie_historica
 from agrobr_spark.sources.connectors.desmatamento import read_deter, read_prodes
 
 GOLDEN = Path(__file__).parent / "golden_data"
+ABIOVE_XLSX_PATH = str(GOLDEN / "abiove" / "exportacao_sample" / "response.xlsx")
 
 
 def test_prodes_reference_pins(spark):
@@ -226,3 +227,75 @@ def test_custo_producao_categories_and_totals(spark):
     )
     assert totais == {"coe": 4316.5, "cot": 5052.83, "ct": 8334.83}
     assert not any("COE" in r.item or "CUSTO TOTAL" in r.item for r in rows)
+
+
+def test_review_fix_deral_safra_labels_distinguished(spark):
+    # full label resolves BEFORE the safra suffix is stripped
+    from agrobr_spark.sources.connectors.deral import _produto_from_label
+
+    assert _produto_from_label("Milho 1ª Safra") == "milho_1"
+    assert _produto_from_label("Milho 2ª Safra") == "milho_2"
+    assert _produto_from_label("Feijão 2ª Safra") == "feijao_2"
+    assert _produto_from_label("Milho") == "milho"
+    assert _produto_from_label("Trigo (sequeiro)") == "trigo"
+
+
+def test_review_fix_progresso_pct_scale():
+    from agrobr_spark.sources.connectors.conab_progresso import _safe_pct
+
+    assert _safe_pct("46,8%") == pytest.approx(0.468)
+    assert _safe_pct("0,5%") == pytest.approx(0.005)  # was 0.5 (=50%) pre-fix
+    assert _safe_pct("1%") == pytest.approx(0.01)
+    assert _safe_pct(0.468) == 0.468  # bare fraction passes through
+    assert _safe_pct("") is None
+
+
+def test_review_fix_custo_thousands_separators():
+    from agrobr_spark.sources.connectors.conab_custo import _safe_float
+
+    assert _safe_float("1.234,56") == 1234.56  # was dropped pre-fix
+    assert _safe_float("1.234.567") == 1234567.0
+    assert _safe_float("R$ 3.200,00") == 3200.0
+    assert _safe_float("3,5") == 3.5
+    assert _safe_float("-") is None
+
+
+def test_review_fix_abiove_resolves_year_without_ano(spark):
+    from agrobr_spark.sources.connectors.abiove import read_exportacao
+
+    df = read_exportacao(spark, ABIOVE_XLSX_PATH)  # no ano kwarg
+    anos = {r.ano for r in df.collect()}
+    assert anos == {2025}  # latest year resolved from the sub-header
+
+
+def test_review_fix_antt_headered_v2_dispatch(spark):
+    # a 2024+ file WITH a header must route to the v2 parser even
+    # when ano is omitted; v1 without a categoria column degrades to
+    # NULL eixos instead of raising
+    headered_v2 = (
+        "Concessionaria;Praca;Mes Ano;Categoria Eixo;Tipo Cobranca;"
+        "Sentido;Quantidade\n"
+        "EcoRodovias;Anchieta;01/2024;4;Automatica;Crescente;100\n"
+        "EcoRodovias;Anchieta;01/2024;4;Manual;Crescente;50\n"
+    ).encode()
+    rows = read_fluxo(spark, headered_v2).collect()
+    assert len(rows) == 1 and rows[0].volume == 150 and rows[0].n_eixos == 4
+
+    v1_sem_categoria = (
+        "concessionaria;praca;mes_ano;sentido;quantidade\n"
+        "CCR;Campinas;01/03/2023;Crescente;10\n"
+    ).encode()
+    r = read_fluxo(spark, v1_sem_categoria, ano=2023).collect()[0]
+    assert r.volume == 10 and r.n_eixos is None
+
+
+def test_review_fix_comtrade_backfill_types_union(spark):
+    from agrobr_spark.sources.connectors.comtrade import read_trade
+
+    full = [{"period": "202401", "cmdCode": "1201", "reporterISO": "BRA",
+             "partnerISO": "CHN", "netWgt": "1000", "primaryValue": "500"}]
+    partial = [{"period": "202402", "cmdCode": "1201", "reporterISO": "BRA",
+                "partnerISO": "CHN"}]  # no numeric keys at all
+    a, b = read_trade(spark, full), read_trade(spark, partial)
+    assert dict(a.dtypes) == dict(b.dtypes)
+    assert a.unionByName(b).count() == 2  # was AnalysisException pre-fix
