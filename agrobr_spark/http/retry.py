@@ -77,6 +77,13 @@ def retry_call(
         try:
             return fn()
         except exc_types as e:  # noqa: PERF203 — retry loop
+            if isinstance(e, RetriableStatusError) and not should_retry_status(
+                e.status_code
+            ):
+                # Non-retriable HTTP status (e.g. 404): fail fast instead
+                # of burning the remaining attempts (ref: retry.py:69-74 —
+                # only {408,429,5xx} are retried).
+                raise
             last = e
             if attempt < policy.max_attempts - 1:
                 retry_after = getattr(e, "retry_after", None)

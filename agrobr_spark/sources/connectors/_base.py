@@ -38,10 +38,15 @@ def csv_text_rows(
     if not rows:
         return [], []
     header = [h.strip() for h in rows[0]]
-    width = len(header)
+    # Never truncate: gov CSVs with trailing separators or stray extra
+    # cells yield data rows wider than the header — widen the header
+    # with generated colN names (rows_df de-duplicates) so no cell is
+    # silently dropped.
+    width = max(len(header), max((len(r) for r in rows[1:]), default=0))
+    header = header + [f"col{i}" for i in range(len(header), width)]
     data: list[list[str | None]] = []
     for r in rows[1:]:
-        r = list(r[:width]) + [None] * (width - len(r))
+        r = list(r) + [None] * (width - len(r))
         data.append([c.strip() if c is not None and c.strip() != "" else None for c in r])
     return header, data
 
@@ -73,6 +78,29 @@ def rename_existing(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
     idiom, e.g. comexstat/parser.py:72-73)."""
     present = {k: v for k, v in mapping.items() if k in df.columns}
     return df.withColumnsRenamed(present) if present else df
+
+
+def rename_coalescing(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """``rename_existing`` that is safe when several source columns map
+    to the same target (e.g. bcb payloads carrying both ``UF`` and
+    ``nomeUF``): the present sources for a target are coalesced in
+    mapping order into one column, so the result never has duplicate
+    column names / AMBIGUOUS_REFERENCE downstream."""
+    from pyspark.sql import functions as F
+
+    by_target: dict[str, list[str]] = {}
+    for src, dst in mapping.items():
+        if src in df.columns:
+            by_target.setdefault(dst, []).append(src)
+    for dst, sources in by_target.items():
+        if len(sources) > 1 or dst in df.columns and dst not in sources:
+            keep, drop = sources[0], sources[1:]
+            cols = [F.col(s) for s in sources]
+            if dst in df.columns and dst not in sources:
+                cols.append(F.col(dst))
+                drop = drop + [dst]
+            df = df.withColumn(keep, F.coalesce(*cols)).drop(*drop)
+    return rename_existing(df, mapping)
 
 
 def strip_accents_upper(s: str) -> str:

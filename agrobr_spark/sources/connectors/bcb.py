@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from agrobr_spark.sources.connectors._base import (
     register_connector,
-    rename_existing,
+    rename_coalescing,
     rows_df,
 )
 
@@ -123,7 +123,10 @@ def _code_map(d: dict[str, str]):
 
 
 def credito_columns(df: DataFrame, finalidade: str = "custeio") -> DataFrame:
-    df = rename_existing(df, COLUNAS_MAP)
+    # COLUNAS_MAP has duplicate targets (UF/nomeUF → uf, Valor/VlCusteio/
+    # VlInvestimento → valor, …): a payload carrying both vocabularies
+    # must coalesce, not produce duplicate column names.
+    df = rename_coalescing(df, COLUNAS_MAP)
     for c in ("valor", "area_financiada", "valor_medio"):
         if c in df.columns:
             df = df.withColumn(c, F.col(c).try_cast("double"))

@@ -121,6 +121,23 @@ def test_retry_status_honors_retry_after_header():
     assert clk.sleeps == [9.0]
 
 
+def test_non_retriable_status_fails_fast():
+    """A 404 RetriableStatusError must NOT burn all attempts: only
+    {408, 429, 5xx} are retriable (ref: retry.py:69-74)."""
+    clk = FakeClock()
+    calls = []
+
+    def not_found():
+        calls.append(1)
+        raise RetriableStatusError(404)
+
+    with pytest.raises(RetriableStatusError) as ei:
+        retry_call(not_found, RetryPolicy(max_attempts=3), sleep=clk.sleep)
+    assert ei.value.status_code == 404
+    assert len(calls) == 1  # failed fast, no retries
+    assert clk.sleeps == []  # and no backoff sleeps
+
+
 def test_non_retriable_exception_propagates():
     def bad():
         raise ValueError("parse error")

@@ -237,3 +237,51 @@ class TestPdfStdlibExtraction:
 
         with pytest.raises(ValueError, match="no text runs"):
             extract_tables_stdlib(b"%PDF-1.4\nno streams here\n%%EOF")
+
+
+# --- connector base helpers (_base.py) --------------------------------------
+
+
+class TestConnectorBase:
+    def test_csv_text_rows_widens_overwide_rows(self):
+        """Gov CSVs with stray extra cells must not lose data: rows wider
+        than the header widen it with generated colN names (r2 ADVICE)."""
+        from agrobr_spark.sources.connectors._base import csv_text_rows
+
+        text = "a;b;c\n1;2;3;4;5\n6;7;8\n"
+        header, rows = csv_text_rows(text)
+        assert header == ["a", "b", "c", "col3", "col4"]
+        assert rows == [
+            ["1", "2", "3", "4", "5"],
+            ["6", "7", "8", None, None],
+        ]
+
+    def test_csv_text_rows_trailing_separator(self):
+        """Trailing separators on data rows (one extra empty cell) widen
+        the header instead of truncating; empty cells stay None."""
+        from agrobr_spark.sources.connectors._base import csv_text_rows
+
+        text = "uf;valor\nSP;10;\nMG;20;\n"
+        header, rows = csv_text_rows(text)
+        assert header == ["uf", "valor", "col2"]
+        assert rows == [["SP", "10", None], ["MG", "20", None]]
+
+    def test_rename_coalescing_dual_vocabulary(self, spark):
+        """A payload carrying both vocabularies (UF and nomeUF) must
+        yield ONE `uf` column (coalesced in mapping order), never a
+        duplicate name (r2 ADVICE: bcb COLUNAS_MAP rename hazard)."""
+        from agrobr_spark.sources.connectors.bcb import read_credito_rural
+
+        payload = [
+            {"Safra": "2023/2024", "UF": "SP", "nomeUF": "São Paulo",
+             "Valor": "100.0", "VlCusteio": "999"},
+            {"Safra": "2023/2024", "UF": None, "nomeUF": "MG",
+             "Valor": None, "VlCusteio": "200.0"},
+        ]
+        df = read_credito_rural(spark, payload)
+        assert df.columns.count("uf") == 1
+        assert df.columns.count("valor") == 1
+        # mapping order: UF before nomeUF, Valor before VlCusteio
+        assert {r["uf"] for r in df.collect()} == {"SP", "MG"}
+        vals = sorted(r["valor"] for r in df.collect())
+        assert vals == [100.0, 200.0]
