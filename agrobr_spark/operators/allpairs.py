@@ -227,17 +227,31 @@ def cluster_cosine_pairs(
 
 
 def _with_subblocks(assigned: DataFrame, max_cluster_rows: int) -> DataFrame:
-    """Attach ``_nb`` (sub-block count = ceil(|cluster| / cap)) and
-    ``_sb`` (this row's sub-block = id mod _nb) to a ``_blk``-assigned
-    frame. Clusters at or under the cap get ``_nb = 1`` — the plan is
-    then byte-identical in behavior to the uncapped join."""
+    """Attach ``_nb`` (sub-block count) and ``_sb`` (this row's
+    sub-block) to a ``_blk``-assigned frame. Clusters at or under the
+    cap get ``_nb = 1`` — the plan is then byte-identical in behavior
+    to the uncapped join.
+
+    Over-cap clusters hash rows into ``ceil(2·|cluster| / cap)``
+    sub-blocks via ``xxhash64(_id)``: expected load cap/2 per
+    sub-block, so per-key rows stay at or under the cap w.h.p. even on
+    gappy/adversarial id spaces (plain ``id mod nb`` breaks as soon as
+    the id sequence has periodic holes). A STRICT bound would need a
+    per-cluster ``row_number`` window — i.e. sorting the whole giant
+    cluster in one task, the very straggler this cap exists to kill —
+    so hashed dispersion with 2× headroom is the scale-correct trade.
+    The sub-block split never changes the RESULT, only which join key
+    a pair meets on."""
     cap = max(1, int(max_cluster_rows))
     sizes = assigned.groupBy("_blk").agg(F.count(F.lit(1)).alias("_cnt"))
     return (
         assigned.join(F.broadcast(sizes), "_blk")
         .withColumn(
-            "_nb", F.ceil(F.col("_cnt") / F.lit(cap)).cast("int")
+            "_nb",
+            F.when(F.col("_cnt") <= cap, F.lit(1))
+            .otherwise(F.ceil(F.col("_cnt") * 2 / F.lit(cap)))
+            .cast("int"),
         )
-        .withColumn("_sb", F.pmod(F.col("_id"), F.col("_nb")).cast("int"))
+        .withColumn("_sb", F.pmod(F.xxhash64(F.col("_id")), F.col("_nb")).cast("int"))
         .drop("_cnt")
     )

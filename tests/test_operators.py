@@ -152,9 +152,9 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     assert set(got) == set(truth)  # every query answered
     recalls = [len(truth[q] & got[q]) / len(truth[q]) for q in truth]
     mean_recall = sum(recalls) / len(recalls)
-    # single-probe IVF on 10 coarse centroids: demand a meaningful
-    # fraction of true neighbors on the fixed corpus (deterministic)
-    assert mean_recall >= 0.5, f"recall@10 too low: {recalls}"
+    # top-2-probe IVF on 10 coarse centroids: most true neighbors must
+    # be found on the fixed corpus (deterministic; VERDICT r3 #4)
+    assert mean_recall >= 0.8, f"recall@10 too low: {recalls}"
 
 
 def test_cluster_pairs_skew_cap_bounds_and_preserves_results(spark):
@@ -192,15 +192,19 @@ def test_cluster_pairs_skew_cap_bounds_and_preserves_results(spark):
     want = sorted(map(tuple, uncapped.collect()))
     assert got == want and len(want) > 1000  # dense cluster -> many pairs
 
-    # boundedness: no (cluster, sub-block) exceeds the cap
+    # boundedness: no (cluster, sub-block) exceeds the cap — the id
+    # space here is gappy (every 10th id missing), which breaks naive
+    # id-mod sub-blocking; hashed dispersion with 2x headroom holds
     assigned = spark.createDataFrame(
         [(i, 0 if i % 10 != 0 else 1) for i in range(100)], "_id long, _blk int"
     )
     sub = _with_subblocks(assigned, max_cluster_rows=16)
     per_key = sub.groupBy("_blk", "_sb").count().collect()
     assert max(r["count"] for r in per_key) <= 16
-    # the 90-row cluster splits into ceil(90/16)=6 sub-blocks
-    assert {r["_nb"] for r in sub.filter("_blk = 0").collect()} == {6}
+    # the 90-row cluster splits into ceil(2*90/16)=12 sub-blocks;
+    # the 10-row cluster stays whole (_nb=1, plan identical to uncapped)
+    assert {r["_nb"] for r in sub.filter("_blk = 0").collect()} == {12}
+    assert {r["_nb"] for r in sub.filter("_blk = 1").collect()} == {1}
 
     # the pair stage stays an equi-join: no cartesian/nested-loop
     # corpus x corpus product even with sub-splitting active
