@@ -28,9 +28,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table. Column pruning / predicate pushdown are
     left to Catalyst — callers express filters declaratively.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos and rebuild the
-    timestamp at microsecond precision (Spark's native resolution).
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) (older
+    fixtures) and TIMESTAMP(MICROS) without timezone (current). Spark 4
+    rejects nanos ([PARQUET_TYPE_ILLEGAL]) unless read as raw longs, and
+    reads tz-less micros as TIMESTAMP_NTZ. Both are normalized here to a
+    plain TIMESTAMP carrying the file's wall clock as a UTC instant, so
+    every downstream epoch extraction (``unix_micros``) matches DuckDB's
+    ``epoch_ns(ts) // 1000`` on the same file regardless of the session
+    timezone.
     """
     if name == "events":
         # Scope the legacy-conf flip to this read (it is only consulted
@@ -45,10 +50,29 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
             else:
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-        if dict(df.dtypes).get("ts") == "bigint":
-            # floor-divide nanos → micros: Spark's native timestamp
-            # resolution. DuckDB oracles must do epoch_ns(ts) // 1000
-            # when they compare or emit raw ts (see w7_sessionize).
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return _normalize_events_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``ts`` (raw nanos bigint or TIMESTAMP_NTZ micros) to a
+    TIMESTAMP whose epoch-µs equal the file's wall clock taken as UTC —
+    session-timezone-independent (``timestampdiff`` on NTZ is pure
+    wall-clock arithmetic, no tz conversion)."""
+    kind = dict(df.dtypes).get("ts")
+    if kind == "bigint":
+        # floor-divide nanos → micros: Spark's native timestamp
+        # resolution. DuckDB oracles must do epoch_ns(ts) // 1000
+        # when they compare or emit raw ts (see w7_sessionize).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif kind == "timestamp_ntz":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
+    return df

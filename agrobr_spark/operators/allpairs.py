@@ -143,14 +143,17 @@ def cluster_cosine_pairs(
 
     Skew cap (VERDICT r3 #3): one pathological centroid attracting most
     vectors would re-create the n² blowup as a single straggler task.
-    Clusters larger than ``max_cluster_rows`` are sub-split into
-    ``ceil(|cluster| / cap)`` triangle blocks (same scheme as
-    ``block_cosine_pairs``, keyed by ``(cluster, ki, kj)``): every
-    within-cluster pair still meets exactly once — the RESULT SET IS
-    UNCHANGED — but no join key ever holds more than ~cap rows per
-    side, so per-task work is bounded at ~cap² dot products and the
-    giant cluster spreads over B(B+1)/2 keys. Cluster sizes come from
-    one tiny broadcast aggregate on the assignment.
+    Clusters larger than ``max_cluster_rows`` are hashed into
+    ``ceil(2·|cluster| / cap)`` sub-blocks (``xxhash64(_id) mod nb``)
+    joined as triangle blocks keyed by ``(cluster, ki, kj)`` — same
+    scheme as ``block_cosine_pairs``: every within-cluster pair still
+    meets exactly once, so the RESULT SET IS UNCHANGED. ``cap`` is an
+    expected-load target, strict only with high probability: hashed
+    dispersion with 2× headroom keeps each sub-block at ~cap/2 rows in
+    expectation (and ≤cap w.h.p.) without the per-cluster sort a strict
+    bound would cost (see ``_with_subblocks``). The giant cluster
+    spreads over B(B+1)/2 keys; cluster sizes come from one tiny
+    broadcast aggregate on the assignment.
     """
     if n_centroids is None:
         n_centroids = max(4, int(df.count() ** 0.5))

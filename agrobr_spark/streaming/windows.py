@@ -17,16 +17,17 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,15 +37,34 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``sf_dir`` is the scale-factor directory; the file source needs a
     directory path, so the events file is selected by glob filter.
+
+    The fixture's ``ts`` physical type has shipped as TIMESTAMP(NANOS)
+    and as tz-less TIMESTAMP(MICROS); a cheap batch footer peek picks
+    the matching stream schema, and both variants are normalized to a
+    plain TIMESTAMP (wall clock taken as a UTC instant) exactly like
+    the batch loader (io._normalize_events_ts), so streaming results
+    hash-compare against the same DuckDB oracles.
     """
+    from agrobr_spark.io import _normalize_events_ts
+
+    # With nanosAsLong set, the footer peek yields exactly the type the
+    # stream schema must declare: bigint (nanos), timestamp_ntz (tz-less
+    # micros), or timestamp.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_kind = dict(
+        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+    ).get("ts")
+    ts_type: T.DataType = {
+        "bigint": T.LongType(),
+        "timestamp_ntz": T.TimestampNTZType(),
+    }.get(raw_kind, T.TimestampType())
     df = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_type))
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_events_ts(df)
 
 
 def tumbling_daily_agg(events: DataFrame, watermark: str = "1 day") -> DataFrame:
