@@ -103,6 +103,21 @@ _TH_RE = re.compile(r"<th\b[^>]*>(.*?)</th>", re.S | re.I)
 _TAG_RE = re.compile(r"<[^>]+>")
 
 
+def _header_text(html: str) -> str:
+    """Lower-cased, entity-decoded text of all ``<th>`` cells — the
+    same normalization ``extract_tables`` applies to header cells, so
+    ``can_parse`` keyword checks and the actual parse agree on pages
+    using entities (``&Agrave; vista``)."""
+    import html as _html
+
+    return _html.unescape(
+        " ".join(
+            _TAG_RE.sub("", m.group(1)).strip().lower()
+            for m in _TH_RE.finditer(html)
+        )
+    )
+
+
 def can_parse_v1(html: str) -> tuple[bool, float]:
     """Five structural checks → confidence in [0, 1]; parse when
     ≥ 0.4 (ref v1.py:27-71)."""
@@ -113,10 +128,7 @@ def can_parse_v1(html: str) -> tuple[bool, float]:
     attr_re = re.compile(_ATTR_PAT, re.I)
     if any(attr_re.search(a) for t in tables for a in t["attrs"]):
         checks += 1
-    header_text = " ".join(
-        _TAG_RE.sub("", m.group(1)).strip().lower()
-        for m in _TH_RE.finditer(html)
-    )
+    header_text = _header_text(html)
     if any(kw in header_text for kw in _DATE_KW):
         checks += 1
     if any(kw in header_text for kw in _VALUE_KW):
@@ -125,6 +137,12 @@ def can_parse_v1(html: str) -> tuple[bool, float]:
         checks += 1
     confidence = checks / 5
     return confidence >= CONFIDENCE_LOW, confidence
+
+
+def _qcol(name: str) -> Column:
+    """Backtick-quoted column reference: dotted scraped headers
+    (``Var./Dia``) must not be parsed as struct field paths."""
+    return F.col("`" + name.replace("`", "``") + "`")
 
 
 def _pick_col(headers: list[str], keywords: tuple[str, ...]) -> str | None:
@@ -143,17 +161,24 @@ def indicador_columns(
     unidade: str,
     parser_version: int = 1,
 ) -> DataFrame:
-    """Raw string table → contract shape, all Catalyst expressions."""
+    """Raw string table → contract shape, all Catalyst expressions.
+
+    Column references are backtick-quoted — scraped headers may
+    contain dots (``Var./Dia``) that an unquoted reference would
+    mis-parse as struct field paths."""
     out = df.select(
-        multiformat_date(F.col(data_col)).alias("data"),
+        multiformat_date(_qcol(data_col)).alias("data"),
         F.lit(produto).alias("produto"),
         F.lit(None).cast("string").alias("praca"),
-        parse_ptbr_number(F.col(valor_col)).cast("double").alias("valor"),
+        # money stays DecimalType(18,4) end-to-end (SURVEY §7 hard
+        # point; ref models.py:25, duckdb_store.py:64) — the double
+        # cast is confined to oracle hash canonicalization
+        parse_ptbr_number(_qcol(valor_col)).alias("valor"),
         F.lit(unidade).alias("unidade"),
         F.lit("cepea").alias("fonte"),
         F.lit("indicador_esalq").alias("metodologia"),
         (
-            F.col(variacao_col) if variacao_col else F.lit(None).cast("string")
+            _qcol(variacao_col) if variacao_col else F.lit(None).cast("string")
         ).alias("variacao"),
         F.lit(parser_version).alias("parser_version"),
     )
@@ -192,6 +217,69 @@ def parse_v1(spark: SparkSession, html: str, produto: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# v2 parser — the 2025 layout refresh
+# ---------------------------------------------------------------------------
+#
+# The refreshed indicador table carries BOTH currencies with new header
+# vocabulary:  Dia | Valor US$ | À vista R$ | Var./Dia.
+# v1 still parses this page with full confidence — its value-keyword
+# scan ("valor" before "r$") lands on the **US$** column — which is
+# precisely the silent-wrong-data failure the reference's consensus
+# voting exists to catch (ref consensus.py:41-236): v1 and v2 disagree
+# on every row, the run-off reports the divergence, and pick-latest
+# selects v2.
+
+_VISTA_KW = ("à vista r$", "a vista r$")
+
+
+def can_parse_v2(html: str) -> tuple[bool, float]:
+    """Layout-refresh marker checks: the “à vista” header vocabulary
+    is the discriminator — absent from the pre-2025 layout, so v2
+    cleanly declines old pages (ref detector.py can_parse contract)."""
+    checks = 0
+    tables = extract_tables(html)
+    if tables:
+        checks += 1
+    header_text = _header_text(html)
+    if any(kw in header_text for kw in _VISTA_KW):
+        checks += 2  # the decisive marker carries double weight
+    if any(kw in header_text for kw in _DATE_KW):
+        checks += 1
+    if re.search(r"cepea|esalq|indicador", html, re.I):
+        checks += 1
+    confidence = checks / 5
+    return confidence >= CONFIDENCE_HIGH, confidence
+
+
+def parse_v2(spark: SparkSession, html: str, produto: str) -> DataFrame:
+    table = find_data_table(
+        html, attr_pattern=_ATTR_PAT, header_keywords=["dia"]
+    )
+    if table is None or not table["rows"]:
+        raise ParseError("cepea v2: no data table recognized")
+    headers = table["headers"]
+    data_col = _pick_col(headers, _DATE_KW) or headers[0]
+    valor_col = next(
+        (h for h in headers if any(kw in h.lower() for kw in _VISTA_KW)),
+        None,
+    )
+    if valor_col is None:
+        raise ParseError("cepea v2: no 'à vista R$' column")
+    variacao_col = _pick_col(headers, ("var", "%"))
+    raw = rows_df(spark, headers, table["rows"])
+    cols = dict(zip(headers, raw.columns))
+    return indicador_columns(
+        raw,
+        cols[data_col],
+        cols[valor_col],
+        cols.get(variacao_col) if variacao_col else None,
+        produto,
+        detect_unidade(produto, headers),
+        parser_version=2,
+    )
+
+
+# ---------------------------------------------------------------------------
 # detector: versioned parser registry (ref detector.py:17-105)
 # ---------------------------------------------------------------------------
 
@@ -207,6 +295,7 @@ class ParserSpec:
 
 PARSERS: list[ParserSpec] = [
     ParserSpec(1, date(2024, 1, 1), None, can_parse_v1, parse_v1),
+    ParserSpec(2, date(2025, 6, 1), None, can_parse_v2, parse_v2),
 ]
 
 

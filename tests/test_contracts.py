@@ -31,16 +31,18 @@ def test_struct_type_roundtrip():
 
 
 def _rows(valid: bool):
+    from decimal import Decimal
+
     base = [
-        (dt.date(2024, 1, 31), "soja", "Paranagua", 124.58, "BRL/sc60kg",
-         "cepea", None, None),
-        (dt.date(2024, 2, 1), "soja", "Paranagua", 125.10, "BRL/sc60kg",
-         "cepea", None, None),
+        (dt.date(2024, 1, 31), "soja", "Paranagua", Decimal("124.58"),
+         "BRL/sc60kg", "cepea", None, None),
+        (dt.date(2024, 2, 1), "soja", "Paranagua", Decimal("125.10"),
+         "BRL/sc60kg", "cepea", None, None),
     ]
     if not valid:
         base.append(
-            (dt.date(2024, 1, 31), "soja", "Paranagua", -5.0, "BRL/sc60kg",
-             "cepea", None, None)  # negative valor AND duplicate PK
+            (dt.date(2024, 1, 31), "soja", "Paranagua", Decimal("-5.0"),
+             "BRL/sc60kg", "cepea", None, None)  # negative valor AND dup PK
         )
     return base
 
