@@ -38,9 +38,9 @@ class HistoryStore:
         self._exists = False
 
     def read(self) -> DataFrame:
-        import os
+        from agrobr_spark.store.fs import path_exists
 
-        if not (self._exists or os.path.isdir(self.path)):
+        if not (self._exists or path_exists(self.spark, self.path)):
             return self.spark.createDataFrame([], HISTORY_SCHEMA)
         return self.spark.read.parquet(self.path)
 

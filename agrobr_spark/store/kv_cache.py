@@ -48,9 +48,9 @@ class KVCache:
         self.version = version
 
     def _read(self):
-        import os
+        from agrobr_spark.store.fs import path_exists
 
-        if not os.path.isdir(self.path):
+        if not path_exists(self.spark, self.path):
             return self.spark.createDataFrame([], CACHE_SCHEMA)
         return self.spark.read.parquet(self.path)
 
@@ -80,9 +80,9 @@ class KVCache:
         ).parquet(self.path + "._new")
         final = self.spark.read.parquet(self.path + "._new")
         final.write.mode("overwrite").parquet(self.path)
-        import shutil
+        from agrobr_spark.store.fs import delete_path
 
-        shutil.rmtree(self.path + "._new", ignore_errors=True)
+        delete_path(self.spark, self.path + "._new")
 
     def get(
         self,
@@ -111,6 +111,6 @@ class KVCache:
         rest.write.mode("overwrite").parquet(self.path + "._new")
         final = self.spark.read.parquet(self.path + "._new")
         final.write.mode("overwrite").parquet(self.path)
-        import shutil
+        from agrobr_spark.store.fs import delete_path
 
-        shutil.rmtree(self.path + "._new", ignore_errors=True)
+        delete_path(self.spark, self.path + "._new")

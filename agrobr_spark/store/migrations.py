@@ -16,11 +16,11 @@ and on Delta the same transforms map to metadata-only ALTER TABLE.
 from __future__ import annotations
 
 import json
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
+from agrobr_spark.store.fs import read_text, write_text
 from agrobr_spark.store.table import ParquetStore
 
 Migration = tuple[int, str, Callable[[DataFrame], DataFrame]]
@@ -29,21 +29,26 @@ _META_FILE = "_store_meta.json"
 
 
 def _meta_path(store: ParquetStore) -> str:
-    return os.path.join(store.path, _META_FILE)
+    return store.path.rstrip("/") + "/" + _META_FILE
 
 
 def current_version(store: ParquetStore) -> int:
+    """Version from the sidecar, 0 when absent/unreadable. Goes through
+    the Hadoop FS API so the sidecar convention works on object
+    stores, same as every other store maintenance path."""
     try:
-        with open(_meta_path(store)) as f:
-            return int(json.load(f).get("schema_version", 0))
-    except (OSError, ValueError):
+        text = read_text(store.spark, _meta_path(store))
+        if text is None:
+            return 0
+        return int(json.loads(text).get("schema_version", 0))
+    except (ValueError, OSError):
         return 0
 
 
 def _write_version(store: ParquetStore, version: int) -> None:
-    os.makedirs(store.path, exist_ok=True)
-    with open(_meta_path(store), "w") as f:
-        json.dump({"schema_version": version}, f)
+    write_text(
+        store.spark, _meta_path(store), json.dumps({"schema_version": version})
+    )
 
 
 def migrate(store: ParquetStore, migrations: list[Migration]) -> int:

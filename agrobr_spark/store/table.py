@@ -49,10 +49,10 @@ class ParquetStore:
         on s3a://, hdfs://, etc — not only the local filesystem
         (round-2 review finding on the ``os.listdir`` version).
         """
+        from agrobr_spark.store.fs import hadoop_fs
+
         jvm = self.spark._jvm
-        jsc = self.spark._jsc
-        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
-        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        fs, hpath = hadoop_fs(self.spark, self.path)
         if not fs.exists(hpath):
             return False
         if fs.exists(jvm.org.apache.hadoop.fs.Path(self.path, "_SUCCESS")):
@@ -86,9 +86,9 @@ class ParquetStore:
             w = w.partitionBy(self.partition_col)
         w.parquet(tmp)
         self.overwrite(self.spark.read.parquet(tmp))
-        import shutil
+        from agrobr_spark.store.fs import delete_path
 
-        shutil.rmtree(tmp, ignore_errors=True)
+        delete_path(self.spark, tmp)
 
     def _merged(self, target: DataFrame, staging: DataFrame) -> DataFrame:
         tcols = target.columns

@@ -200,3 +200,52 @@ def test_exists_via_hadoop_fs(spark, tmp_path):
     assert not store.exists()
     spark.createDataFrame([(1,)], "k int").write.parquet(str(tmp_path / "t2"))
     assert ParquetStore(spark, str(tmp_path / "t2"), primary_key=("k",)).exists()
+
+
+def test_staging_cleanup_via_hadoop_fs(spark, tmp_path):
+    """rewrite() must remove its ._staged sibling through the Hadoop FS
+    API (works beyond the local filesystem — completes the r3 exists()
+    hardening for the delete path)."""
+    from agrobr_spark.store.table import ParquetStore
+
+    path = str(tmp_path / "t_rw")
+    store = ParquetStore(spark, path, primary_key=("k",))
+    store.overwrite(spark.createDataFrame([(1, "a")], "k int, v string"))
+    store.rewrite(store.read().withColumnRenamed("v", "v2"))
+    import os
+
+    assert not os.path.exists(path + "._staged")
+    assert store.read().columns == ["k", "v2"]
+
+
+def test_fs_helpers_roundtrip(spark, tmp_path):
+    """read_text/write_text/delete_path against a scheme-qualified
+    (file://) path — the s3a-style pattern used for exists()."""
+    from agrobr_spark.store.fs import delete_path, path_exists, read_text, write_text
+
+    p = "file://" + str(tmp_path / "meta" / "x.json")
+    assert read_text(spark, p) is None
+    write_text(spark, p, '{"schema_version": 7}')
+    assert read_text(spark, p) == '{"schema_version": 7}'
+    assert path_exists(spark, p)
+    assert delete_path(spark, p)
+    assert not path_exists(spark, p)
+    assert not delete_path(spark, p)  # idempotent on missing
+
+
+def test_migration_meta_on_scheme_qualified_path(spark, tmp_path):
+    """Migrations record/read their version sidecar through the FS
+    API, so a file:// store migrates identically to a bare path."""
+    from agrobr_spark.store.migrations import add_column, current_version, migrate
+    from agrobr_spark.store.table import ParquetStore
+
+    path = "file://" + str(tmp_path / "t_mig")
+    store = ParquetStore(spark, path, primary_key=("k",))
+    store.overwrite(spark.createDataFrame([(1,)], "k int"))
+    assert current_version(store) == 0
+    got = migrate(store, [(1, "add v", add_column("v", "string"))])
+    assert got == 1
+    assert current_version(store) == 1
+    assert "v" in store.read().columns
+    # idempotent re-run
+    assert migrate(store, [(1, "add v", add_column("v", "string"))]) == 1
