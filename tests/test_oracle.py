@@ -29,7 +29,24 @@ def test_oracle_match(spark, con, name):
     assert res.spark_rows > 0, f"{name}: empty result weakens the check"
 
 
-@pytest.mark.parametrize("name", _ROWS_ONLY)
+# When every catalog entry carries an oracle (the healthy state since
+# round 3) this parameter set is empty and the single resulting skip is
+# deliberate: the test exists so any future oracle-less query still
+# gets a smoke run, and the skip reason below makes the suite output
+# self-explaining rather than a mystery "1 skipped".
+@pytest.mark.parametrize(
+    "name",
+    _ROWS_ONLY
+    or [
+        pytest.param(
+            None,
+            marks=pytest.mark.skip(
+                reason="all catalog queries carry a DuckDB oracle; "
+                "nothing is rows-only"
+            ),
+        )
+    ],
+)
 def test_rows_only_runs(spark, name):
     e = _CATALOG[name]
     df = e.fn(spark, SF_ORACLE)

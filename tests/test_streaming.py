@@ -120,3 +120,67 @@ def test_session_window_matches_batch_sessionize(spark):
     g = sorted((r["user_id"], r["eventos"]) for r in got.collect())
     w = sorted((r["user_id"], r["eventos"]) for r in want.collect())
     assert g == w
+
+
+def test_watermark_drops_too_late_event(spark, tmp_path):
+    """Negative late-data proof: an event arriving in a later
+    micro-batch with an event time older than the watermark must be
+    DROPPED from the windowed aggregation (r3 advice #6 — prior tests
+    only proved completeness on fully-arrived data).
+
+    Watermark mechanics pinned by this test: the late-row filter uses
+    the watermark as of the END of the PREVIOUS batch, so the late
+    event must arrive ≥2 batches after the data that advanced the
+    watermark past it. Batch 1 (03-01, 03-03 events) advances the
+    watermark to 03-02 02:00; batch 2 keeps the stream moving; batch 3
+    delivers an event weeks below the watermark (02-20) alongside an
+    on-time one. Spark must drop the 02-20 row — its window never
+    appears — while the finalized 03-01 window counts only its two
+    on-time events.
+    """
+    import os
+
+    from agrobr_spark.streaming.windows import run_available_now, tumbling_daily_agg
+
+    d = dt.datetime
+    batches = [
+        [
+            (1, d(2024, 3, 1, 10, 0), "venda", 10.0),
+            (2, d(2024, 3, 1, 11, 0), "venda", 20.0),
+            (3, d(2024, 3, 3, 2, 0), "venda", 30.0),  # watermark → 03-02 02:00
+        ],
+        [(4, d(2024, 3, 5, 12, 0), "venda", 40.0)],  # on time
+        [
+            (5, d(2024, 2, 20, 12, 0), "venda", 99.0),  # weeks late: dropped
+            (6, d(2024, 3, 6, 12, 0), "venda", 50.0),  # on time
+        ],
+    ]
+    src = str(tmp_path / "late_events")
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    for i, rows in enumerate(batches, 1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{src}/b={i}")
+        # file-source batch order follows modification time: pin it
+        t = 1_700_000_000 + i * 1000
+        for f in os.listdir(f"{src}/b={i}"):
+            os.utime(f"{src}/b={i}/{f}", (t, t))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b=*")
+    )
+    out = run_available_now(
+        tumbling_daily_agg(stream, watermark="1 day"),
+        "t_late_drop",
+        mode="append",
+    )
+    rows = {r["data"]: r for r in out.collect()}
+    # the too-late event's window must never materialize
+    assert dt.date(2024, 2, 20) not in rows
+    # 03-01 window finalized with only its on-time events
+    assert rows[dt.date(2024, 3, 1)]["n"] == 2
+    assert rows[dt.date(2024, 3, 1)]["soma_valor"] == 30.0
+    assert rows[dt.date(2024, 3, 3)]["n"] == 1
+    # trailing windows not finalized in append mode (nothing beyond them)
+    assert dt.date(2024, 3, 5) not in rows
+    assert dt.date(2024, 3, 6) not in rows
