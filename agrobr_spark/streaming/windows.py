@@ -58,12 +58,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigint": T.LongType(),
         "timestamp_ntz": T.TimestampNTZType(),
     }.get(raw_kind, T.TimestampType())
-    df = (
-        spark.readStream.schema(_events_schema(ts_type))
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(_events_schema(ts_type)).option(
+        "maxFilesPerTrigger", 1
     )
+    # events.parquet is a single file in the driver fixtures but a
+    # directory of part files for any Spark-written table; the file
+    # source takes a directory directly, while a bare file needs the
+    # parent dir + glob (a glob never descends into a matching dir).
+    from agrobr_spark.store.fs import hadoop_fs
+
+    fs, hpath = hadoop_fs(spark, f"{sf_dir}/events.parquet")
+    if fs.getFileStatus(hpath).isDirectory():
+        df = reader.parquet(f"{sf_dir}/events.parquet")
+    else:
+        df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     return _normalize_events_ts(df)
 
 

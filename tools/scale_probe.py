@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Superlinearity probe: run the most expensive catalog queries on a
+K-times replica of the sf0.1 tables and report the time ratio vs
+sf0.1 (r3 advice #10 — catch superlinear surprises before a real
+cluster does).
+
+Replication is workload-shape-preserving, not naive duplication:
+
+- documents: content gets a per-replica suffix token so replicas do
+  NOT become near-duplicates of each other — candidate-pair counts
+  scale by K, not K².
+- embeddings: vectors are cyclically rotated per replica (direction
+  changes, norms preserved) so no cross-replica near-dup pairs form.
+- events: event_id/user_id offset per replica; timestamps unchanged
+  (key cardinality and state scale by K, window count stays fixed —
+  the shape a K-times-larger day of traffic has).
+- lineitem: orderkey/linenumber offset per replica (MERGE staging and
+  PK-shuffle scale by K).
+
+Usage: python tools/scale_probe.py [K] [out_dir]
+Prints one JSON line with per-query base/scaled seconds and ratios.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+PROBE_QUERIES = [
+    "dedup_minhash_lsh",
+    "near_dup_embeddings",
+    "sim_ivf_ann",
+    "m1_merge_upsert",
+    "w7_sessionize",
+    "stream_stateful_dod",
+    "stream_tumbling_daily",
+]
+
+# every table any probe query loads
+NEEDED = ("documents", "embeddings", "events", "lineitem", "orders",
+          "region", "nation", "customer", "supplier", "part")
+
+
+def build_scaled(spark, k: int, out: str) -> None:
+    import pyspark.sql.functions as F
+
+    from agrobr_spark.io import load
+
+    os.makedirs(out, exist_ok=True)
+
+    docs = load(spark, BASE, "documents")
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    parts = []
+    for r in range(k):
+        p = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * (max_doc + 1)))
+        if r:
+            p = p.withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" replica{r}"))
+            )
+        parts.append(p)
+    _union(parts).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    emb = load(spark, BASE, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    max_vec = emb.agg(F.max("vec_id")).collect()[0][0] or 0
+    parts = []
+    for r in range(k):
+        p = emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * (max_vec + 1)))
+        if r:
+            rot = r % dim
+            p = p.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", rot + 1, dim - rot),
+                    F.slice("embedding", 1, rot),
+                ),
+            )
+        parts.append(p)
+    _union(parts).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    ev = load(spark, BASE, "events")
+    max_eid = ev.agg(F.max("event_id")).collect()[0][0] or 0
+    max_uid = ev.agg(F.max("user_id")).collect()[0][0] or 0
+    parts = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(r * (max_eid + 1)))
+        .withColumn("user_id", F.col("user_id") + F.lit(r * (max_uid + 1)))
+        for r in range(k)
+    ]
+    _union(parts).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    li = load(spark, BASE, "lineitem")
+    max_ok = li.agg(F.max("l_orderkey")).collect()[0][0] or 0
+    parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(r * (max_ok + 1)))
+        for r in range(k)
+    ]
+    _union(parts).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+    for name in NEEDED:
+        dst = f"{out}/{name}.parquet"
+        if not os.path.exists(dst):
+            shutil.copyfile(f"{BASE}/{name}.parquet", dst)
+
+
+def _union(parts):
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    from agrobr_spark.queries import queries
+
+    catalog = queries()
+    out: dict[str, float] = {}
+    for name in PROBE_QUERIES:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            catalog[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+        out[name] = round(best, 4)
+    return out
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/agrobr_scale{k}"
+    from agrobr_spark.session import get_spark
+
+    spark = get_spark(app_name="agrobr-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_scaled(spark, k, out)
+    base = time_queries(spark, BASE)
+    scaled = time_queries(spark, out)
+    report = {
+        "k": k,
+        "queries": {
+            n: {
+                "base_s": base[n],
+                "scaled_s": scaled[n],
+                "ratio": round(scaled[n] / base[n], 2) if base[n] else None,
+            }
+            for n in PROBE_QUERIES
+        },
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
