@@ -1,0 +1,80 @@
+"""Connected components over a pair/edge list — duplicate-cluster
+resolution for dedup pipelines.
+
+The dedup family (MinHash-LSH, SimHash, n-gram Jaccard, embedding
+cosine — queries/dedup.py) emits near-duplicate PAIRS; an actual
+pipeline must resolve pairs into duplicate CLUSTERS to keep one
+survivor per cluster. The reference has no analog (its dedup is a PK
+upsert, duckdb_store.py:417-461) — this is part of the
+training-data-pipeline extension surface.
+
+Algorithm: iterative min-label propagation. Each node starts labeled
+with its own id; every iteration each node takes the minimum label in
+its closed neighborhood; stop when no label changes. Per iteration:
+one join edges⋈labels + one min-aggregate — two shuffles on the node
+key, nothing ever materializes more than O(|V| + |E|) rows.
+
+Scale posture (100 TB):
+- Iterations = O(cluster diameter). Near-dup clusters are dense
+  (quasi-cliques), so diameter is small — 2-4 rounds in practice; a
+  pathological path-graph needs O(log n) rounds with doubling-style
+  algorithms (small-star/large-star), which this module deliberately
+  trades away for plan simplicity since dedup graphs are not paths.
+- Lineage is truncated every round (localCheckpoint) so the plan does
+  not grow with iterations — without it, round k replays rounds
+  1..k-1 and the job goes quadratic in iterations.
+- The convergence probe is a count of changed labels (a scalar
+  aggregate per round) — the data itself never reaches the driver.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve an undirected edge list into components.
+
+    Returns (id, componente): one row per distinct node appearing in
+    ``edges``, where ``componente`` is the smallest node id reachable
+    from ``id`` — the canonical cluster representative.
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    # symmetric edges are reused every round: cache once
+    sym = sym.localCheckpoint(eager=True)
+    labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
+        "componente", F.col("id")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("componente").alias("viz_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["a"], "left")
+            .select(
+                "id",
+                F.col("componente").alias("_old"),
+                F.least(
+                    F.col("componente"), F.coalesce("viz_min", F.col("componente"))
+                ).alias("componente"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.filter(F.col("componente") != F.col("_old")).count()
+        labels = updated.drop("_old")
+        if changed == 0:
+            break
+    return labels

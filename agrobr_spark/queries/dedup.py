@@ -434,3 +434,131 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label_b",
         "cosseno",
     )
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE pares AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(
+          list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / nullif(
+                sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0),
+          6) >= {_COS_THRESHOLD}),
+    arestas AS (
+      SELECT va AS a, vb AS b FROM pares
+      UNION SELECT vb, va FROM pares),
+    alcance AS (
+      SELECT a AS id, b AS peer FROM arestas
+      UNION
+      SELECT r.id, e.b FROM alcance r JOIN arestas e ON r.peer = e.a),
+    comp AS (
+      SELECT id, least(id, min(peer)) AS componente
+      FROM alcance GROUP BY id)
+    SELECT id AS vec_id, componente,
+           CAST(count(*) OVER (PARTITION BY componente) AS BIGINT) AS tamanho
+    FROM comp
+    """,
+    tags=("DEDUP", "COMPONENTS", "ITERATIVE"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: near-dup pairs (exact cosine,
+    same pair set as `dedup_embedding_cosine`) resolved into connected
+    components via iterative min-label propagation
+    (operators/components.py), with the smallest member id as the
+    canonical representative and the cluster size attached — the step
+    a real pipeline needs between pairwise dedup and dropping
+    duplicates. The oracle computes the identical fixpoint as a
+    DuckDB recursive CTE (transitive closure + min over the reachable
+    set), so even this iterative operator stays hash-verified."""
+    from pyspark.sql import Window
+
+    from agrobr_spark.operators.allpairs import block_cosine_pairs
+    from agrobr_spark.operators.components import connected_components
+
+    e = load(spark, sf_dir, "embeddings")
+    pares = block_cosine_pairs(
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=_COS_THRESHOLD,
+        n_blocks=8,
+    )
+    comp = connected_components(pares, "id_a", "id_b")
+    w = Window.partitionBy("componente")
+    return comp.select(
+        F.col("id").alias("vec_id"),
+        "componente",
+        F.count(F.lit(1)).over(w).alias("tamanho"),
+    )
+
+
+@register(
+    "dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE pares AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(
+          list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / nullif(
+                sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0),
+          6) >= {_COS_THRESHOLD}),
+    arestas AS (
+      SELECT va AS a, vb AS b FROM pares
+      UNION SELECT vb, va FROM pares),
+    alcance AS (
+      SELECT a AS id, b AS peer FROM arestas
+      UNION
+      SELECT r.id, e.b FROM alcance r JOIN arestas e ON r.peer = e.a),
+    comp AS (
+      SELECT id, least(id, min(peer)) AS componente
+      FROM alcance GROUP BY id),
+    ranqueado AS (
+      SELECT c.id AS doc_id, c.componente, d.n_chars,
+             row_number() OVER (
+               PARTITION BY c.componente
+               ORDER BY d.n_chars DESC, c.id) AS rk
+      FROM comp c JOIN documents d ON d.doc_id = c.id)
+    SELECT doc_id, componente, n_chars, rk = 1 AS sobrevivente
+    FROM ranqueado
+    """,
+    tags=("DEDUP", "COMPONENTS", "SURVIVORSHIP"),
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection — the step that actually DROPS duplicates:
+    near-dup clusters (same components fixpoint as `dedup_components`)
+    joined back to the documents table (vec_id ↔ doc_id in the
+    fixtures), keeping the longest document per cluster (doc_id
+    tie-break). Non-clustered docs are untouched by construction —
+    the pipeline only ever pays for docs that collided. Reference has
+    no analog (its dedup is a PK upsert); this is the training-data
+    extension surface."""
+    from pyspark.sql import Window
+
+    from agrobr_spark.operators.allpairs import block_cosine_pairs
+    from agrobr_spark.operators.components import connected_components
+
+    e = load(spark, sf_dir, "embeddings")
+    pares = block_cosine_pairs(
+        e, id_col="vec_id", vec_col="embedding",
+        threshold=_COS_THRESHOLD, n_blocks=8,
+    )
+    comp = connected_components(pares, "id_a", "id_b")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("componente").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        comp.select(F.col("id").alias("doc_id"), "componente")
+        .join(docs, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id", "componente", "n_chars",
+            (F.col("rk") == 1).alias("sobrevivente"),
+        )
+    )

@@ -1016,3 +1016,34 @@ def u4_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "a13_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+      round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+      round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+      round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+      CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("A13", "PERCENTILE"),
+)
+def a13_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distribution percentiles per group (beyond the reference's
+    sum/mean aggregates — the quality-cutoff shape a training-data
+    pipeline uses, e.g. "drop docs below the p10 quality score").
+    Spark's `percentile` and DuckDB's `quantile_cont` share the
+    SQL-standard linear-interpolation definition, so the oracle is an
+    exact hash match (rounded 6dp for float stability). Exact
+    percentile sorts within each group partition — at 100 TB swap in
+    `approx_percentile` (t-digest) when rank error is acceptable; the
+    plan shape (one partial+final agg) is identical."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )

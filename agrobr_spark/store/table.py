@@ -155,3 +155,43 @@ class ParquetStore:
         else:
             self.rewrite(self._merged(target, staging))
         return n
+
+
+def compact(store: "ParquetStore", files_per_partition: int = 1) -> int:
+    """Small-file compaction: rewrite the table so each partition holds
+    at most ``files_per_partition`` data files.
+
+    Incremental MERGE workloads accrete one file set per upsert; at
+    100 TB the resulting small-files problem dominates scan cost (every
+    file is an open + footer read + seek). Compaction is the standard
+    maintenance op (Delta OPTIMIZE analog): a coalesced full rewrite
+    through the existing staged ``rewrite`` path, so readers never see
+    a half-written table and the staging dir is cleaned through the
+    Hadoop FS API. Returns the file count after compaction.
+
+    On a real cluster run this per-partition (read-filter-rewrite one
+    partition at a time) to bound memory; the staged-swap pattern is
+    identical.
+    """
+    from agrobr_spark.store.fs import hadoop_fs
+
+    df = store.read().coalesce(max(1, int(files_per_partition)))
+    store.rewrite(df)
+    fs, hpath = hadoop_fs(store.spark, store.path)
+    n = 0
+    it = store.spark._jvm.org.apache.hadoop.fs.FileUtil.stat2Paths(
+        fs.listStatus(hpath)
+    )
+    for p in it:
+        name = p.getName()
+        if name.endswith(".parquet"):
+            n += 1
+        elif store.partition_col and name.startswith(f"{store.partition_col}="):
+            n += sum(
+                1
+                for q in store.spark._jvm.org.apache.hadoop.fs.FileUtil.stat2Paths(
+                    fs.listStatus(p)
+                )
+                if q.getName().endswith(".parquet")
+            )
+    return n

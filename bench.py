@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "near_dup_embeddings",
+    "dedup_survivors",
     "text_quality_score",
     "text_chunk",
     "text_pii_scrub",

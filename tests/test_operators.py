@@ -210,3 +210,62 @@ def test_cluster_pairs_skew_cap_bounds_and_preserves_results(spark):
     # corpus x corpus product even with sub-splitting active
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_connected_components_known_graph(spark):
+    """Two clusters + a bridge-free singleton pair: representatives are
+    the minimum ids, chain topology converges (propagation needs
+    multiple rounds on a path graph)."""
+    from agrobr_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        # path 1-2-3-4-5 (worst case for propagation) and pair 10-11
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "a long, b long",
+    )
+    got = {
+        (r["id"], r["componente"])
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Property: Spark label propagation equals a pure-python
+    union-find on random graphs."""
+    import random
+
+    from agrobr_spark.operators.components import connected_components
+
+    rng = random.Random(42)
+    n, m = 60, 45
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical representative = min node id in the component
+    comp_min: dict[int, int] = {}
+    nodes_in_edges = {x for e in edges for x in e}
+    for x in nodes_in_edges:
+        comp_min.setdefault(find(x), min(
+            y for y in nodes_in_edges if find(y) == find(x)
+        ))
+    want = {(x, comp_min[find(x)]) for x in nodes_in_edges}
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        (r["id"], r["componente"])
+        for r in connected_components(df, "a", "b").collect()
+    }
+    assert got == want

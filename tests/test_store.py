@@ -249,3 +249,25 @@ def test_migration_meta_on_scheme_qualified_path(spark, tmp_path):
     assert "v" in store.read().columns
     # idempotent re-run
     assert migrate(store, [(1, "add v", add_column("v", "string"))]) == 1
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Compaction collapses the per-upsert file accretion to one file
+    per partition without changing the data."""
+    from agrobr_spark.store.table import ParquetStore, compact
+
+    store = ParquetStore(
+        spark, str(tmp_path / "t_compact"), primary_key=("k",),
+        partition_col="p",
+    )
+    for i in range(4):
+        store.merge_upsert(
+            spark.createDataFrame(
+                [(i * 10 + j, f"g{j % 2}") for j in range(6)], "k int, p string"
+            ).repartition(3)
+        )
+    before = sorted(r[0] for r in store.read().select("k").collect())
+    n_files = compact(store, files_per_partition=1)
+    after = sorted(r[0] for r in store.read().select("k").collect())
+    assert after == before
+    assert n_files <= 2  # one per partition value (g0, g1)
