@@ -206,3 +206,99 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "eventos", "inicio_us", "fim_us")
     )
     return run_available_now(agg, name)
+
+
+@register(
+    "stream_upsert_merge",
+    oracle="""
+    SELECT event_type AS produto,
+           CAST(ts AS DATE) AS data,
+           CAST(max(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS valor,
+           CAST(max(epoch_ns(ts) // 1000) AS BIGINT) AS coletado_us
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("STREAM", "M1", "FOREACHBATCH"),
+)
+def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's incremental-accumulate loop as a REAL streaming
+    sink: events stream → foreachBatch → PK MERGE into a partitioned
+    parquet store (ref: cepea/api.py:119-187 + duckdb_store.py:92-102
+    poll-window dedup-upsert; SURVEY §2.12 row 1). Every micro-batch
+    dedup-upserts one row per (produto, praca, data, fonte) — replays
+    converge (idempotent sink = effectively-exactly-once under
+    at-least-once delivery). The final store state is compared against
+    batch SQL over the same events, proving the streaming MERGE
+    computes the batch semantics once all data has arrived.
+
+    Deterministic on purpose: the per-key value is max(value) (not
+    last-by-timestamp, whose ties an engine may break arbitrarily).
+    """
+    import tempfile
+
+    from agrobr_spark.store.indicadores import SCHEMA, IndicadoresStore
+    from agrobr_spark.streaming.windows import read_events_stream
+
+    store = IndicadoresStore(spark, tempfile.mkdtemp(prefix="stream_merge_"))
+    events = read_events_stream(spark, sf_dir)
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch.filter(F.col("value").isNotNull())
+            .groupBy(
+                F.col("event_type").alias("produto"),
+                F.col("ts").cast("date").alias("data"),
+            )
+            .agg(
+                F.max(F.col("value").cast("decimal(18,4)")).alias("valor"),
+                F.max("ts").alias("collected_at"),
+            )
+        )
+        if store.table.exists():
+            # MERGE-combine, not last-writer-wins: a key seen in an
+            # earlier micro-batch folds its running max into this
+            # batch's row, so any batch split converges to the same
+            # final state (the upsert would otherwise keep only the
+            # newest batch's per-batch max)
+            prev = store.table.read().select(
+                "produto",
+                "data",
+                F.col("valor").alias("_pv"),
+                F.col("collected_at").alias("_pc"),
+            )
+            rows = (
+                rows.join(prev, ["produto", "data"], "left")
+                .select(
+                    "produto",
+                    "data",
+                    F.greatest("valor", "_pv").alias("valor"),
+                    F.greatest("collected_at", "_pc").alias("collected_at"),
+                )
+            )
+        rows = rows.select(
+            "produto",
+            F.lit(None).cast("string").alias("praca"),
+            "data",
+            F.lit("events").alias("fonte"),
+            "valor",
+            F.lit(None).cast("double").alias("variacao"),
+            F.lit(None).cast("string").alias("unidade"),
+            "collected_at",
+        ).select(*SCHEMA.fieldNames())
+        store.upsert(rows)
+
+    q = (
+        events.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    return store.table.read().select(
+        "produto",
+        "data",
+        F.col("valor").cast("double").alias("valor"),
+        F.unix_micros("collected_at").alias("coletado_us"),
+    )

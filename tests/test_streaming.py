@@ -184,3 +184,33 @@ def test_watermark_drops_too_late_event(spark, tmp_path):
     # trailing windows not finalized in append mode (nothing beyond them)
     assert dt.date(2024, 3, 5) not in rows
     assert dt.date(2024, 3, 6) not in rows
+
+
+def test_stream_upsert_merge_converges_across_batches(spark, tmp_path):
+    """The foreachBatch MERGE catalog query must reach the same final
+    state regardless of how the input splits into micro-batches —
+    split the events into two files and compare against the single-file
+    fixture result."""
+    import os
+
+    from agrobr_spark.io import load
+    from agrobr_spark.queries import catalog
+
+    fn = catalog()["stream_upsert_merge"].fn
+    single = {tuple(r) for r in fn(spark, SF_SMOKE).collect()}
+
+    events = load(spark, SF_SMOKE, "events")
+    cut = events.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
+    src = str(tmp_path / "events_2b")
+    events.filter(F.col("event_id") <= cut).coalesce(1).write.parquet(
+        f"{src}/events.parquet/b=1"
+    )
+    events.filter(F.col("event_id") > cut).coalesce(1).write.parquet(
+        f"{src}/events.parquet/b=2"
+    )
+    for i, b in enumerate(("b=1", "b=2")):
+        t = 1_700_000_000 + i * 1000
+        for f in os.listdir(f"{src}/events.parquet/{b}"):
+            os.utime(f"{src}/events.parquet/{b}/{f}", (t, t))
+    double = {tuple(r) for r in fn(spark, src).collect()}
+    assert double == single
