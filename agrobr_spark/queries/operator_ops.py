@@ -400,3 +400,51 @@ def a12_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(2, 'saldo', CAST(c_acctbal AS DOUBLE),"
         " 'nacao', CAST(c_nationkey AS DOUBLE)) AS (medida, valor)",
     )
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+        CASE CAST(doc_id % 3 AS INT)
+          WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        text FROM documents),
+    h AS (
+      SELECT media_id, sha256(text) AS hx
+      FROM media WHERE kind = 'video'),
+    dur AS (
+      SELECT media_id, {_mm_byte(2)} / 16.0 AS duration_s FROM h)
+    SELECT d.media_id,
+           CAST(r.i AS INT) AS frame_idx,
+           CAST(r.i AS DOUBLE) AS frame_ts_s
+    FROM dur d, unnest(range(0, CAST(floor(d.duration_s) AS BIGINT) + 1)) AS r(i)
+    """,
+    tags=("MULTIMODAL", "UDF", "FRAME_SAMPLE"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (operators/multimodal.frame_sample):
+    stub-decode the duration per video blob (Arrow mapInPandas — the
+    documented pandas exception), then explode one row per sampled
+    frame timestamp at 1 Hz. The real implementation swaps the stub for
+    ffmpeg frame extraction; schema, partitioning, and the per-frame
+    row explosion are the production shape. Oracle reproduces the
+    deterministic stub via sha256 hex arithmetic, so even the UDF path
+    stays hash-verified."""
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None).cast("string").alias("mime"),
+    )
+    from agrobr_spark.operators.multimodal import frame_sample
+
+    return frame_sample(media, every_s=1.0).select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("frame_ts_s").cast("double").alias("frame_ts_s"),
+    )

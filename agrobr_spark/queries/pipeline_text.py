@@ -10,7 +10,7 @@ hot path — so the same plan scales to 100 TB of text.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from agrobr_spark.io import load
 from agrobr_spark.queries import register
@@ -337,4 +337,55 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.regexp_count(raw, F.lit(_PII_FONE))
         ).cast("int").alias("n_pii"),
         scrubbed.alias("text_scrubbed"),
+    )
+
+
+@register(
+    "text_ngram_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+      FROM documents),
+    bigramas AS (
+      SELECT lang, concat(t[i], ' ', t[i + 1]) AS bigrama
+      FROM toks, unnest(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2),
+    contagem AS (
+      SELECT lang, bigrama, count(*) AS n
+      FROM bigramas GROUP BY lang, bigrama),
+    rk AS (
+      SELECT lang, bigrama, n, row_number() OVER (
+        PARTITION BY lang ORDER BY n DESC, bigrama) AS posicao
+      FROM contagem)
+    SELECT lang, bigrama, n, posicao FROM rk WHERE posicao <= 10
+    """,
+    tags=("TEXT", "NGRAM", "TOPK"),
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profiling: top-10 word bigrams per language —
+    the frequency-table shape used for boilerplate detection and
+    contamination checks in training-data pipelines. Pure Catalyst
+    (transform/sequence bigram explode → count → per-lang window);
+    at 100 TB the count is partial-aggregated map-side and only
+    (lang, bigram) partials shuffle."""
+    d = load(spark, sf_dir, "documents")
+    bigramas = (
+        d.select("lang", F.split(F.trim("text"), r"\s+").alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> concat(t[i], ' ', t[i+1]))"
+                )
+            ).alias("bigrama"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "bigrama")
+    return (
+        bigramas.groupBy("lang", "bigrama")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("posicao", F.row_number().over(w))
+        .filter(F.col("posicao") <= 10)
     )

@@ -253,3 +253,57 @@ def test_resilient_fetch_as_dataset_source(spark):
     assert df.count() == 1
     assert meta.source == "cepea"  # retried inside ONE source attempt
     assert len(calls) == 2
+
+
+def test_fetch_with_fallbacks_walks_chain():
+    """Primary trips (circuit open after failures) → browser slot
+    absent in this environment (simulated by a failing callable) →
+    mirror answers. Mirrors the reference's httpx → browser → NA
+    chain (cepea/client.py:167-205)."""
+    from agrobr_spark.http.circuit import CircuitBreaker
+    from agrobr_spark.http.resilient import fetch_with_fallbacks, resilient_fetch
+    from agrobr_spark.http.retry import RetryPolicy
+
+    calls = {"primary": 0, "browser": 0, "mirror": 0}
+
+    def primary_fetch(**kw):
+        calls["primary"] += 1
+        raise ConnectionError("403 cloudflare")
+
+    def browser_fetch(**kw):
+        calls["browser"] += 1
+        raise RuntimeError("no browser runtime in sandbox")
+
+    def mirror_fetch(**kw):
+        calls["mirror"] += 1
+        return "<html>mirror payload</html>"
+
+    breaker = CircuitBreaker(reset_seconds=600, failure_threshold=1)
+    wrapped_primary = resilient_fetch(
+        "cepea", primary_fetch, circuit=breaker,
+        policy=RetryPolicy(max_attempts=1, base_delay=0), sleep=lambda s: None,
+    )
+    chain = fetch_with_fallbacks(wrapped_primary, browser_fetch, mirror_fetch)
+    assert chain() == "<html>mirror payload</html>"
+    assert calls == {"primary": 1, "browser": 1, "mirror": 1}
+    # second call: circuit now OPEN — primary is skipped entirely,
+    # chain still serves from the mirror
+    assert chain() == "<html>mirror payload</html>"
+    assert calls["primary"] == 1  # circuit-open short-circuits
+
+
+def test_fetch_with_fallbacks_raises_with_context():
+    from agrobr_spark.http.resilient import fetch_with_fallbacks
+
+    def a(**kw):
+        raise ConnectionError("down")
+
+    def b(**kw):
+        raise ConnectionError("also down")
+
+    chain = fetch_with_fallbacks(a, b)
+    try:
+        chain()
+        raise AssertionError("expected ConnectionError")
+    except ConnectionError as e:
+        assert "down" in str(e) and "also down" in str(e)
