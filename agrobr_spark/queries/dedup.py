@@ -361,13 +361,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "near_dup_embeddings",
-    oracle=f"""
-    WITH cent AS (
-      -- ~sqrt(n) centroids, same sizing rule as the library default
-      -- (operators/allpairs.py): keeps total pair work ~n^1.5 instead
-      -- of n^2/C with a pinned C
+
+# Shared oracle CTE: the IVF-cluster-blocked near-dup PAIR SET — the
+# scale-default pair source for near_dup_embeddings AND the cluster
+# resolution queries built on it. ~sqrt(n) centroids (library sizing
+# rule, operators/allpairs.py), deterministic rounded-cosine + id
+# tie-break assignment, exact cosine only within clusters.
+_NEARDUP_PAIRS_CTE = f"""
+    cent AS (
       SELECT cid, cv FROM (
         SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv,
                row_number() OVER (ORDER BY vec_id) AS rn,
@@ -391,14 +392,37 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
           PARTITION BY vec_id ORDER BY cos_cent DESC, cid) AS rn
         FROM scored) WHERE rn = 1),
     pares AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      SELECT a.vec_id AS va, b.vec_id AS vb,
         a.label AS label_a, b.label AS label_b,
         round(list_dot_product(a.ev, b.ev)
               / nullif(a.nrm * b.nrm, 0), 6) AS cosseno
       FROM assigned a JOIN assigned b
-        ON a.cid = b.cid AND a.vec_id < b.vec_id)
-    SELECT vec_a, vec_b, label_a, label_b, cosseno
-    FROM pares WHERE cosseno >= {_COS_THRESHOLD}
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.ev, b.ev)
+              / nullif(a.nrm * b.nrm, 0), 6) >= {_COS_THRESHOLD})"""
+
+
+def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of `_NEARDUP_PAIRS_CTE`: IVF-cluster-blocked
+    near-dup pairs via operators/allpairs.cluster_cosine_pairs."""
+    from agrobr_spark.operators.allpairs import cluster_cosine_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    return cluster_cosine_pairs(
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=_COS_THRESHOLD,
+        extra_cols=("label",),
+    )
+
+
+@register(
+    "near_dup_embeddings",
+    oracle=f"""
+    WITH {_NEARDUP_PAIRS_CTE}
+    SELECT va AS vec_a, vb AS vec_b, label_a, label_b, cosseno
+    FROM pares
     """,
     tags=("DEDUP", "EMBEDDING", "ANN", "SCALE_DEFAULT"),
 )
@@ -417,17 +441,7 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows — a 5x scale probe confirmed the previous pinned-10-centroid
     form went superlinear (~10x time at 5x data) exactly as predicted
     by the n²/C analysis."""
-    from agrobr_spark.operators.allpairs import cluster_cosine_pairs
-
-    e = load(spark, sf_dir, "embeddings")
-    pares = cluster_cosine_pairs(
-        e,
-        id_col="vec_id",
-        vec_col="embedding",
-        threshold=_COS_THRESHOLD,
-        extra_cols=("label",),
-    )
-    return pares.select(
+    return _neardup_pairs(spark, sf_dir).select(
         F.col("id_a").alias("vec_a"),
         F.col("id_b").alias("vec_b"),
         "label_a",
@@ -436,18 +450,7 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_components",
-    oracle=f"""
-    WITH RECURSIVE pares AS (
-      SELECT a.vec_id AS va, b.vec_id AS vb
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE round(
-          list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-            / nullif(
-                sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0),
-          6) >= {_COS_THRESHOLD}),
+_COMPONENTS_CTE = f"""{_NEARDUP_PAIRS_CTE},
     arestas AS (
       SELECT va AS a, vb AS b FROM pares
       UNION SELECT vb, va FROM pares),
@@ -457,36 +460,34 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT r.id, e.b FROM alcance r JOIN arestas e ON r.peer = e.a),
     comp AS (
       SELECT id, least(id, min(peer)) AS componente
-      FROM alcance GROUP BY id)
+      FROM alcance GROUP BY id)"""
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_COMPONENTS_CTE}
     SELECT id AS vec_id, componente,
            CAST(count(*) OVER (PARTITION BY componente) AS BIGINT) AS tamanho
     FROM comp
     """,
-    tags=("DEDUP", "COMPONENTS", "ITERATIVE"),
+    tags=("DEDUP", "COMPONENTS", "ITERATIVE", "SCALE_DEFAULT"),
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-CLUSTER resolution: near-dup pairs (exact cosine,
-    same pair set as `dedup_embedding_cosine`) resolved into connected
-    components via iterative min-label propagation
-    (operators/components.py), with the smallest member id as the
-    canonical representative and the cluster size attached — the step
-    a real pipeline needs between pairwise dedup and dropping
-    duplicates. The oracle computes the identical fixpoint as a
-    DuckDB recursive CTE (transitive closure + min over the reachable
-    set), so even this iterative operator stays hash-verified."""
+    """Duplicate-CLUSTER resolution: the scale-default near-dup pairs
+    (IVF-cluster-blocked, shared with `near_dup_embeddings` — NOT the
+    exact O(n²) baseline; the 5× probe showed the exact pair source
+    dominates the runtime) resolved into connected components via
+    iterative min-label propagation (operators/components.py), with
+    the smallest member id as the canonical representative and the
+    cluster size attached. The oracle computes the identical fixpoint
+    as a DuckDB recursive CTE over the same cluster-blocked pair set,
+    so even the iterative operator stays hash-verified."""
     from pyspark.sql import Window
 
-    from agrobr_spark.operators.allpairs import block_cosine_pairs
     from agrobr_spark.operators.components import connected_components
 
-    e = load(spark, sf_dir, "embeddings")
-    pares = block_cosine_pairs(
-        e,
-        id_col="vec_id",
-        vec_col="embedding",
-        threshold=_COS_THRESHOLD,
-        n_blocks=8,
-    )
+    pares = _neardup_pairs(spark, sf_dir)
     comp = connected_components(pares, "id_a", "id_b")
     w = Window.partitionBy("componente")
     return comp.select(
@@ -499,25 +500,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_survivors",
     oracle=f"""
-    WITH RECURSIVE pares AS (
-      SELECT a.vec_id AS va, b.vec_id AS vb
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE round(
-          list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-            / nullif(
-                sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0),
-          6) >= {_COS_THRESHOLD}),
-    arestas AS (
-      SELECT va AS a, vb AS b FROM pares
-      UNION SELECT vb, va FROM pares),
-    alcance AS (
-      SELECT a AS id, b AS peer FROM arestas
-      UNION
-      SELECT r.id, e.b FROM alcance r JOIN arestas e ON r.peer = e.a),
-    comp AS (
-      SELECT id, least(id, min(peer)) AS componente
-      FROM alcance GROUP BY id),
+    WITH RECURSIVE {_COMPONENTS_CTE},
     ranqueado AS (
       SELECT c.id AS doc_id, c.componente, d.n_chars,
              row_number() OVER (
@@ -527,27 +510,22 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, componente, n_chars, rk = 1 AS sobrevivente
     FROM ranqueado
     """,
-    tags=("DEDUP", "COMPONENTS", "SURVIVORSHIP"),
+    tags=("DEDUP", "COMPONENTS", "SURVIVORSHIP", "SCALE_DEFAULT"),
 )
 def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivor selection — the step that actually DROPS duplicates:
-    near-dup clusters (same components fixpoint as `dedup_components`)
-    joined back to the documents table (vec_id ↔ doc_id in the
-    fixtures), keeping the longest document per cluster (doc_id
-    tie-break). Non-clustered docs are untouched by construction —
-    the pipeline only ever pays for docs that collided. Reference has
-    no analog (its dedup is a PK upsert); this is the training-data
-    extension surface."""
+    near-dup clusters (same scale-default pair set + components
+    fixpoint as `dedup_components`) joined back to the documents table
+    (vec_id ↔ doc_id in the fixtures), keeping the longest document
+    per cluster (doc_id tie-break). Non-clustered docs are untouched
+    by construction — the pipeline only ever pays for docs that
+    collided. Reference has no analog (its dedup is a PK upsert); this
+    is the training-data extension surface."""
     from pyspark.sql import Window
 
-    from agrobr_spark.operators.allpairs import block_cosine_pairs
     from agrobr_spark.operators.components import connected_components
 
-    e = load(spark, sf_dir, "embeddings")
-    pares = block_cosine_pairs(
-        e, id_col="vec_id", vec_col="embedding",
-        threshold=_COS_THRESHOLD, n_blocks=8,
-    )
+    pares = _neardup_pairs(spark, sf_dir)
     comp = connected_components(pares, "id_a", "id_b")
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     w = Window.partitionBy("componente").orderBy(

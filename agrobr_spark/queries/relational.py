@@ -1047,3 +1047,41 @@ def a13_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_HEXV = "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), {p}, 1)) - 1)"
+_HEXV_DUCK = "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {p}, 1)) - 1)"
+
+
+@register(
+    "o5_deterministic_sample",
+    oracle=f"""
+    SELECT doc_id, lang,
+      CAST({_HEXV_DUCK.format(p=1)} * 16 + {_HEXV_DUCK.format(p=2)} AS BIGINT)
+        AS balde
+    FROM documents
+    WHERE {_HEXV_DUCK.format(p=1)} * 16 + {_HEXV_DUCK.format(p=2)}
+          < CASE WHEN lang = 'pt' THEN 64 ELSE 26 END
+    """,
+    tags=("O5", "SAMPLING"),
+)
+def o5_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by content-addressed hash —
+    the reproducible corpus-subsetting primitive a training pipeline
+    needs (`rand()` samples are not re-runnable; a hash bucket on the
+    stable id is). Keep-rate per stratum: ~25% for 'pt' (bucket < 64
+    of 256), ~10% otherwise (bucket < 26). The bucket is the first
+    md5 byte computed with hex-digit arithmetic that evaluates
+    identically in Spark and DuckDB, so the sample is bit-reproducible
+    across engines — and trivially scale-stable: the predicate is a
+    narrow map with no shuffle, pushdown-friendly, and adding data
+    never changes which existing rows are kept."""
+    d = load(spark, sf_dir, "documents")
+    balde = F.expr(
+        f"{_HEXV.format(p=1)} * 16 + {_HEXV.format(p=2)}"
+    ).cast("bigint")
+    limite = F.when(F.col("lang") == "pt", F.lit(64)).otherwise(F.lit(26))
+    return (
+        d.select("doc_id", "lang", balde.alias("balde"))
+        .filter(F.col("balde") < limite)
+    )

@@ -36,6 +36,7 @@ BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PROBE_QUERIES = [
     "dedup_minhash_lsh",
     "near_dup_embeddings",
+    "dedup_survivors",
     "sim_ivf_ann",
     "m1_merge_upsert",
     "w7_sessionize",
