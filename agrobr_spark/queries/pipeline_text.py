@@ -389,3 +389,60 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("posicao", F.row_number().over(w))
         .filter(F.col("posicao") <= 10)
     )
+
+
+@register(
+    "text_contamination",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])) AS shingle
+      FROM toks, unnest(range(1, len(t) - 3)) AS r(i)
+      WHERE len(t) >= 5),
+    bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+    hits AS (
+      SELECT s.doc_id, count(*) AS n_comum
+      FROM sh s JOIN bench b ON s.shingle = b.shingle
+      WHERE s.doc_id >= 10
+      GROUP BY s.doc_id)
+    SELECT doc_id, n_comum FROM hits WHERE n_comum >= 3
+    """,
+    tags=("TEXT", "CONTAMINATION", "NGRAM"),
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: flag corpus documents
+    sharing ≥3 distinct 5-word shingles with a held-out benchmark set
+    (docs 0-9 stand in for the eval suite). The benchmark shingle set
+    is tiny by construction, so the overlap join broadcasts it —
+    the corpus is scanned once, nothing shuffles on the corpus side,
+    and at 100 TB this is the standard decontamination sweep shape
+    (shingle → hash → semi-join against the benchmark index)."""
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+        .filter(F.size("t") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 5), i -> md5(concat_ws("
+                    "' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    bench = (
+        sh.filter(F.col("doc_id") < 10).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_comum"))
+        .filter(F.col("n_comum") >= 3)
+    )
