@@ -446,3 +446,96 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_comum"))
         .filter(F.col("n_comum") >= 3)
     )
+
+
+def _keep_set_oracle() -> str:
+    """Composed keep-set oracle: survivorship CTE from the dedup module
+    + token/contamination gates, same precedence as the Spark side."""
+    from agrobr_spark.queries.dedup import _COMPONENTS_CTE
+
+    return f"""
+    WITH RECURSIVE {_COMPONENTS_CTE},
+    ranqueado AS (
+      SELECT c.id AS doc_id,
+             row_number() OVER (
+               PARTITION BY c.componente
+               ORDER BY d.n_chars DESC, c.id) AS rk
+      FROM comp c JOIN documents d ON d.doc_id = c.id),
+    perdedores AS (SELECT doc_id FROM ranqueado WHERE rk > 1),
+    toks AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+        string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])) AS shingle
+      FROM toks, unnest(range(1, len(t) - 3)) AS r(i)
+      WHERE len(t) >= 5),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+    contaminados AS (
+      SELECT s.doc_id FROM sh s JOIN bench b ON s.shingle = b.shingle
+      WHERE s.doc_id >= 10
+      GROUP BY s.doc_id HAVING count(*) >= 3),
+    decisao AS (
+      SELECT tk.doc_id,
+        CASE WHEN tk.n_tokens < 5 THEN 'curto'
+             WHEN tk.doc_id IN (SELECT doc_id FROM contaminados)
+               THEN 'contaminado'
+             WHEN tk.doc_id IN (SELECT doc_id FROM perdedores)
+               THEN 'duplicado'
+             ELSE 'mantido' END AS motivo
+      FROM toks tk)
+    SELECT doc_id, motivo, motivo = 'mantido' AS mantido FROM decisao
+    """
+
+
+@register(
+    "pipeline_keep_set",
+    oracle=_keep_set_oracle(),
+    tags=("TEXT", "PIPELINE", "E2E"),
+)
+def pipeline_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus admission decision — the query a
+    training-data pipeline actually ships: every document classified
+    as kept or dropped with the first failing gate as the reason.
+    Gates in precedence order (each an operator verified on its own):
+
+    1. ``curto``      — under 5 tokens (text_token_count shape)
+    2. ``contaminado``— ≥3 shared 5-shingles with the benchmark set
+                        (text_contamination)
+    3. ``duplicado``  — lost near-dup survivorship (dedup_survivors:
+                        scale-default cluster pairs → components →
+                        keep-longest)
+    4. ``mantido``    — admitted.
+
+    Composition is plain DataFrame joins of the building-block
+    queries, so the whole decision inherits their plan guarantees
+    (broadcast benchmark index, cluster-blocked pair stage, no
+    full-pair scan)."""
+    from agrobr_spark.queries.dedup import dedup_survivors
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.size(_tokens()).alias("n_tokens"))
+    contaminado = text_contamination(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("_contaminado")
+    )
+    perdedor = (
+        dedup_survivors(spark, sf_dir)
+        .filter(~F.col("sobrevivente"))
+        .select("doc_id", F.lit(True).alias("_duplicado"))
+    )
+    return (
+        toks.join(contaminado, "doc_id", "left")
+        .join(perdedor, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("n_tokens") < 5, "curto")
+            .when(F.coalesce("_contaminado", F.lit(False)), "contaminado")
+            .when(F.coalesce("_duplicado", F.lit(False)), "duplicado")
+            .otherwise("mantido")
+            .alias("motivo"),
+        )
+        .withColumn("mantido", F.col("motivo") == "mantido")
+    )
