@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "near_dup_embeddings",
     "dedup_survivors",
+    "pipeline_keep_set",
     "text_quality_score",
     "text_chunk",
     "text_pii_scrub",
