@@ -539,3 +539,41 @@ def pipeline_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("mantido", F.col("motivo") == "mantido")
     )
+
+
+# GPT2-style pre-tokenizer regex, RE2/Java-compatible subset (no
+# lookahead): contraction suffixes, optional-space letter runs, digit
+# runs, punctuation runs, single whitespace
+_BPE_PAT = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}']+|\s"
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
+
+
+@register(
+    "text_token_count_bpe",
+    oracle=f"""
+    SELECT doc_id, lang,
+      CAST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS INT)
+        AS n_tokens_bpe,
+      CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens_ws
+    FROM documents
+    """,
+    tags=("TEXT", "TOKENIZE", "BPE"),
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT2-style pre-tokenizer regex
+    (contractions / letter runs / digit runs / punctuation runs /
+    whitespace) counted alongside the whitespace baseline — the token
+    budget estimator a training pipeline uses before running the real
+    tokenizer. The pattern sticks to the RE2/Java-common subset (no
+    lookahead) so Spark and DuckDB match byte-for-byte; pure
+    expression, whole-stage codegen, no Python."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0))
+        ).alias("n_tokens_bpe"),
+        F.size(_tokens()).alias("n_tokens_ws"),
+    )
