@@ -76,5 +76,13 @@ def connected_components(
         changed = updated.filter(F.col("componente") != F.col("_old")).count()
         labels = updated.drop("_old")
         if changed == 0:
-            break
-    return labels
+            return labels
+    # silent non-convergence would hand back WRONG components — the
+    # one failure mode worse than a loud stop. Dedup graphs converge in
+    # a handful of rounds; hitting the bound means a pathological
+    # long-path topology (raise max_iter, or switch to a
+    # doubling-style small-star/large-star variant).
+    raise RuntimeError(
+        f"connected_components: labels still changing after {max_iter} "
+        "iterations; raise max_iter for long-diameter graphs"
+    )

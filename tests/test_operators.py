@@ -269,3 +269,33 @@ def test_connected_components_random_vs_union_find(spark):
         for r in connected_components(df, "a", "b").collect()
     }
     assert got == want
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Hitting max_iter must fail loudly — silently returning
+    half-propagated labels is the one failure mode worse than a
+    stop."""
+    import pytest
+
+    from agrobr_spark.operators.components import connected_components
+
+    # path graph of diameter 6 cannot converge in 1 round
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="max_iter"):
+        connected_components(edges, "a", "b", max_iter=1)
+
+
+def test_deterministic_sample_is_scale_stable(spark):
+    """o5: the keep decision depends only on the row's own id — adding
+    more data must never change which existing rows are kept (the
+    property that makes hash sampling reproducible at any scale)."""
+    from agrobr_spark.queries import catalog
+
+    fn = catalog()["o5_deterministic_sample"].fn
+    small = {r["doc_id"] for r in fn(spark, "/root/testdata/sf0.001").collect()}
+    big = {r["doc_id"] for r in fn(spark, "/root/testdata/sf0.01").collect()}
+    # sf0.001 doc ids are a prefix of sf0.01's: every kept small-corpus
+    # doc must still be kept in the larger corpus
+    assert small <= big
