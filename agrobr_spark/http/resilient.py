@@ -31,15 +31,15 @@ def resilient_fetch(
     → retry(fetch). Failures that exhaust the retry policy trip the
     breaker; successes reset it."""
 
-    def wrapped(**kwargs) -> T:
+    def wrapped(*args, **kwargs) -> T:
         if circuit is not None:
             circuit.check(source)
 
         def attempt() -> T:
             if rate_limiter is not None:
                 with rate_limiter.acquire(source):
-                    return fetch_fn(**kwargs)
-            return fetch_fn(**kwargs)
+                    return fetch_fn(*args, **kwargs)
+            return fetch_fn(*args, **kwargs)
 
         try:
             result = retry_call(
@@ -78,19 +78,24 @@ def fetch_with_fallbacks(
 
     Each fallback failure carries on to the next; the last failure is
     re-raised with the earlier errors attached as ``__notes__``-style
-    context in the message.
+    context in the message. Programming errors (TypeError /
+    AttributeError / NameError — e.g. a fetcher called with the wrong
+    signature) are NOT treated as transient: they re-raise immediately
+    instead of masking a bug as chain exhaustion (r5 ADVICE).
     """
     if not fallbacks:
         return primary
 
-    def chained(**kwargs) -> T:
+    def chained(*args, **kwargs) -> T:
         errors: list[str] = []
         for fn in (primary, *fallbacks):
             try:
-                return fn(**kwargs)
+                return fn(*args, **kwargs)
+            except (TypeError, AttributeError, NameError):
+                raise
             except Exception as e:  # noqa: BLE001 — classify-and-continue
                 errors.append(
-                    f"{getattr(fn, '__name__', repr(fn))}: {e}"
+                    f"{getattr(fn, '__name__', repr(fn))}: {type(e).__name__}: {e}"
                 )
         raise ConnectionError(
             "all fetchers in the fallback chain failed: " + "; ".join(errors)

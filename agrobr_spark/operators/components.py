@@ -25,6 +25,10 @@ Scale posture (100 TB):
   1..k-1 and the job goes quadratic in iterations.
 - The convergence probe is a count of changed labels (a scalar
   aggregate per round) — the data itself never reaches the driver.
+- ONE action per round (r5 VERDICT nit #1): the checkpoint is LAZY and
+  the changed-count is the action that materializes it — the persisted
+  blocks are then reused by the next round's join, so probe +
+  truncation cost a single job launch instead of two.
 """
 
 from __future__ import annotations
@@ -72,7 +76,10 @@ def connected_components(
                 ).alias("componente"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
+        # lazy checkpoint: the count below is the materializing action,
+        # and its run persists the checkpointed blocks for the next
+        # round's join — one job per iteration, lineage still truncated
+        updated = updated.localCheckpoint(eager=False)
         changed = updated.filter(F.col("componente") != F.col("_old")).count()
         labels = updated.drop("_old")
         if changed == 0:

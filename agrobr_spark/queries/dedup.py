@@ -26,6 +26,15 @@ from agrobr_spark.queries import register
 
 N_HASHES = 8
 BAND_SIZE = 2  # → 4 bands
+# Operating point: with r rows/band and b bands the candidate
+# probability at Jaccard s is 1-(1-s^r)^b; the rule-of-thumb threshold
+# (steepest rise of the S-curve) is ≈ (1/b)^(1/r). The pinned catalog
+# point (n=8, r=2 → b=4) sits at (1/4)^(1/2) = 0.5 — tuned to the
+# fixture corpus where true near-dups have Jaccard ≥ ~0.6. Production
+# signature widths (n=128, r=8 → b=16) give (1/16)^(1/8) ≈ 0.707 with
+# a much sharper curve; both are first-class via the parameterized
+# builders below (r5 VERDICT nit #4) and property-tested in
+# tests/test_operators.py.
 
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,20 +76,64 @@ _SHINGLES_SQL = r"""
 """
 
 
-def _minhash_cols():
+def minhash_cols(n_hashes: int = N_HASHES) -> list:
+    """``n_hashes`` md5-derived MinHash aggregate columns over a
+    ``shingle`` column (min over hex strings of a uniform hash is a
+    valid MinHash; the family is engine-independent)."""
     return [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(N_HASHES)
+        for i in range(int(n_hashes))
     ]
+
+
+def lsh_bands(
+    n_hashes: int = N_HASHES, band_size: int = BAND_SIZE
+) -> list[tuple[int, list[str]]]:
+    """Disjoint LSH bands over the minhash columns: ``n_hashes/band_size``
+    bands of ``band_size`` rows each. ``n_hashes`` must divide evenly —
+    a silently-dropped remainder hash would shift the S-curve."""
+    n, r = int(n_hashes), int(band_size)
+    if n % r != 0:
+        raise ValueError(f"n_hashes={n} not divisible by band_size={r}")
+    return [
+        (b, [f"mh{i}" for i in range(b * r, (b + 1) * r)])
+        for b in range(n // r)
+    ]
+
+
+def lsh_candidate_probability(s: float, n_hashes: int, band_size: int) -> float:
+    """Analytic S-curve: probability a pair with Jaccard ``s`` shares
+    at least one LSH band — 1 - (1 - s^r)^b. The curve rises steepest
+    near (1/b)^(1/r); pick (n_hashes, band_size) so that point sits at
+    the dedup threshold you mean to enforce."""
+    r = int(band_size)
+    b = int(n_hashes) // r
+    return 1.0 - (1.0 - float(s) ** r) ** b
+
+
+def minhash_band_keys(
+    shingles: DataFrame, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE
+) -> DataFrame:
+    """(doc_id, banda, chave) LSH band keys from a (doc_id, shingle)
+    frame — docs sharing any (banda, chave) are candidates. The band
+    key is one md5 over the band's concatenated minhashes, so shuffle
+    width stays one 32-char key regardless of signature width."""
+    assin = shingles.groupBy("doc_id").agg(*minhash_cols(n_hashes))
+    bandas = None
+    for b, cols in lsh_bands(n_hashes, band_size):
+        banda = assin.select(
+            "doc_id",
+            F.lit(b).alias("banda"),
+            F.md5(F.concat(*[F.col(c) for c in cols])).alias("chave"),
+        )
+        bandas = banda if bandas is None else bandas.unionByName(banda)
+    return bandas
 
 
 _MINHASH_SQL_COLS = ",\n        ".join(
     f"min(md5(concat('{i}:', shingle))) AS mh{i}" for i in range(N_HASHES)
 )
-_BANDS = [
-    (b, [f"mh{i}" for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)])
-    for b in range(N_HASHES // BAND_SIZE)
-]
+_BANDS = lsh_bands(N_HASHES, BAND_SIZE)
 _BAND_SQL = "\n      UNION ALL\n".join(
     f"      SELECT doc_id, {b} AS banda, md5(concat({', '.join(cols)})) AS chave"
     " FROM assin"
@@ -126,16 +179,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AQE re-planning across every branch that reuses it (measured 2-5×
     # slower with .cache() at sf0.01)
     sh = _shingles_df(spark, sf_dir)
-    assin = sh.groupBy("doc_id").agg(*_minhash_cols())
-
-    bandas = None
-    for b, cols in _BANDS:
-        banda = assin.select(
-            "doc_id",
-            F.lit(b).alias("banda"),
-            F.md5(F.concat(*[F.col(c) for c in cols])).alias("chave"),
-        )
-        bandas = banda if bandas is None else bandas.unionByName(banda)
+    bandas = minhash_band_keys(sh, N_HASHES, BAND_SIZE)
 
     a = bandas.alias("a")
     b = bandas.alias("b")
@@ -402,17 +446,32 @@ _NEARDUP_PAIRS_CTE = f"""
               / nullif(a.nrm * b.nrm, 0), 6) >= {_COS_THRESHOLD})"""
 
 
+# embeddings row count per fixture dir, for the ~sqrt(n) centroid
+# sizing — computed once per sf_dir instead of one extra count JOB per
+# invocation when a composed query (pipeline_keep_set, admit_batch)
+# builds the pair pipeline more than once (r5 VERDICT nit #3)
+_N_CACHE: dict[str, int] = {}
+
+
+def _embeddings_count(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _N_CACHE:
+        _N_CACHE[sf_dir] = load(spark, sf_dir, "embeddings").count()
+    return _N_CACHE[sf_dir]
+
+
 def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Spark twin of `_NEARDUP_PAIRS_CTE`: IVF-cluster-blocked
     near-dup pairs via operators/allpairs.cluster_cosine_pairs."""
     from agrobr_spark.operators.allpairs import cluster_cosine_pairs
 
     e = load(spark, sf_dir, "embeddings")
+    n = _embeddings_count(spark, sf_dir)
     return cluster_cosine_pairs(
         e,
         id_col="vec_id",
         vec_col="embedding",
         threshold=_COS_THRESHOLD,
+        n_centroids=max(4, int(n**0.5)),
         extra_cols=("label",),
     )
 

@@ -296,9 +296,17 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(180)
     if q.isActive:
         q.stop()
-    return store.table.read().select(
+    out = store.table.read().select(
         "produto",
         "data",
         F.col("valor").cast("double").alias("valor"),
         F.unix_micros("collected_at").alias("coletado_us"),
     )
+    # materialize off the temp files, then delete the scratch store —
+    # repeated bench/correctness runs must not accrete orphaned table
+    # copies (r5 ADVICE)
+    out = out.localCheckpoint(eager=True)
+    from agrobr_spark.store.fs import delete_path
+
+    delete_path(spark, store.table.path)
+    return out

@@ -49,15 +49,29 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # With nanosAsLong set, the footer peek yields exactly the type the
     # stream schema must declare: bigint (nanos), timestamp_ntz (tz-less
-    # micros), or timestamp.
+    # micros), or timestamp. Scoped save/restore like io.load so the
+    # legacy flag never leaks into later batch reads in the session.
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_kind = dict(
-        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
-    ).get("ts")
+    try:
+        raw_kind = dict(
+            spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+        ).get("ts")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     ts_type: T.DataType = {
         "bigint": T.LongType(),
         "timestamp_ntz": T.TimestampNTZType(),
     }.get(raw_kind, T.TimestampType())
+    if raw_kind == "bigint":
+        # A genuinely nanos-typed file needs the flag at micro-batch
+        # EXECUTION time too (the stream scan is planned per batch), so
+        # this one case keeps it set for the session — unavoidable until
+        # Spark exposes a per-stream reader option for it.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(_events_schema(ts_type)).option(
         "maxFilesPerTrigger", 1
     )

@@ -107,7 +107,13 @@ def build_scaled(spark, k: int, out: str) -> None:
     for name in NEEDED:
         dst = f"{out}/{name}.parquet"
         if not os.path.exists(dst):
-            shutil.copyfile(f"{BASE}/{name}.parquet", dst)
+            src = f"{BASE}/{name}.parquet"
+            # a Spark-written table is a DIRECTORY named *.parquet
+            # (io.load reads both) — copy accordingly (r5 ADVICE)
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copyfile(src, dst)
 
 
 def _union(parts):
