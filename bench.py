@@ -58,6 +58,22 @@ BENCH_QUERIES = [
 ]
 
 
+def _steal_jiffies() -> int | None:
+    """Aggregate steal-time jiffies from /proc/stat (host-wide, all
+    CPUs). Recorded per query so a reader can separate shared-host
+    CPU steal from real regressions (r5 VERDICT next #10: identical
+    binaries have measured 23 s -> 85 s swings under steal)."""
+    try:
+        with open("/proc/stat") as f:
+            for line in f:
+                if line.startswith("cpu "):
+                    parts = line.split()
+                    return int(parts[8]) if len(parts) > 8 else None
+    except (OSError, ValueError):
+        return None
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from agrobr_spark.queries import queries
@@ -79,7 +95,10 @@ def main() -> None:
 
     spark.range(32, numPartitions=32).select(_warm("id")).count()
 
+    hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+    steal0 = _steal_jiffies()
     timings: dict[str, float] = {}
+    steals: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = catalog.get(name)
         if fn is None:
@@ -89,6 +108,7 @@ def main() -> None:
         # Two runs normally; queries still over a second after two runs
         # get a third — exactly the ones a noisy window distorts most.
         best = None
+        s_before = _steal_jiffies()
         for attempt in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -101,6 +121,9 @@ def main() -> None:
             if attempt == 1 and best <= 1.0:
                 break
         timings[name] = round(best, 4)
+        s_after = _steal_jiffies()
+        if s_before is not None and s_after is not None:
+            steals[name] = round((s_after - s_before) / hz, 3)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -108,17 +131,22 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    steal1 = _steal_jiffies()
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if steal0 is not None and steal1 is not None:
+        # host-wide steal jiffies over the bench, in seconds — a large
+        # value labels the wall clocks above as noise-inflated
+        out["steal"] = {
+            "total_s": round((steal1 - steal0) / hz, 3),
+            "queries": steals,
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

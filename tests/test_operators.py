@@ -395,3 +395,41 @@ def test_minhash_band_keys_at_production_width(spark):
     }
     assert (1, 2) in cand
     assert (1, 3) not in cand and (2, 3) not in cand
+
+
+def test_approx_percentiles_within_rank_bound(spark):
+    """a13_percentiles_approx has no value-exact oracle (sketches can't
+    hash-match across engines) — this test IS its exactness contract:
+    every approx value must be an actual group element whose rank sits
+    within the guaranteed +-n/accuracy window of the target
+    percentile."""
+    import bisect
+
+    from agrobr_spark.io import load
+    from agrobr_spark.queries.relational import (
+        _APPROX_PCT_ACC,
+        a13_percentiles_approx,
+    )
+
+    sf_dir = SF_SMOKE
+    approx = {r["l_returnflag"]: r for r in a13_percentiles_approx(spark, sf_dir).collect()}
+    vals: dict[str, list[float]] = {}
+    for r in load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect():
+        vals.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+    assert set(approx) == set(vals)
+    for flag, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        eps = 1.0 / _APPROX_PCT_ACC
+        for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            v = approx[flag][col]
+            # rank window of v in the sorted group (ties included)
+            lo = bisect.bisect_left(xs, v)
+            hi = bisect.bisect_right(xs, v) - 1
+            want_lo = (p - eps) * (n - 1) - 1
+            want_hi = (p + eps) * (n - 1) + 1
+            assert lo <= want_hi and hi >= want_lo, (
+                flag, col, v, lo, hi, want_lo, want_hi, n
+            )
