@@ -577,3 +577,126 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_tokens_bpe"),
         F.size(_tokens()).alias("n_tokens_ws"),
     )
+
+
+# ---- vocab-based BPE token counting (expression-only greedy BPE) ----
+#
+# A real merge-table BPE encoder, not just the pre-tokenizer estimate
+# (r5 VERDICT next #4). The trick that keeps it EXPRESSION-ONLY (no
+# Python in the hot path, oracle-reproducible in pure SQL): greedy BPE
+# applied via one string `replace` per merge rule, in rank order, over
+# a delimiter-wrapped symbol encoding.
+#
+#   symbols:  "ab" -> "\x01a\x02\x01b\x02"  (each symbol \x01..\x02)
+#   rule (a,b): replace("\x01a\x02\x01b\x02" -> "\x01ab\x02")
+#
+# Because each symbol is fully delimiter-wrapped, adjacent matches
+# never share characters, so SQL replace's leftmost-non-overlapping
+# scan applies the rule to every eligible occurrence in one pass —
+# exactly the merge step of the GPT-2 encoder. And one pass per rank
+# IS the full greedy algorithm when ranks come from BPE training:
+# merging two symbols never creates an adjacency of two OLD symbols
+# (the new pair always involves the merged symbol, whose rules are
+# later-ranked by construction), so no earlier rule can become
+# applicable after its pass has run. The property test
+# (tests/test_properties.py) checks this table ordering and compares
+# against a literal min-rank-loop reference implementation.
+#
+# The table below is a small demonstration vocabulary (English +
+# pt-BR-ish digraphs, frequency-ordered); a production deployment
+# loads its tokenizer's merges.txt into the same chain — the encoder
+# is the point, not the vocabulary. Chain cost: one replace expression
+# per rule, whole-stage codegen, linear in text size; at GPT-2's 50k
+# merges you'd batch the chain through mapInPandas instead, but corpus
+# token-budget estimation uses exactly this kind of truncated table.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("t", "h"), ("i", "n"), ("a", "n"), ("o", "n"),
+    ("e", "n"), ("e", "s"), ("a", "r"), ("a", "l"), ("o", "r"),
+    ("s", "t"), ("l", "e"), ("i", "t"), ("i", "s"), ("o", "u"),
+    ("i", "o"), ("th", "e"), ("an", "d"), ("in", "g"), ("er", "s"),
+    ("io", "n"), ("en", "t"), ("a", "t"), ("e", "d"), ("o", "f"),
+    ("t", "o"), ("ion", "s"), ("at", "ion"), (" ", "t"), (" ", "a"),
+    (" ", "s"), (" ", "o"), (" ", "c"), (" t", "h"), (" th", "e"),
+    (" a", "n"), (" an", "d"), (" t", "o"), (" o", "f"), ("r", "e"),
+    ("c", "o"), ("d", "e"), ("q", "u"), ("0", "0"), ("1", "9"),
+    ("2", "0"), ("ent", "s"), ("ing", "s"), (" c", "o"), (" co", "m"),
+]
+
+_BD1, _BD2, _BSEP = "\x01", "\x02", "\x03"
+
+
+def bpe_vocab_token_count(col) -> "F.Column":
+    """Column expression: greedy-BPE token count of ``col`` under
+    ``BPE_MERGES``. Pre-tokenizes with the GPT-2-style regex, wraps
+    each character as a delimited symbol, folds the merge table as a
+    replace chain, counts surviving symbols. Pure Catalyst expressions
+    end to end."""
+    col = F.col(col) if isinstance(col, str) else col
+    # any pre-existing delimiter bytes in the text would corrupt the
+    # symbol encoding — strip them first (they are C0 controls with no
+    # textual meaning)
+    clean = F.translate(col, _BD1 + _BD2 + _BSEP, "")
+    pretoks = F.regexp_extract_all(clean, F.lit(_BPE_PAT), F.lit(0))
+    wrapped = F.transform(
+        pretoks,
+        lambda t: F.regexp_replace(t, "(?s)(.)", f"{_BD1}$1{_BD2}"),
+    )
+    # pre-tokens joined with a bare separator no merge pattern can
+    # cross (rules match "\x02\x01" junctions, the boundary is
+    # "\x02\x03\x01")
+    s = F.array_join(wrapped, _BSEP)
+    for a, b in BPE_MERGES:
+        s = F.replace(
+            s,
+            F.lit(_BD1 + a + _BD2 + _BD1 + b + _BD2),
+            F.lit(_BD1 + a + b + _BD2),
+        )
+    return (F.size(F.split(s, _BD1)) - 1).cast("int")
+
+
+def _bpe_vocab_count_sql(col: str) -> str:
+    """The DuckDB twin of ``bpe_vocab_token_count`` — byte-identical
+    semantics so the oracle hash-matches."""
+    pat = _BPE_PAT_SQL
+    s = (
+        f"coalesce(array_to_string(list_transform("
+        f"regexp_extract_all(translate({col}, e'\\x01\\x02\\x03', ''),"
+        f" '{pat}'),"
+        f" x -> regexp_replace(x, '(?s)(.)', e'\\x01\\\\1\\x02', 'g')),"
+        f" e'\\x03'), '')"
+    )
+    for a, b in BPE_MERGES:
+        pa = (_BD1 + a + _BD2 + _BD1 + b + _BD2).replace("'", "''")
+        pr = (_BD1 + a + b + _BD2).replace("'", "''")
+        s = f"replace({s}, '{pa}', '{pr}')"
+    return f"CAST(len(string_split({s}, e'\\x01')) - 1 AS INT)"
+
+
+@register(
+    "text_token_count_bpe_vocab",
+    oracle=f"""
+    SELECT doc_id, lang,
+      {_bpe_vocab_count_sql("text")} AS n_tokens_vocab,
+      CAST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS INT)
+        AS n_pretokens
+    FROM documents
+    """,
+    tags=("TEXT", "TOKENIZE", "BPE", "VOCAB"),
+)
+def text_token_count_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab-based BPE token count per document: the real merge-table
+    encoder (greedy BPE over ``BPE_MERGES`` as an expression-only
+    replace chain — see the module comment for the exactness
+    argument), alongside the pre-token count the regex estimator
+    gives. n_tokens_vocab <= n_chars and >= n_pretokens by
+    construction; the ratio is the compression a tokenizer achieves,
+    which is what a token-budget planner actually needs."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        bpe_vocab_token_count("text").alias("n_tokens_vocab"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0))
+        ).alias("n_pretokens"),
+    )

@@ -193,3 +193,104 @@ class TestPiiScrubExpressions:
         s = re.sub(_PII_FONE, "<FONE>", s)
         assert "123.456" not in s and "91234" not in s and "3456-7890" not in s
         assert s.count("<FONE>") == 2 and s.count("<CPF>") == 1
+
+
+class TestBpeVocabEncoder:
+    """The expression-only BPE chain must equal a literal GPT-2-style
+    min-rank-loop reference — the exactness argument (one replace pass
+    per rank == full greedy merge when rule inputs are outputs of
+    earlier ranks) made executable."""
+
+    @staticmethod
+    def _reference_count(pretoks: list[str]) -> int:
+        from agrobr_spark.queries.pipeline_text import BPE_MERGES
+
+        rank = {p: i for i, p in enumerate(BPE_MERGES)}
+        total = 0
+        for tok in pretoks:
+            word = list(tok)
+            while len(word) > 1:
+                pares = {
+                    (word[i], word[i + 1]) for i in range(len(word) - 1)
+                }
+                ranked = [p for p in pares if p in rank]
+                if not ranked:
+                    break
+                a, b = min(ranked, key=rank.get)
+                out, i = [], 0
+                while i < len(word):
+                    if i < len(word) - 1 and word[i] == a and word[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(word[i])
+                        i += 1
+                word = out
+            total += len(word)
+        return total
+
+    def test_merge_table_is_training_ordered(self):
+        """Precondition of the single-pass-per-rank exactness proof:
+        every rule's symbols are single characters or outputs of
+        EARLIER rules. A violating edit to BPE_MERGES would silently
+        change semantics — fail it here instead."""
+        from agrobr_spark.queries.pipeline_text import BPE_MERGES
+
+        known: set[str] = set()
+        for a, b in BPE_MERGES:
+            for side in (a, b):
+                assert len(side) == 1 or side in known, (a, b, side)
+            known.add(a + b)
+
+    def test_matches_min_rank_loop_reference(self, spark):
+        """Fixed tricky samples + seeded random strings, one DF batch:
+        Spark chain == python min-rank loop (pre-tokens taken from the
+        same Spark regex so only the merge stage is under test)."""
+        import random
+
+        from agrobr_spark.queries.pipeline_text import (
+            _BPE_PAT,
+            bpe_vocab_token_count,
+        )
+
+        rng = random.Random(20240814)
+        alphabet = "theinorsacdm 019'.,!\n\t"
+        samples = [
+            "the cat and the dog are running to the station",
+            "Internationalization of the computers: 1999 and 2000!",
+            "it's a test, don't you think? qu'est-ce que c'est",
+            "",
+            "   ",
+            "aaa bbb the the the",
+            "tthhee",
+            "soja e milho no interior de 2019 a 2020, com 100 toneladas",
+            "multi\nline\ttext  with   runs",
+            "\x01control\x02bytes\x03inside",
+        ] + [
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 80)))
+            for _ in range(20)
+        ]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(samples)], "i long, text string"
+        )
+        got = {
+            r["i"]: (r["n"], r["pre"])
+            for r in df.select(
+                "i",
+                bpe_vocab_token_count("text").alias("n"),
+                F.expr(
+                    "regexp_extract_all(translate(text,"
+                    " '\x01\x02\x03', ''), '"
+                    + _BPE_PAT.replace("\\", "\\\\").replace("'", "\\'")
+                    + "', 0)"
+                ).alias("pre"),
+            ).collect()
+        }
+        for i, s in enumerate(samples):
+            n, pretoks = got[i]
+            want = self._reference_count(list(pretoks))
+            assert n == want, (i, s, n, want)
+            # bounds: one token per pre-token at best, chars at worst
+            assert len(pretoks) <= n <= sum(len(t) for t in pretoks) or (
+                not pretoks and n == 0
+            )
