@@ -473,6 +473,10 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_COS_THRESHOLD,
         n_centroids=max(4, int(n**0.5)),
         extra_cols=("label",),
+        # oracle-pinned: the recursive-CTE oracle replicates the
+        # lowest-id stand-in exactly; the library default is the real
+        # sampled k-means fit (operators/allpairs.fit_centroids_kmeans)
+        centroid_fit="lowest_id",
     )
 
 
