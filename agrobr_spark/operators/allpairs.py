@@ -256,20 +256,7 @@ def cluster_cosine_pairs(
         )
     else:
         raise ValueError(f"unknown centroid_fit: {centroid_fit!r}")
-    cos_cent = _dot("_cv", "_vec") / F.nullif(
-        F.sqrt(_dot("_cv", "_cv")) * F.col("_norm"), F.lit(0.0)
-    )
-    if round_to is not None:
-        cos_cent = F.round(cos_cent, round_to)
-    w = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), "_cid")
-    assigned = (
-        base.crossJoin(F.broadcast(cent))
-        .withColumn("_cos", cos_cent)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_cos", "_cv")
-        .withColumnRenamed("_cid", "_blk")
-    )
+    assigned = assign_to_centroids(base, cent, round_to)
     assigned = _with_subblocks(assigned, max_cluster_rows)
     left = assigned.select(
         F.col("_id").alias("ida"),
@@ -314,6 +301,37 @@ def cluster_cosine_pairs(
         )
     out_cols.append(cos.alias("cosseno"))
     return pares.select(*out_cols).filter(F.col("cosseno") >= threshold)
+
+
+def assign_to_centroids(
+    base: DataFrame, cent: DataFrame, round_to: int | None = 6
+) -> DataFrame:
+    """Assign every row of ``base`` (``_id``, ``_vec``, ``_norm``, plus
+    carried columns) to its nearest centroid from ``cent`` (``_cid``,
+    ``_cv``) — broadcast the centroid table, score by cosine
+    (rounded + centroid-id tie-break, deterministic), keep the argmax.
+    Returns ``base``'s columns plus ``_blk`` (the winning centroid id).
+
+    Shared by ``cluster_cosine_pairs`` and the incremental-admission
+    path (queries/admission.py), where the centroid table is FROZEN
+    state read back from the index store — assignment against an
+    existing fit is the same plan as against a fresh one."""
+    from pyspark.sql import Window
+
+    cos_cent = _dot("_cv", "_vec") / F.nullif(
+        F.sqrt(_dot("_cv", "_cv")) * F.col("_norm"), F.lit(0.0)
+    )
+    if round_to is not None:
+        cos_cent = F.round(cos_cent, round_to)
+    w = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), "_cid")
+    return (
+        base.crossJoin(F.broadcast(cent))
+        .withColumn("_cos", cos_cent)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_cos", "_cv")
+        .withColumnRenamed("_cid", "_blk")
+    )
 
 
 def _with_subblocks(assigned: DataFrame, max_cluster_rows: int) -> DataFrame:

@@ -92,6 +92,7 @@ def catalog() -> dict[str, CatalogEntry]:
     locally every run by ``tests/test_oracle.py`` regardless of
     order."""
     from agrobr_spark.queries import (  # noqa: F401
+        admission,
         dedup,
         merge,
         normalize_ops,

@@ -1,0 +1,158 @@
+"""Incremental corpus admission (queries/admission.py).
+
+The r5 VERDICT acceptance bar: a green CORRECTNESS row (covered by
+test_oracle.py via the catalog), plus a test proving
+admit(batch) ∘ admit(corpus) ≡ full recompute on the fixtures — and,
+because that equivalence is conditional, a hand-built demonstration of
+the one divergence class no-retraction semantics inherently has.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+
+from agrobr_spark.io import load
+from agrobr_spark.queries.admission import (
+    _split_params,
+    admit_batch,
+    build_admission_index,
+)
+from agrobr_spark.store.table import ParquetStore
+from tests.conftest import SF_SMOKE
+
+
+def _surv_ids(spark, store_dir) -> set[int]:
+    return {
+        r["doc_id"]
+        for r in ParquetStore(spark, f"{store_dir}/survivors", ("doc_id",))
+        .read()
+        .collect()
+    }
+
+
+def test_incremental_equals_full_recompute(spark):
+    """admit(batch | index(corpus)) must land on the same kept set as
+    one batch recompute over corpus ∪ batch, given the same min-id
+    survivorship and the same frozen blocking (corpus-derived centroid
+    count — lowest-id centroids over corpus ∪ batch are the corpus's
+    own lowest ids, so pinning k makes the blocking literally
+    identical). Holds whenever no batch doc bridges two old clusters
+    or near-dups only rejected docs; the fixture satisfies that, and
+    test_no_retraction_divergence_demo shows the excluded case."""
+    sf_dir = SF_SMOKE
+    cut, n_corp = _split_params(spark, sf_dir)
+    k = max(4, int(n_corp**0.5))
+    max_id = (
+        load(spark, sf_dir, "documents").agg(F.max("doc_id")).collect()[0][0]
+    )
+
+    with tempfile.TemporaryDirectory(prefix="adm_inc_") as d_inc:
+        build_admission_index(spark, sf_dir, d_inc)
+        dec = admit_batch(spark, sf_dir, d_inc)
+        kept_inc = _surv_ids(spark, d_inc)
+        batch_kept = {
+            r["doc_id"] for r in dec.filter(F.col("mantido")).collect()
+        }
+
+    with tempfile.TemporaryDirectory(prefix="adm_full_") as d_full:
+        build_admission_index(
+            spark, sf_dir, d_full, cutoff=int(max_id) + 1, n_centroids=k
+        )
+        kept_full = _surv_ids(spark, d_full)
+
+    assert kept_inc == kept_full
+    # the store after admit = corpus survivors ∪ admitted batch
+    assert batch_kept == {i for i in kept_inc if i >= cut}
+
+
+def test_admit_batch_replay_is_idempotent(spark):
+    """Re-admitting the same batch must change nothing: every
+    previously-admitted doc is now a survivor in the index, so the
+    replay flags it duplicado_corpus (cosine 1 with itself, same
+    frozen block) and the store is byte-stable — the property that
+    makes the foreachBatch streaming sink effectively-exactly-once."""
+    sf_dir = SF_SMOKE
+    with tempfile.TemporaryDirectory(prefix="adm_replay_") as d:
+        build_admission_index(spark, sf_dir, d)
+        first = {
+            r["doc_id"]: r["motivo"]
+            for r in admit_batch(spark, sf_dir, d).collect()
+        }
+        kept_after_first = _surv_ids(spark, d)
+        second = {
+            r["doc_id"]: r["motivo"]
+            for r in admit_batch(spark, sf_dir, d).collect()
+        }
+        kept_after_second = _surv_ids(spark, d)
+
+    assert kept_after_first == kept_after_second
+    assert set(first) == set(second)
+    for doc_id, motivo in first.items():
+        if motivo == "mantido":
+            assert second[doc_id] == "duplicado_corpus"
+        else:
+            assert second[doc_id] == motivo
+
+
+def test_store_has_pk_unique_survivors(spark):
+    """The MERGEd survivor table keeps one row per doc_id with the
+    frozen block id and the vector — the state the next day's
+    admission reads."""
+    sf_dir = SF_SMOKE
+    with tempfile.TemporaryDirectory(prefix="adm_pk_") as d:
+        build_admission_index(spark, sf_dir, d)
+        admit_batch(spark, sf_dir, d)
+        surv = ParquetStore(spark, f"{d}/survivors", ("doc_id",)).read()
+        n = surv.count()
+        assert n == surv.select("doc_id").distinct().count()
+        assert set(surv.columns) == {"doc_id", "n_chars", "embedding", "_blk"}
+        assert surv.filter(F.col("embedding").isNull()).count() == 0
+
+
+def _write_mini_fixture(spark, d: str) -> None:
+    """3 docs: corpus A(0) ~ B(1) (B rejected as dup), batch C(100)
+    near-dups ONLY the rejected B. Unit vectors at 0°, 60°, 120° —
+    cos(A,B)=cos(B,C)=0.5 >= 0.45 threshold, cos(A,C)=-0.5 < it."""
+    import math
+
+    docs = [
+        (0, "src", "pt", "texto unico aaa bbb ccc ddd eee", 30),
+        (1, "src", "pt", "outro texto fff ggg hhh iii jjj", 30),
+        (100, "src", "pt", "terceiro kkk lll mmm nnn ooo ppp", 31),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, source string, lang string, text string, n_chars int"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    vecs = [
+        (0, "a", [1.0, 0.0]),
+        (1, "b", [math.cos(math.pi / 3), math.sin(math.pi / 3)]),
+        (100, "c", [math.cos(2 * math.pi / 3), math.sin(2 * math.pi / 3)]),
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, label string, embedding array<double>"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+
+def test_no_retraction_divergence_demo(spark):
+    """The divergence class the equivalence test excludes, made
+    concrete: a batch doc whose only near-dup is a REJECTED corpus doc
+    is admitted incrementally (the index holds survivors only) but
+    dropped by a full recompute (components chain through the rejected
+    doc). This is the inherent price of no-retraction incremental
+    semantics — documented, not a bug."""
+    with tempfile.TemporaryDirectory(prefix="adm_demo_") as fx:
+        _write_mini_fixture(spark, fx)
+        with tempfile.TemporaryDirectory(prefix="adm_demo_i_") as d:
+            build_admission_index(spark, fx, d, cutoff=50, n_centroids=1)
+            dec = {
+                r["doc_id"]: r["motivo"]
+                for r in admit_batch(spark, fx, d, cutoff=50).collect()
+            }
+            assert _surv_ids(spark, d) == {0, 100}
+        assert dec == {100: "mantido"}
+        with tempfile.TemporaryDirectory(prefix="adm_demo_f_") as d:
+            build_admission_index(spark, fx, d, cutoff=200, n_centroids=1)
+            # full recompute chains C -> B -> A: only A survives
+            assert _surv_ids(spark, d) == {0}
