@@ -266,7 +266,22 @@ def admit_batch(
     cut = int(cutoff) if cutoff is not None else _split_params(spark, sf_dir)[0]
     docs_b = load(spark, sf_dir, "documents").filter(F.col("doc_id") >= cut)
     emb_b = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= cut)
+    return admit_frame(spark, docs_b, emb_b, store_dir)
 
+
+def admit_frame(
+    spark: SparkSession,
+    docs_b: DataFrame,
+    emb_b: DataFrame,
+    store_dir: str,
+) -> DataFrame:
+    """Frame-level admission: gate arbitrary (documents, embeddings)
+    frames against the persisted index and MERGE the accepted rows
+    back. ``admit_batch`` feeds it the cutoff split; the streaming
+    sink (queries/streaming_ops.stream_admit_batch) calls it once per
+    micro-batch — same code path, so replay idempotency (a re-admitted
+    doc is its own survivor and gets duplicado_corpus) holds for the
+    stream for free."""
     store = ParquetStore(spark, f"{store_dir}/survivors", ("doc_id",))
     surv = store.read()
     cent = spark.read.parquet(f"{store_dir}/centroids")
@@ -334,7 +349,7 @@ def _dotp(a: str, b: str) -> str:
     return f"list_dot_product({a}, {b})"
 
 
-_ADMIT_ORACLE = f"""
+_ADMIT_CTE = f"""
     WITH RECURSIVE
     lim AS (SELECT CAST(floor({_CUT_FRAC} * (max(doc_id) + 1)) AS BIGINT)
                    AS corte FROM documents),
@@ -420,22 +435,35 @@ _ADMIT_ORACLE = f"""
       UNION
       SELECT r.id, e.b FROM alc_b r JOIN arest_b e ON r.peer = e.a),
     comp_b AS (SELECT id, least(id, min(peer)) AS componente
-               FROM alc_b GROUP BY id)
-    SELECT tk.doc_id,
-      CASE WHEN tk.n_tokens < {_MIN_TOKENS} THEN 'curto'
-           WHEN tk.doc_id IN (SELECT doc_id FROM contaminados)
-             THEN 'contaminado'
-           WHEN tk.doc_id IN (SELECT doc_id FROM dup_corpus)
-             THEN 'duplicado_corpus'
-           WHEN tk.doc_id IN (SELECT id FROM comp_b WHERE componente < id)
-             THEN 'duplicado_lote'
-           ELSE 'mantido' END AS motivo,
-      CASE WHEN tk.n_tokens >= {_MIN_TOKENS}
-            AND tk.doc_id NOT IN (SELECT doc_id FROM contaminados)
-            AND tk.doc_id NOT IN (SELECT doc_id FROM dup_corpus)
-            AND tk.doc_id NOT IN (SELECT id FROM comp_b WHERE componente < id)
-           THEN TRUE ELSE FALSE END AS mantido
-    FROM toks tk, lim WHERE tk.doc_id >= lim.corte
+               FROM alc_b GROUP BY id),
+    dec_b AS (
+      SELECT tk.doc_id,
+        CASE WHEN tk.n_tokens < {_MIN_TOKENS} THEN 'curto'
+             WHEN tk.doc_id IN (SELECT doc_id FROM contaminados)
+               THEN 'contaminado'
+             WHEN tk.doc_id IN (SELECT doc_id FROM dup_corpus)
+               THEN 'duplicado_corpus'
+             WHEN tk.doc_id IN (SELECT id FROM comp_b WHERE componente < id)
+               THEN 'duplicado_lote'
+             ELSE 'mantido' END AS motivo
+      FROM toks tk, lim WHERE tk.doc_id >= lim.corte)
+"""
+
+_ADMIT_ORACLE = f"""{_ADMIT_CTE}
+    SELECT doc_id, motivo, motivo = 'mantido' AS mantido FROM dec_b
+"""
+
+# Final survivor-store state after the corpus index build + streamed
+# batch admission: corpus survivors ∪ admitted batch docs (only docs
+# WITH vectors reach the store — the atrib join encodes that on both
+# engines).
+_STREAM_ADMIT_ORACLE = f"""{_ADMIT_CTE}
+    SELECT m.doc_id, d.n_chars, a.cid AS bloco
+    FROM (SELECT doc_id FROM dec_c WHERE motivo = 'mantido'
+          UNION ALL
+          SELECT doc_id FROM dec_b WHERE motivo = 'mantido') m
+    JOIN documents d ON d.doc_id = m.doc_id
+    JOIN atrib a ON a.vec_id = m.doc_id
 """
 
 

@@ -310,3 +310,116 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     delete_path(spark, store.table.path)
     return out
+
+
+def _stream_admit_oracle() -> str:
+    from agrobr_spark.queries.admission import _STREAM_ADMIT_ORACLE
+
+    return _STREAM_ADMIT_ORACLE
+
+
+@register(
+    "stream_admit_batch",
+    oracle=_stream_admit_oracle(),
+    tags=("STREAM", "ADMISSION", "FOREACHBATCH", "INCREMENTAL"),
+)
+def stream_admit_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The admission pipeline as a STREAM (r5 VERDICT next #6): batch
+    documents land as id-ranged ingest files, a file-source stream
+    feeds them one file per micro-batch into foreachBatch, and every
+    micro-batch runs the full gate set against the persisted index —
+    broadcast benchmark-shingle contamination, frozen-centroid
+    assignment, survivor-join dup check, within-batch components — and
+    MERGEs its accepted docs back (queries/admission.admit_frame, the
+    identical code path the batch entry uses).
+
+    Cross-micro-batch duplicates resolve through the index: doc Y
+    arriving after its near-dup X finds X already a survivor and is
+    rejected duplicado_corpus. Because the ingest files are id-RANGED
+    and processed oldest-first (mtimes pinned), the min-id member of
+    every duplicate cluster arrives first, so the final survivor set
+    equals the one-shot batch admission — which is what the oracle
+    checks (corpus survivors ∪ admitted batch docs, from pure SQL over
+    corpus ∪ batch). Replays are idempotent: a re-delivered doc is its
+    own survivor and gets flagged duplicado_corpus
+    (tests/test_admission.py::test_admit_batch_replay_is_idempotent).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from agrobr_spark.io import load
+    from agrobr_spark.queries.admission import (
+        _split_params,
+        admit_frame,
+        build_admission_index,
+    )
+    from agrobr_spark.store.fs import delete_path
+    from agrobr_spark.store.table import ParquetStore
+
+    _COUNTER[0] += 1
+    store_dir = tempfile.mkdtemp(prefix="stream_admit_idx_")
+    ingest = tempfile.mkdtemp(prefix="stream_admit_in_")
+    try:
+        build_admission_index(spark, sf_dir, store_dir)
+        cut = _split_params(spark, sf_dir)[0]
+        docs_b = load(spark, sf_dir, "documents").filter(F.col("doc_id") >= cut)
+        emb_b = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= cut)
+        staged = docs_b.join(
+            emb_b.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+            "left",
+        )
+        max_id = staged.agg(F.max("doc_id")).collect()[0][0] or cut
+        n_files = 3
+        span = max(1, (int(max_id) - cut + n_files) // n_files)
+        t0 = 1_000_000_000  # fixed epoch base: mtime order == id order
+        for i in range(n_files):
+            lo, hi = cut + i * span, cut + (i + 1) * span
+            chunk = staged.filter(
+                (F.col("doc_id") >= lo)
+                & (F.col("doc_id") < (hi if i < n_files - 1 else 1 << 62))
+            )
+            tmp = f"{ingest}/.stage{i}"
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = f"{ingest}/chunk{i:05d}.parquet"
+            shutil.move(f"{tmp}/{part}", dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+
+        stream = (
+            spark.readStream.schema(staged.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ingest)
+        )
+
+        def handle(batch: DataFrame, batch_id: int) -> None:
+            admit_frame(
+                spark,
+                batch.drop("embedding"),
+                batch.filter(F.col("embedding").isNotNull()).select(
+                    F.col("doc_id").alias("vec_id"), "embedding"
+                ),
+                store_dir,
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+        out = (
+            ParquetStore(spark, f"{store_dir}/survivors", ("doc_id",))
+            .read()
+            .select("doc_id", "n_chars", F.col("_blk").alias("bloco"))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        delete_path(spark, store_dir)
+        shutil.rmtree(ingest, ignore_errors=True)

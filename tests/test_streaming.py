@@ -214,3 +214,24 @@ def test_stream_upsert_merge_converges_across_batches(spark, tmp_path):
             os.utime(f"{src}/events.parquet/{b}/{f}", (t, t))
     double = {tuple(r) for r in fn(spark, src).collect()}
     assert double == single
+
+
+def test_stream_admit_replay_converges(spark):
+    """Replay proof for the streaming admission sink: running the
+    whole streamed admission twice over the same fixture produces the
+    IDENTICAL survivor store state both times (at-least-once delivery
+    → effectively-exactly-once through the idempotent admit_frame
+    MERGE: a re-delivered doc meets itself in the index and is flagged
+    duplicado_corpus instead of being double-admitted)."""
+    from agrobr_spark.queries.streaming_ops import stream_admit_batch
+    from tests.conftest import SF_SMOKE
+
+    first = {
+        (r["doc_id"], r["n_chars"], r["bloco"])
+        for r in stream_admit_batch(spark, SF_SMOKE).collect()
+    }
+    second = {
+        (r["doc_id"], r["n_chars"], r["bloco"])
+        for r in stream_admit_batch(spark, SF_SMOKE).collect()
+    }
+    assert first and first == second
