@@ -603,3 +603,114 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rk") == 1).alias("sobrevivente"),
         )
     )
+
+
+# ---- incremental text dedup: batch signatures vs a frozen index ----
+
+_INC_JACCARD = 0.5
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    lim AS (SELECT CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT)
+                   AS corte FROM documents),
+    assin AS (
+      SELECT doc_id,
+        {_MINHASH_SQL_COLS}
+      FROM sh GROUP BY doc_id),
+    bandas AS (
+{_BAND_SQL}),
+    cand AS (
+      SELECT DISTINCT c.doc_id AS doc_corpus, b.doc_id AS doc_lote
+      FROM bandas c JOIN bandas b
+        ON c.banda = b.banda AND c.chave = b.chave, lim
+      WHERE c.doc_id < lim.corte AND b.doc_id >= lim.corte),
+    tam AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_corpus, c.doc_lote, count(*) AS n_comum
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_corpus
+      JOIN sh sb ON sb.doc_id = c.doc_lote AND sb.shingle = sa.shingle
+      GROUP BY c.doc_corpus, c.doc_lote)
+    SELECT i.doc_lote, i.doc_corpus,
+      CAST(i.n_comum AS DOUBLE)
+        / CAST(ta.n + tb.n - i.n_comum AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN tam ta ON ta.doc_id = i.doc_corpus
+    JOIN tam tb ON tb.doc_id = i.doc_lote
+    WHERE CAST(i.n_comum AS DOUBLE)
+        / CAST(ta.n + tb.n - i.n_comum AS DOUBLE) >= {_INC_JACCARD}
+    """,
+    tags=("DEDUP", "MINHASH", "INCREMENTAL", "SCALE_DEFAULT"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-level incremental dedup — the signature-index anti-join a
+    daily pipeline runs BEFORE any embedding work (r5 VERDICT top item
+    names exactly this shape: "anti-join batch shingle/minhash
+    signatures ... against a persisted index table"): the corpus
+    split's LSH band keys are the frozen index (tiny — bands ×
+    32-char keys per doc, the only corpus state touched); the new
+    batch computes its own signatures, candidates come from one
+    equi-join on (banda, chave), and candidates are verified with
+    exact shingle Jaccard ≥ {thr}. The corpus TEXT is never re-read,
+    never reshuffled: at 100 TB the band-key index is ~1/1000th of
+    the corpus and the join is batch-sized. Exact dups (jaccard 1.0)
+    collide in every band and are always caught; near-dups follow the
+    (8,2) S-curve documented at the top of this module.
+
+    Output: (doc_lote, doc_corpus, jaccard) — the batch docs that
+    must be rejected as text duplicates of indexed corpus docs, with
+    their match. Composes with pipeline_admit_batch's embedding gates
+    as an additional `duplicado_texto` reason.""".format(thr=_INC_JACCARD)
+    from agrobr_spark.queries.admission import _split_params
+
+    cut = _split_params(spark, sf_dir)[0]
+    sh = _shingles_df(spark, sf_dir)
+    sh_corpus = sh.filter(F.col("doc_id") < cut)
+    sh_lote = sh.filter(F.col("doc_id") >= cut)
+
+    # the persisted part: corpus band keys (built once, stored; here
+    # derived inline from the corpus split so the oracle can replicate)
+    bandas_corpus = minhash_band_keys(sh_corpus).withColumnRenamed(
+        "doc_id", "doc_corpus"
+    )
+    bandas_lote = minhash_band_keys(sh_lote).withColumnRenamed(
+        "doc_id", "doc_lote"
+    )
+    cand = (
+        bandas_corpus.join(bandas_lote, ["banda", "chave"])
+        .select("doc_corpus", "doc_lote")
+        .distinct()
+    )
+
+    # exact verify, batch-pruned: only candidate docs' shingles move
+    cd = cand.select(F.col("doc_corpus").alias("doc_id")).unionByName(
+        cand.select(F.col("doc_lote").alias("doc_id"))
+    ).distinct()
+    sh_cand = sh.join(cd, "doc_id", "left_semi")
+    tam = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh_cand.select(F.col("doc_id").alias("doc_corpus"), "shingle")
+    sb = sh_cand.select(F.col("doc_id").alias("doc_lote"), "shingle")
+    inter = (
+        cand.join(sa, "doc_corpus")
+        .join(sb, ["doc_lote", "shingle"])
+        .groupBy("doc_corpus", "doc_lote")
+        .agg(F.count(F.lit(1)).alias("n_comum"))
+    )
+    ta = tam.select(F.col("doc_id").alias("doc_corpus"), F.col("n").alias("na"))
+    tb = tam.select(F.col("doc_id").alias("doc_lote"), F.col("n").alias("nb"))
+    return (
+        inter.join(ta, "doc_corpus")
+        .join(tb, "doc_lote")
+        .select(
+            "doc_lote",
+            "doc_corpus",
+            (
+                F.col("n_comum").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_comum")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _INC_JACCARD)
+    )

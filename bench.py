@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "near_dup_embeddings",
     "dedup_survivors",
     "pipeline_keep_set",
+    "pipeline_admit_batch",
+    "text_token_count_bpe_vocab",
     "text_quality_score",
     "text_chunk",
     "text_pii_scrub",

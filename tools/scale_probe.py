@@ -42,6 +42,9 @@ PROBE_QUERIES = [
     "w7_sessionize",
     "stream_stateful_dod",
     "stream_tumbling_daily",
+    # the composed admission pipelines, not just their parts (r5 #8)
+    "pipeline_keep_set",
+    "pipeline_admit_batch",
 ]
 
 # every table any probe query loads
