@@ -625,12 +625,57 @@ BPE_MERGES: list[tuple[str, str]] = [
 _BD1, _BD2, _BSEP = "\x01", "\x02", "\x03"
 
 
-def bpe_vocab_token_count(col) -> "F.Column":
+def load_bpe_merges(path: str) -> list[tuple[str, str]]:
+    """Load a tokenizer ``merges.txt`` (one ``a b`` pair per line in
+    rank order; ``#``-comment header tolerated — the GPT-2/RoBERTa
+    file format) and validate the training-order precondition the
+    expression chain's exactness proof needs: every rule's symbols
+    must be single characters or outputs of earlier rules. Byte-level
+    vocabularies qualify automatically (bytes-to-unicode maps every
+    byte to one character). Raises ValueError on malformed lines,
+    out-of-order rules, or symbols containing the chain's delimiter
+    bytes."""
+    merges: list[tuple[str, str]] = []
+    known: set[str] = set()
+    with open(path, encoding="utf-8") as f:
+        for lineno, raw in enumerate(f, 1):
+            line = raw.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(" ")
+            if len(parts) != 2:
+                raise ValueError(f"{path}:{lineno}: expected 'a b', got {line!r}")
+            a, b = parts
+            for side in (a, b):
+                if any(ch in side for ch in (_BD1, _BD2, _BSEP)):
+                    raise ValueError(
+                        f"{path}:{lineno}: symbol contains a reserved delimiter"
+                    )
+                if len(side) > 1 and side not in known:
+                    raise ValueError(
+                        f"{path}:{lineno}: symbol {side!r} is neither a single "
+                        "character nor the output of an earlier rule — the "
+                        "file is not in training order"
+                    )
+            known.add(a + b)
+            merges.append((a, b))
+    if not merges:
+        raise ValueError(f"{path}: no merge rules found")
+    return merges
+
+
+def bpe_vocab_token_count(
+    col, merges: list[tuple[str, str]] | None = None
+) -> "F.Column":
     """Column expression: greedy-BPE token count of ``col`` under
-    ``BPE_MERGES``. Pre-tokenizes with the GPT-2-style regex, wraps
+    ``merges`` (default: the built-in demo table; pass
+    ``load_bpe_merges('merges.txt')`` for a real tokenizer's
+    vocabulary). Pre-tokenizes with the GPT-2-style regex, wraps
     each character as a delimited symbol, folds the merge table as a
     replace chain, counts surviving symbols. Pure Catalyst expressions
     end to end."""
+    if merges is None:
+        merges = BPE_MERGES
     col = F.col(col) if isinstance(col, str) else col
     # any pre-existing delimiter bytes in the text would corrupt the
     # symbol encoding — strip them first (they are C0 controls with no
@@ -645,7 +690,7 @@ def bpe_vocab_token_count(col) -> "F.Column":
     # cross (rules match "\x02\x01" junctions, the boundary is
     # "\x02\x03\x01")
     s = F.array_join(wrapped, _BSEP)
-    for a, b in BPE_MERGES:
+    for a, b in merges:
         s = F.replace(
             s,
             F.lit(_BD1 + a + _BD2 + _BD1 + b + _BD2),
@@ -699,4 +744,60 @@ def text_token_count_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0))
         ).alias("n_pretokens"),
+    )
+
+
+@register(
+    "text_rarity_score",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0),
+    freq AS (SELECT tok, count(*) AS f FROM toks GROUP BY tok)
+    SELECT t.doc_id,
+      CAST(count(*) AS BIGINT) AS n_tokens,
+      CAST(sum(CASE WHEN f.f < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_raros,
+      CAST(sum(f.f) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS familiaridade
+    FROM toks t JOIN freq f ON f.tok = t.tok
+    GROUP BY t.doc_id
+    """,
+    tags=("TEXT", "QUALITY", "LM"),
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality signal, integer-exact: per document (docs
+    with >= 1 token), the mean corpus frequency of its tokens
+    (``familiaridade`` — the unigram-perplexity proxy: boilerplate
+    scores high, OCR noise / hash soup scores ~1) and the count of
+    rare tokens (corpus frequency < 3). Deliberately NOT a log-prob
+    mean: across-libm log() differs in the last ulp and an
+    order-dependent float sum can never hash-match — integer sums +
+    one final division are bit-identical on both engines.
+
+    Plan shape: explode tokens → one groupBy for the frequency table →
+    inverted-index join back → per-doc aggregate. At 100 TB the
+    frequency table is Zipf-shaped — its head is broadcast-sized and
+    AQE picks broadcast vs shuffle join at runtime; everything else is
+    map-side partial aggregation."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    return (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("f") < 3, 1).otherwise(0)).alias("n_raros"),
+            F.sum("f").alias("_soma_f"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_raros",
+            (
+                F.col("_soma_f").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("familiaridade"),
+        )
     )

@@ -414,10 +414,16 @@ def stream_admit_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(180)
         if q.isActive:
             q.stop()
-        out = (
-            ParquetStore(spark, f"{store_dir}/survivors", ("doc_id",))
-            .read()
-            .select("doc_id", "n_chars", F.col("_blk").alias("bloco"))
+        # each micro-batch MERGE accreted one file set; compact before
+        # handing the table to readers (the Delta OPTIMIZE analog —
+        # small files are the dominant scan cost of an always-on
+        # incremental sink at 100 TB)
+        from agrobr_spark.store.table import compact
+
+        store = ParquetStore(spark, f"{store_dir}/survivors", ("doc_id",))
+        compact(store)
+        out = store.read().select(
+            "doc_id", "n_chars", F.col("_blk").alias("bloco")
         )
         return out.localCheckpoint(eager=True)
     finally:

@@ -122,10 +122,25 @@ def main() -> None:
             spark.catalog.clearCache()
             if attempt == 1 and best <= 1.0:
                 break
-        timings[name] = round(best, 4)
         s_after = _steal_jiffies()
-        if s_before is not None and s_after is not None:
-            steals[name] = round((s_after - s_before) / hz, 3)
+        steal_s = (
+            (s_after - s_before) / hz
+            if s_before is not None and s_after is not None
+            else 0.0
+        )
+        if steal_s > max(1.0, best):
+            # the host stole more CPU time than the best wall clock —
+            # the number is noise; one extra attempt in (hopefully) a
+            # calmer window
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+            s2 = _steal_jiffies()
+            if s2 is not None and s_before is not None:
+                steal_s = (s2 - s_before) / hz
+        timings[name] = round(best, 4)
+        steals[name] = round(steal_s, 3)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

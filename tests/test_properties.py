@@ -294,3 +294,46 @@ class TestBpeVocabEncoder:
             assert len(pretoks) <= n <= sum(len(t) for t in pretoks) or (
                 not pretoks and n == 0
             )
+
+
+class TestBpeMergesFile:
+    def test_load_and_count_with_custom_vocab(self, spark, tmp_path):
+        """A merges.txt in the GPT-2 file format loads, validates
+        training order, and drives the same expression chain."""
+        from agrobr_spark.queries.pipeline_text import (
+            bpe_vocab_token_count,
+            load_bpe_merges,
+        )
+
+        p = tmp_path / "merges.txt"
+        p.write_text("#version: demo\ns o\nj a\nso ja\n")
+        merges = load_bpe_merges(str(p))
+        assert merges == [("s", "o"), ("j", "a"), ("so", "ja")]
+        df = spark.createDataFrame(
+            [(1, "soja sola jaca"), (2, "")], "i long, text string"
+        )
+        got = {
+            r["i"]: r["n"]
+            for r in df.select(
+                "i", bpe_vocab_token_count("text", merges).alias("n")
+            ).collect()
+        }
+        # soja->[soja]=1; ' sola'->[' ','so','l','a']=4; ' jaca'->
+        # [' ','ja','c','a']=4
+        assert got == {1: 9, 2: 0}
+
+    def test_load_rejects_out_of_order_and_bad_lines(self, tmp_path):
+        import pytest
+
+        from agrobr_spark.queries.pipeline_text import load_bpe_merges
+
+        p = tmp_path / "bad.txt"
+        p.write_text("so ja\n")  # 'so' never produced by an earlier rule
+        with pytest.raises(ValueError, match="training order"):
+            load_bpe_merges(str(p))
+        p.write_text("a b c\n")
+        with pytest.raises(ValueError, match="expected"):
+            load_bpe_merges(str(p))
+        p.write_text("#only comments\n")
+        with pytest.raises(ValueError, match="no merge rules"):
+            load_bpe_merges(str(p))
