@@ -15,11 +15,11 @@ one join edges⋈labels + one min-aggregate — two shuffles on the node
 key, nothing ever materializes more than O(|V| + |E|) rows.
 
 Scale posture (100 TB):
-- Iterations = O(cluster diameter). Near-dup clusters are dense
-  (quasi-cliques), so diameter is small — 2-4 rounds in practice; a
-  pathological path-graph needs O(log n) rounds with doubling-style
-  algorithms (small-star/large-star), which this module deliberately
-  trades away for plan simplicity since dedup graphs are not paths.
+- Iterations: 2-4 rounds on dense near-dup clusters (quasi-cliques);
+  pointer-doubling shortcutting (on by default — one extra label
+  self-join per round) bounds even pathological path graphs at
+  O(log n) rounds, the small-star/large-star effect without
+  reshaping the edge list.
 - Lineage is truncated every round (localCheckpoint) so the plan does
   not grow with iterations — without it, round k replays rounds
   1..k-1 and the job goes quadratic in iterations.
@@ -42,12 +42,25 @@ def connected_components(
     src: str,
     dst: str,
     max_iter: int = 25,
+    shortcut: bool = True,
 ) -> DataFrame:
     """Resolve an undirected edge list into components.
 
     Returns (id, componente): one row per distinct node appearing in
     ``edges``, where ``componente`` is the smallest node id reachable
     from ``id`` — the canonical cluster representative.
+
+    ``shortcut`` adds pointer-doubling each round:
+    ``label(u) <- min(label(u), label(label(u)))`` — one extra self
+    equi-join on the label table. Labels only ever take values of
+    nodes REACHABLE from u (neighbor-min propagates reachable minima
+    inductively), so the shortcut jumps along reachable chains and
+    the fixpoint is unchanged; rounds drop from O(diameter) to
+    O(log n) on path-shaped graphs (the small-star/large-star effect
+    without reshaping the edge list). Dedup graphs are quasi-cliques
+    where both variants take 2-4 rounds; the shortcut is what makes
+    the pathological long-path topology converge inside ``max_iter``
+    instead of raising.
     """
     spark = edges.sparkSession
     sym = (
@@ -76,6 +89,23 @@ def connected_components(
                 ).alias("componente"),
             )
         )
+        if shortcut:
+            enc = updated.select(
+                F.col("id").alias("_sid"), F.col("componente").alias("_scomp")
+            )
+            updated = (
+                updated.join(
+                    enc, updated["componente"] == enc["_sid"], "left"
+                )
+                .select(
+                    "id",
+                    "_old",
+                    F.least(
+                        F.col("componente"),
+                        F.coalesce("_scomp", F.col("componente")),
+                    ).alias("componente"),
+                )
+            )
         # lazy checkpoint: the count below is the materializing action,
         # and its run persists the checkpointed blocks for the next
         # round's join — one job per iteration, lineage still truncated
@@ -85,11 +115,9 @@ def connected_components(
         if changed == 0:
             return labels
     # silent non-convergence would hand back WRONG components — the
-    # one failure mode worse than a loud stop. Dedup graphs converge in
-    # a handful of rounds; hitting the bound means a pathological
-    # long-path topology (raise max_iter, or switch to a
-    # doubling-style small-star/large-star variant).
+    # one failure mode worse than a loud stop.
     raise RuntimeError(
         f"connected_components: labels still changing after {max_iter} "
-        "iterations; raise max_iter for long-diameter graphs"
+        "iterations; raise max_iter (or keep shortcut=True) for "
+        "long-diameter graphs"
     )

@@ -487,3 +487,40 @@ def test_kmeans_blocking_recall_beats_lowest_id_standin(spark):
     r_standin = recall("lowest_id")
     assert r_kmeans >= 0.95, r_kmeans
     assert r_kmeans > r_standin, (r_kmeans, r_standin)
+
+
+def test_connected_components_long_path_converges_via_shortcut(spark):
+    """A 200-node path has diameter 199: plain min-label propagation
+    cannot finish inside max_iter=25, while pointer-doubling (the
+    default) converges in O(log n) rounds to the same fixpoint."""
+    from agrobr_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "a long, b long"
+    )
+    out = connected_components(edges, "a", "b")  # must not raise
+    rows = out.collect()
+    assert len(rows) == 200
+    assert {r["componente"] for r in rows} == {0}
+
+
+def test_connected_components_shortcut_equals_plain(spark):
+    """Shortcutting must not change the fixpoint — both variants agree
+    on a random graph (labels only jump along reachable chains)."""
+    import random
+
+    from agrobr_spark.operators.components import connected_components
+
+    rng = random.Random(99)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(30)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "a long, b long")
+    fast = {
+        (r["id"], r["componente"])
+        for r in connected_components(df, "a", "b", shortcut=True).collect()
+    }
+    plain = {
+        (r["id"], r["componente"])
+        for r in connected_components(df, "a", "b", shortcut=False).collect()
+    }
+    assert fast == plain
