@@ -448,3 +448,68 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("int").alias("frame_idx"),
         F.col("frame_ts_s").cast("double").alias("frame_ts_s"),
     )
+
+
+_MM_COS_THR = 0.9
+
+
+@register(
+    "mm_near_dup",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, text FROM documents),
+    h AS (SELECT media_id, sha256(text) AS hx FROM media),
+    fv AS (
+      SELECT media_id,
+        [{", ".join(f"({_mm_byte(i)} - 128) / 128.0" for i in range(8))}]
+          AS f
+      FROM h),
+    nf AS (
+      SELECT media_id, f, sqrt(list_dot_product(f, f)) AS nrm FROM fv)
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+      round(list_dot_product(a.f, b.f) / nullif(a.nrm * b.nrm, 0), 6)
+        AS cosseno
+    FROM nf a JOIN nf b ON a.media_id < b.media_id
+    WHERE round(list_dot_product(a.f, b.f) / nullif(a.nrm * b.nrm, 0), 6)
+          >= {_MM_COS_THR}
+    """,
+    tags=("MULTIMODAL", "DEDUP", "UDF", "E2E"),
+)
+def mm_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal near-dup E2E: binary media blobs → Arrow mapInPandas
+    feature extraction (operators/multimodal.decode_features, the
+    documented pandas exception) → EXACT triangle-block cosine pair
+    join on the 8-dim feature (operators/allpairs.block_cosine_pairs,
+    same no-BNLJ equi-join plan as the text-embedding dedup). This is
+    the perceptual-dedup shape an image/video pipeline runs (pHash /
+    CLIP-feature near-dup); the stub features are k/128 lattice values
+    derived from the payload sha256, so the whole chain — including
+    the Python decode step — is hash-verified against pure SQL hex
+    arithmetic. At scale, swap block_cosine_pairs for
+    cluster_cosine_pairs exactly as the text path does."""
+    from agrobr_spark.operators.allpairs import block_cosine_pairs
+    from agrobr_spark.operators.multimodal import decode_features
+
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None).cast("string").alias("mime"),
+    )
+    feats = decode_features(media).select("media_id", "feature")
+    pares = block_cosine_pairs(
+        feats,
+        id_col="media_id",
+        vec_col="feature",
+        threshold=_MM_COS_THR,
+        n_blocks=8,
+    )
+    return pares.select(
+        F.col("id_a").alias("media_a"),
+        F.col("id_b").alias("media_b"),
+        "cosseno",
+    )
