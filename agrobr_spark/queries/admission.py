@@ -493,3 +493,324 @@ def pipeline_admit_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         return dec.localCheckpoint(eager=True)
     finally:
         delete_path(spark, store_dir)
+
+
+# ---- text-signature admission: the MinHash-index variant ----
+#
+# The embedding pipeline above blocks on vectors; this one is the pure
+# TEXT path the r5 brief literally named: "anti-join batch
+# shingle/minhash signatures against a persisted index table ... MERGE
+# accepted docs + their signatures back". The index is ONLY the 8-hash
+# MinHash signature per admitted doc (fixed 8×32 chars — ~10⁻³ of the
+# text at corpus scale); duplicates are detected by LSH band-key
+# collision + signature agreement (matching minhashes >= 4 of 8 ≈
+# estimated Jaccard >= 0.5) — no shingle sets are ever stored or
+# re-read, which is what makes the index practical at 100 TB.
+# Signature-based candidacy is split-independent (each doc's signature
+# depends only on its own text), so incremental admission provably
+# lands on the same survivor set as a full recompute, modulo the same
+# no-retraction divergences the embedding path documents.
+
+_SIG_MATCH_MIN = 4  # of N_HASHES component-wise matches
+
+
+def _text_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh7) MinHash signatures from 3-word shingles —
+    the dedup module's engine-independent md5 family."""
+    from agrobr_spark.queries.dedup import minhash_cols
+
+    sh = (
+        docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3),"
+                    " i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2])))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    return sh.groupBy("doc_id").agg(*minhash_cols())
+
+
+def _sig_band_keys(sigs: DataFrame) -> DataFrame:
+    """Band keys recomputed from a stored signature table (cheap
+    expressions — the index persists only the signatures)."""
+    from agrobr_spark.queries.dedup import lsh_bands
+
+    out = None
+    for b, cols in lsh_bands():
+        banda = sigs.select(
+            "doc_id",
+            F.lit(b).alias("banda"),
+            F.md5(F.concat(*[F.col(c) for c in cols])).alias("chave"),
+        )
+        out = banda if out is None else out.unionByName(banda)
+    return out
+
+
+def _sig_match_pairs(
+    sigs_a: DataFrame, sigs_b: DataFrame, a_lt_b: bool
+) -> DataFrame:
+    """(id_a, id_b) pairs from band-key collision verified by
+    signature agreement (>= _SIG_MATCH_MIN matching minhashes).
+    ``a_lt_b`` restricts to id_a < id_b (self-join mode)."""
+    from agrobr_spark.queries.dedup import N_HASHES
+
+    ba = _sig_band_keys(sigs_a).withColumnRenamed("doc_id", "id_a")
+    bb = _sig_band_keys(sigs_b).withColumnRenamed("doc_id", "id_b")
+    cand = ba.join(bb, ["banda", "chave"]).select("id_a", "id_b").distinct()
+    if a_lt_b:
+        cand = cand.filter(F.col("id_a") < F.col("id_b"))
+    else:
+        cand = cand.filter(F.col("id_a") != F.col("id_b"))
+    sa = sigs_a.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    sb = sigs_b.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_agree", agree)
+        .filter(F.col("_agree") >= _SIG_MATCH_MIN)
+        .select("id_a", "id_b")
+    )
+
+
+def build_text_admission_index(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    cutoff: int | None = None,
+) -> None:
+    """Corpus-side text admission: gates + min-id survivorship over
+    signature-match components; persists admitted docs' SIGNATURES
+    (table ``text_signatures``) and the benchmark shingle set."""
+    cut = int(cutoff) if cutoff is not None else _split_params(spark, sf_dir)[0]
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < cut)
+
+    sigs = _text_signatures(docs)
+    pares = _sig_match_pairs(sigs, sigs, a_lt_b=True)
+    comp = connected_components(pares, "id_a", "id_b")
+    perdedor = comp.filter(F.col("componente") < F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+
+    sh = _doc_shingles(docs)
+    bench = sh.filter(F.col("doc_id") < _BENCH_DOCS).select("shingle").distinct()
+    bench.write.mode("overwrite").parquet(f"{store_dir}/bench_shingles")
+    bench = spark.read.parquet(f"{store_dir}/bench_shingles")
+    contaminado = (
+        sh.filter(F.col("doc_id") >= _BENCH_DOCS)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _CONTAM_HITS)
+    )
+    dec = _decisions(docs, contaminado, [("duplicado", perdedor)])
+    surv_sigs = (
+        dec.filter(F.col("mantido")).select("doc_id").join(sigs, "doc_id")
+    )
+    ParquetStore(spark, f"{store_dir}/text_signatures", ("doc_id",)).overwrite(
+        surv_sigs
+    )
+
+
+def admit_text_frame(
+    spark: SparkSession, docs_b: DataFrame, store_dir: str
+) -> DataFrame:
+    """Admit a batch of documents against the TEXT index only: the
+    batch's own signatures vs the persisted survivor signatures (one
+    band-key equi-join + agreement check), batch-internal components,
+    then MERGE the accepted docs' signatures back."""
+    store = ParquetStore(spark, f"{store_dir}/text_signatures", ("doc_id",))
+    surv_sigs = store.read()
+    bench = spark.read.parquet(f"{store_dir}/bench_shingles")
+
+    contaminado = (
+        _doc_shingles(docs_b)
+        .filter(F.col("doc_id") >= _BENCH_DOCS)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _CONTAM_HITS)
+    )
+    sigs_b = _text_signatures(docs_b)
+    dup_corpus = (
+        _sig_match_pairs(surv_sigs, sigs_b, a_lt_b=False)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    pares_b = _sig_match_pairs(sigs_b, sigs_b, a_lt_b=True)
+    comp_b = connected_components(pares_b, "id_a", "id_b")
+    perdedor_lote = comp_b.filter(F.col("componente") < F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    dec = _decisions(
+        docs_b,
+        contaminado,
+        [("duplicado_corpus", dup_corpus), ("duplicado_lote", perdedor_lote)],
+    )
+    dec = dec.localCheckpoint(eager=True)
+    admitted_sigs = (
+        dec.filter(F.col("mantido")).select("doc_id").join(sigs_b, "doc_id")
+    )
+    store.merge_upsert(admitted_sigs)
+    return dec
+
+
+def _sig_sql_cols(alias: str) -> str:
+    from agrobr_spark.queries.dedup import N_HASHES
+
+    return ", ".join(f"{alias}.mh{i}" for i in range(N_HASHES))
+
+
+def _text_admit_oracle() -> str:
+    from agrobr_spark.queries.dedup import (
+        _MINHASH_SQL_COLS,
+        _SHINGLES_SQL,
+        N_HASHES,
+        lsh_bands,
+    )
+
+    band_sql = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS banda,"
+        f" md5(concat({', '.join(cols)})) AS chave FROM assin"
+        for b, cols in lsh_bands()
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(N_HASHES)
+    )
+    return f"""
+    WITH RECURSIVE
+    lim AS (SELECT CAST(floor({_CUT_FRAC} * (max(doc_id) + 1)) AS BIGINT)
+                   AS corte FROM documents),
+    {_SHINGLES_SQL.strip().rstrip(')')}),
+    assin AS (
+      SELECT doc_id,
+        {_MINHASH_SQL_COLS}
+      FROM sh GROUP BY doc_id),
+    bandas AS (
+{band_sql}),
+    colisao AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandas a JOIN bandas b
+        ON a.banda = b.banda AND a.chave = b.chave
+       AND a.doc_id < b.doc_id),
+    par AS (
+      SELECT c.id_a, c.id_b
+      FROM colisao c
+      JOIN assin sa ON sa.doc_id = c.id_a
+      JOIN assin sb ON sb.doc_id = c.id_b
+      WHERE {agree} >= {_SIG_MATCH_MIN}),
+    par_c AS (SELECT p.id_a, p.id_b FROM par p, lim
+              WHERE p.id_b < lim.corte),
+    arest_c AS (SELECT id_a AS a, id_b AS b FROM par_c
+                UNION SELECT id_b, id_a FROM par_c),
+    alc_c AS (
+      SELECT a AS id, b AS peer FROM arest_c
+      UNION
+      SELECT r.id, e.b FROM alc_c r JOIN arest_c e ON r.peer = e.a),
+    comp_c AS (SELECT id, least(id, min(peer)) AS componente
+               FROM alc_c GROUP BY id),
+    toks5 AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+        string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    sh5 AS (
+      SELECT DISTINCT doc_id,
+             md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])) AS shingle
+      FROM toks5, unnest(range(1, len(t) - 3)) AS r(i)
+      WHERE len(t) >= 5),
+    benchset AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id < {_BENCH_DOCS}),
+    contaminados AS (
+      SELECT s.doc_id FROM sh5 s JOIN benchset b ON s.shingle = b.shingle
+      WHERE s.doc_id >= {_BENCH_DOCS}
+      GROUP BY s.doc_id HAVING count(*) >= {_CONTAM_HITS}),
+    dec_c AS (
+      SELECT tk.doc_id,
+        CASE WHEN tk.n_tokens < {_MIN_TOKENS} THEN 'curto'
+             WHEN tk.doc_id IN (SELECT doc_id FROM contaminados)
+               THEN 'contaminado'
+             WHEN tk.doc_id IN (SELECT id FROM comp_c WHERE componente < id)
+               THEN 'duplicado'
+             ELSE 'mantido' END AS motivo
+      FROM toks5 tk, lim WHERE tk.doc_id < lim.corte),
+    surv AS (SELECT doc_id FROM dec_c WHERE motivo = 'mantido'),
+    dup_corpus AS (
+      SELECT DISTINCT p.id_b AS doc_id FROM par p, lim
+      WHERE p.id_a IN (SELECT doc_id FROM surv) AND p.id_b >= lim.corte),
+    par_b AS (SELECT p.id_a, p.id_b FROM par p, lim
+              WHERE p.id_a >= lim.corte),
+    arest_b AS (SELECT id_a AS a, id_b AS b FROM par_b
+                UNION SELECT id_b, id_a FROM par_b),
+    alc_b AS (
+      SELECT a AS id, b AS peer FROM arest_b
+      UNION
+      SELECT r.id, e.b FROM alc_b r JOIN arest_b e ON r.peer = e.a),
+    comp_b AS (SELECT id, least(id, min(peer)) AS componente
+               FROM alc_b GROUP BY id)
+    SELECT tk.doc_id,
+      CASE WHEN tk.n_tokens < {_MIN_TOKENS} THEN 'curto'
+           WHEN tk.doc_id IN (SELECT doc_id FROM contaminados)
+             THEN 'contaminado'
+           WHEN tk.doc_id IN (SELECT doc_id FROM dup_corpus)
+             THEN 'duplicado_corpus'
+           WHEN tk.doc_id IN (SELECT id FROM comp_b WHERE componente < id)
+             THEN 'duplicado_lote'
+           ELSE 'mantido' END AS motivo,
+      CASE WHEN tk.n_tokens >= {_MIN_TOKENS}
+            AND tk.doc_id NOT IN (SELECT doc_id FROM contaminados)
+            AND tk.doc_id NOT IN (SELECT doc_id FROM dup_corpus)
+            AND tk.doc_id NOT IN (SELECT id FROM comp_b WHERE componente < id)
+           THEN TRUE ELSE FALSE END AS mantido
+    FROM toks5 tk, lim WHERE tk.doc_id >= lim.corte
+"""
+
+
+@register(
+    "pipeline_admit_text",
+    oracle=_text_admit_oracle(),
+    tags=("PIPELINE", "ADMISSION", "INCREMENTAL", "MINHASH", "SCALE_DEFAULT"),
+)
+def pipeline_admit_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental TEXT admission end to end — the signature-index
+    variant: the persisted state is nothing but 8 minhashes per
+    admitted doc, the batch anti-joins its own signatures against that
+    index on LSH band keys, and accepted docs' signatures MERGE back.
+    Because signatures depend only on each doc's own text, candidate
+    pairs are split-independent and incremental admission provably
+    matches full recompute under min-id survivorship
+    (tests/test_admission.py::test_text_incremental_equals_full).
+    Complementary to pipeline_admit_batch's embedding gates — a real
+    pipeline runs the cheap text pass first, the vector pass on what
+    survives."""
+    import tempfile
+
+    from agrobr_spark.store.fs import delete_path
+
+    store_dir = tempfile.mkdtemp(prefix="admit_txt_")
+    try:
+        build_text_admission_index(spark, sf_dir, store_dir)
+        cut = _split_params(spark, sf_dir)[0]
+        docs_b = load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") >= cut
+        )
+        dec = admit_text_frame(spark, docs_b, store_dir)
+        return dec.localCheckpoint(eager=True)
+    finally:
+        delete_path(spark, store_dir)

@@ -156,3 +156,46 @@ def test_no_retraction_divergence_demo(spark):
             build_admission_index(spark, fx, d, cutoff=200, n_centroids=1)
             # full recompute chains C -> B -> A: only A survives
             assert _surv_ids(spark, d) == {0}
+
+
+def test_text_incremental_equals_full(spark):
+    """The signature-index path's equivalence is STRONGER than the
+    embedding path's: band keys and signatures depend only on each
+    doc's own text (no corpus-fit blocking state), so candidate pairs
+    are split-independent by construction and incremental admission
+    must land on exactly the full-recompute survivor set."""
+    from agrobr_spark.queries.admission import (
+        admit_text_frame,
+        build_text_admission_index,
+    )
+
+    sf_dir = SF_SMOKE
+    cut, _ = _split_params(spark, sf_dir)
+    max_id = (
+        load(spark, sf_dir, "documents").agg(F.max("doc_id")).collect()[0][0]
+    )
+
+    def surv(d):
+        return {
+            r["doc_id"]
+            for r in ParquetStore(
+                spark, f"{d}/text_signatures", ("doc_id",)
+            ).read().collect()
+        }
+
+    with tempfile.TemporaryDirectory(prefix="admt_inc_") as d:
+        build_text_admission_index(spark, sf_dir, d)
+        docs_b = load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") >= cut
+        )
+        dec = admit_text_frame(spark, docs_b, d)
+        kept_inc = surv(d)
+        batch_kept = {
+            r["doc_id"] for r in dec.filter(F.col("mantido")).collect()
+        }
+    with tempfile.TemporaryDirectory(prefix="admt_full_") as d:
+        build_text_admission_index(spark, sf_dir, d, cutoff=int(max_id) + 1)
+        kept_full = surv(d)
+
+    assert kept_inc == kept_full
+    assert batch_kept == {i for i in kept_inc if i >= cut}
