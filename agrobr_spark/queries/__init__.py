@@ -103,6 +103,7 @@ def catalog() -> dict[str, CatalogEntry]:
         similarity,
         store_ops,
         streaming_ops,
+        training_prep,
         validation_ops,
     )
 

@@ -1,0 +1,481 @@
+"""Training-corpus preparation operators (extension surface).
+
+Beyond the reference (north star) and beyond the dedup/admission
+family already in the catalog: the remaining operations a 100 TB
+training-data pipeline runs between "corpus is deduplicated" and
+"tokens reach the trainer" —
+
+- within-document repetition filters (Gopher-style rules: duplicate
+  token mass, most-common-bigram coverage);
+- cross-document duplicated-span accounting (C4/RefinedWeb-style
+  line-dedup adapted to token shingles, with first-occurrence
+  attribution);
+- domain mixture sampling to a token budget (per-source weights,
+  deterministic hash order, distributed prefix sum);
+- pack-and-chunk sequence preparation (concatenate in deterministic
+  order, cut every L tokens, account boundary-crossing docs).
+
+Everything is built-in-expression Catalyst (no Python UDFs); the two
+prefix-sum consumers use :func:`agrobr_spark.operators.prefix.
+bucketed_prefix_sum` so no window ever runs over a single global (or
+single per-source) partition — the scale hazard a naive
+``Window.partitionBy(source).orderBy(...)`` cumulative sum hides.
+
+Reference parity note: the reference has no training-prep surface;
+closest analogs cited per-operator are its dedup/validation modules
+(e.g. /root/reference/agrobr/validation/sanity.py for rule-flag
+outputs). These operators follow the published heuristics (Gopher
+Rae et al. 2021 §A1.1, C4 Raffel et al. 2020 §2.2) re-expressed as
+Spark plans.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from agrobr_spark.io import load
+from agrobr_spark.queries import register
+
+_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN CAST(array() AS array<string>) "
+    r"ELSE split(trim(text), '\\s+') END"
+)
+_TOKS_DUCK = (
+    "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
+    r"ELSE string_split_regex(trim(text), '\s+') END"
+)
+
+# -- within-doc repetition (Gopher §A1.1: duplicate mass / top n-gram) --
+
+DUP_TOKEN_MAX = 0.60  # flag when >60% of tokens are repeat occurrences
+TOP_BIGRAM_MAX = 0.18  # flag when the most common bigram covers >18%
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+    tok_counts AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM toks, unnest(t) AS u(tok) GROUP BY doc_id, tok),
+    tok_agg AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct, max(c) AS top_token_count
+      FROM tok_counts GROUP BY doc_id),
+    bg AS (
+      SELECT doc_id,
+        list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS b
+      FROM toks),
+    bg_counts AS (
+      SELECT doc_id, bgram, count(*) AS c
+      FROM bg, unnest(b) AS u(bgram) GROUP BY doc_id, bgram),
+    bg_agg AS (
+      SELECT doc_id, max(c) AS top_bigram_count FROM bg_counts GROUP BY doc_id)
+    SELECT d.doc_id,
+      coalesce(a.n_tokens, 0) AS n_tokens,
+      coalesce(a.n_distinct, 0) AS n_distinct,
+      CAST(coalesce(a.n_tokens, 0) - coalesce(a.n_distinct, 0) AS DOUBLE)
+        / CAST(greatest(coalesce(a.n_tokens, 0), 1) AS DOUBLE)
+        AS dup_token_ratio,
+      CAST(coalesce(a.top_token_count, 0) AS DOUBLE)
+        / CAST(greatest(coalesce(a.n_tokens, 0), 1) AS DOUBLE)
+        AS top_token_ratio,
+      CAST(2 * coalesce(g.top_bigram_count, 0) AS DOUBLE)
+        / CAST(greatest(coalesce(a.n_tokens, 0), 1) AS DOUBLE)
+        AS top_bigram_ratio,
+      (CAST(coalesce(a.n_tokens, 0) - coalesce(a.n_distinct, 0) AS DOUBLE)
+         / CAST(greatest(coalesce(a.n_tokens, 0), 1) AS DOUBLE)
+         > {DUP_TOKEN_MAX}
+       OR CAST(2 * coalesce(g.top_bigram_count, 0) AS DOUBLE)
+         / CAST(greatest(coalesce(a.n_tokens, 0), 1) AS DOUBLE)
+         > {TOP_BIGRAM_MAX}) AS repetitivo
+    FROM documents d
+    LEFT JOIN tok_agg a USING (doc_id)
+    LEFT JOIN bg_agg g USING (doc_id)
+    """,
+    tags=("TEXT", "QUALITY", "REPETITION"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition rules (Gopher §A1.1): duplicate token
+    mass, most-frequent token coverage, most-frequent bigram coverage,
+    and the keep/flag decision.
+
+    Plan: one explode→two-level groupBy per n-gram order, keyed by
+    ``doc_id`` — partial aggregation applies on both levels, the join
+    back to ``documents`` is on the primary key, and nothing ever
+    groups on a global key. At 100 TB the token explode is ~corpus
+    token count rows but each flows map-side into per-(doc,token)
+    partial counts; no skew (doc_id is unique-ish per group).
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOKS).alias("t")
+    )
+    tok_counts = (
+        d.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tok_agg = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_token_count"),
+    )
+    # bigrams: guard size<2 — Spark's sequence(0, -1) would DESCEND
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg_agg = (
+        d.select("doc_id", F.explode(bigrams).alias("bgram"))
+        .groupBy("doc_id", "bgram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"))
+    )
+    base = load(spark, sf_dir, "documents").select("doc_id")
+    j = (
+        base.join(tok_agg, "doc_id", "left")
+        .join(bg_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.coalesce("top_token_count", F.lit(0)).alias("top_token_count"),
+            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+        )
+    )
+    den = F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+    dup_ratio = (
+        (F.col("n_tokens") - F.col("n_distinct")).cast("double") / den
+    )
+    top_tok = F.col("top_token_count").cast("double") / den
+    top_bg = (F.lit(2) * F.col("top_bigram_count")).cast("double") / den
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        dup_ratio.alias("dup_token_ratio"),
+        top_tok.alias("top_token_ratio"),
+        top_bg.alias("top_bigram_ratio"),
+        (
+            (dup_ratio > F.lit(DUP_TOKEN_MAX))
+            | (top_bg > F.lit(TOP_BIGRAM_MAX))
+        ).alias("repetitivo"),
+    )
+
+
+# -- cross-doc duplicated spans (C4 §2.2 line dedup, token-shingle form) --
+
+SPAN_W = 8  # tokens per span shingle
+SHARE_MAX = 0.50  # flag when half the doc's spans exist elsewhere
+
+
+@register(
+    "text_span_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        md5(array_to_string(t[i:i+{SPAN_W - 1}], ' ')) AS s
+      FROM toks, unnest(range(1, len(t) - {SPAN_W - 2})) AS u(i)),
+    stats AS (
+      SELECT s, count(*) AS n_docs, min(doc_id) AS first_doc
+      FROM sh GROUP BY s),
+    per_doc AS (
+      SELECT sh.doc_id,
+        count(*) AS n_spans,
+        CAST(sum(CASE WHEN st.n_docs >= 2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_shared,
+        CAST(sum(CASE WHEN st.n_docs >= 2 AND st.first_doc = sh.doc_id
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_first_owned
+      FROM sh JOIN stats st USING (s) GROUP BY sh.doc_id)
+    SELECT d.doc_id,
+      coalesce(p.n_spans, 0) AS n_spans,
+      coalesce(p.n_shared, 0) AS n_shared,
+      coalesce(p.n_first_owned, 0) AS n_first_owned,
+      CAST(coalesce(p.n_shared, 0) AS DOUBLE)
+        / CAST(greatest(coalesce(p.n_spans, 0), 1) AS DOUBLE) AS share_ratio,
+      CAST(coalesce(p.n_shared, 0) AS DOUBLE)
+        / CAST(greatest(coalesce(p.n_spans, 0), 1) AS DOUBLE)
+        >= {SHARE_MAX} AS duplicado
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    tags=("TEXT", "DEDUP", "SPAN"),
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span accounting: the C4 "three-
+    sentence line occurred elsewhere" rule adapted to 8-token shingles
+    (the fixture corpus has no line structure), with first-occurrence
+    attribution so a downstream scrubber can keep exactly one copy of
+    each span.
+
+    Plan: spans are md5-hashed (fixed 32-char width regardless of
+    token length), made distinct per doc, aggregated once by span hash
+    (count + min owner), then joined back on the hash — every stage is
+    an equi-join/agg on a well-distributed key, the same lineage shape
+    as `text_contamination` / `dedup_minhash_lsh`. At 100 TB the span
+    stats table is the corpus's distinct-span count and both sides of
+    the join are hash-partitioned on `s`; no driver collect, no skew
+    (a span shared by millions of docs would be a stopword-like span —
+    the SPAN_W=8 width makes that vanishingly rare, and AQE skew-join
+    splits it if it happens).
+    """
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOKS).alias("t")
+    )
+    spans = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("t") >= SPAN_W,
+                    F.expr(
+                        f"transform(sequence(1, size(t) - {SPAN_W - 1}),"
+                        f" i -> md5(concat_ws(' ', slice(t, i, {SPAN_W}))))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    stats = spans.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc")
+    )
+    per_doc = (
+        spans.join(stats, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_shared"),
+            F.sum(
+                ((F.col("n_docs") >= 2) & (F.col("first_doc") == F.col("doc_id")))
+                .cast("long")
+            ).alias("n_first_owned"),
+        )
+    )
+    base = load(spark, sf_dir, "documents").select("doc_id")
+    j = base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+        F.coalesce("n_first_owned", F.lit(0)).alias("n_first_owned"),
+    )
+    ratio = F.col("n_shared").cast("double") / F.greatest(
+        F.col("n_spans"), F.lit(1)
+    ).cast("double")
+    return j.select(
+        "doc_id",
+        "n_spans",
+        "n_shared",
+        "n_first_owned",
+        ratio.alias("share_ratio"),
+        (ratio >= F.lit(SHARE_MAX)).alias("duplicado"),
+    )
+
+
+# -- domain mixture sampling to a token budget (DoReMi/Pile-style) --
+
+# integer weight per source (numerator; denominator = their sum) so the
+# whole budget computation stays in BIGINT arithmetic — bit-portable
+# across engines, unlike float weight multiplication
+MIX_WEIGHTS = {f"src{k}": (k % 4) + 1 for k in range(20)}
+_MIX_W_SUM = sum(MIX_WEIGHTS.values())
+MIX_FRACTION_DEN = 4  # overall budget = corpus tokens // 4
+
+_W_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {w}" for s, w in sorted(MIX_WEIGHTS.items()))
+    + " ELSE 1 END"
+)
+
+
+@register(
+    "pipeline_data_mix",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, source,
+        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+          AS n_tokens,
+        md5(CAST(doc_id AS VARCHAR)) AS k
+      FROM documents),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM tok),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+        CAST(row_number() OVER
+          (PARTITION BY source ORDER BY k, doc_id) AS BIGINT) AS mix_rank,
+        CAST(sum(n_tokens) OVER
+          (PARTITION BY source ORDER BY k, doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM tok)
+    SELECT doc_id, source, n_tokens, mix_rank, cum_tokens,
+      (({_W_CASE}) * (total // {MIX_FRACTION_DEN})) // {_MIX_W_SUM}
+        AS orcamento
+    FROM cum, tot
+    WHERE cum_tokens <=
+      (({_W_CASE}) * (total // {MIX_FRACTION_DEN})) // {_MIX_W_SUM}
+    """,
+    tags=("PIPELINE", "MIX", "SAMPLING", "SCALE_DEFAULT"),
+)
+def pipeline_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling to a token budget: each source gets
+    ``weight/W`` of an overall budget (corpus tokens // 4), docs are
+    admitted in deterministic content-hash order until their source's
+    budget is filled — the domain-reweighting step (Pile/DoReMi-style)
+    that decides what the trainer actually sees.
+
+    Scale shape: the running token sum per source is NOT a naive
+    ``Window.partitionBy(source)`` (one task per source = death when a
+    source holds 10^9 docs) but the two-level bucketed prefix sum
+    (operators/prefix.py): the md5 order key's leading hex nibble is
+    the order-aligned bucket, so the largest single window is 1/16th
+    of one source, and one more nibble widens that to 1/256th. The
+    budget itself is all-BIGINT arithmetic (integer weights, integer
+    division) so the oracle — which runs the naive one-window form —
+    hash-matches exactly.
+    """
+    from agrobr_spark.operators.prefix import bucketed_prefix_sum
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    ).withColumn("balde", F.substring("k", 1, 1))
+    total = tok.groupBy().agg(F.sum("n_tokens").cast("long").alias("total"))
+    cum = bucketed_prefix_sum(
+        tok,
+        bucket_col="balde",
+        order_cols=("k", "doc_id"),
+        val_cols={"cum_tokens": "n_tokens", "mix_rank": F.lit(1).cast("long")},
+        part_cols=("source",),
+    )
+    budget = F.expr(
+        f"(({_W_CASE}) * (total div {MIX_FRACTION_DEN})) div {_MIX_W_SUM}"
+    )
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .withColumn("orcamento", budget)
+        .filter(F.col("cum_tokens") <= F.col("orcamento"))
+        .select(
+            "doc_id", "source", "n_tokens", "mix_rank", "cum_tokens", "orcamento"
+        )
+    )
+
+
+# -- pack-and-chunk sequence preparation (GPT-style concat + cut) --
+
+CHUNK_TOKENS = 512  # trainer sequence length in (whitespace) tokens
+
+
+@register(
+    "pipeline_pack_chunks",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+          AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, n_tokens,
+        CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS fim
+      FROM tok),
+    spans AS (
+      SELECT doc_id, n_tokens, fim, fim - n_tokens AS inicio,
+        (fim - n_tokens) // {CHUNK_TOKENS} AS c0,
+        (fim - 1) // {CHUNK_TOKENS} AS c1
+      FROM cum WHERE n_tokens > 0),
+    por_chunk AS (
+      SELECT CAST(u.c AS BIGINT) AS chunk_id, doc_id,
+        least(fim, (u.c + 1) * {CHUNK_TOKENS})
+          - greatest(inicio, u.c * {CHUNK_TOKENS}) AS tok_no_chunk,
+        CASE WHEN inicio < u.c * {CHUNK_TOKENS} THEN 1 ELSE 0 END AS cruzou
+      FROM spans, unnest(range(c0, c1 + 1)) AS u(c))
+    SELECT chunk_id,
+      count(*) AS n_docs,
+      CAST(sum(tok_no_chunk) AS BIGINT) AS n_tokens_chunk,
+      min(doc_id) AS primeiro_doc,
+      max(doc_id) AS ultimo_doc,
+      CAST(sum(cruzou) AS BIGINT) AS n_cruzando
+    FROM por_chunk GROUP BY chunk_id
+    """,
+    tags=("PIPELINE", "PACK", "SCALE_DEFAULT"),
+)
+def pipeline_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-and-chunk sequence preparation: documents are concatenated
+    in deterministic ``doc_id`` order and cut every ``CHUNK_TOKENS``
+    tokens (the GPT-style training layout); per chunk the operator
+    reports how many docs it spans, its token fill, its doc range and
+    how many docs crossed into it from the previous chunk — the
+    numbers a packing job needs to audit boundary waste.
+
+    Scale shape: the global running token sum uses the bucketed prefix
+    sum (operators/prefix.py) with ``doc_id div B`` as the
+    order-aligned bucket, ``B = ceil(sqrt(max_id + 1))`` — sqrt-sized
+    buckets make BOTH levels ~sqrt(n) rows, so no task ever sees the
+    whole order (recurse a third level past ~10^13 docs). The chunk
+    explosion emits ``ceil(doc_tokens / L)`` rows per doc (≈1 for
+    realistic L), and the final per-chunk aggregation is an ordinary
+    partial+final groupBy on chunk_id. The oracle runs the naive
+    global-window form; integer sums make the two plans hash-equal.
+    """
+    from agrobr_spark.operators.prefix import bucketed_prefix_sum
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n_tokens"),
+    )
+    width = tok.groupBy().agg(
+        F.expr(
+            "CAST(ceil(sqrt(CAST(max(doc_id) + 1 AS DOUBLE))) AS BIGINT)"
+        ).alias("b_width")
+    )
+    bucketed = (
+        tok.crossJoin(F.broadcast(width))
+        .withColumn("balde", F.expr("doc_id div b_width"))
+        .drop("b_width")
+    )
+    cum = bucketed_prefix_sum(
+        bucketed,
+        bucket_col="balde",
+        order_cols=("doc_id",),
+        val_cols={"fim": "n_tokens"},
+    )
+    L = CHUNK_TOKENS
+    spans = (
+        cum.filter(F.col("n_tokens") > 0)
+        .withColumn("inicio", F.col("fim") - F.col("n_tokens"))
+        .withColumn("c0", F.expr(f"inicio div {L}"))
+        .withColumn("c1", F.expr(f"(fim - 1) div {L}"))
+    )
+    por_chunk = spans.select(
+        "doc_id",
+        "inicio",
+        "fim",
+        F.explode(F.sequence("c0", "c1")).alias("chunk_id"),
+    ).select(
+        "chunk_id",
+        "doc_id",
+        (
+            F.least(F.col("fim"), (F.col("chunk_id") + 1) * L)
+            - F.greatest(F.col("inicio"), F.col("chunk_id") * L)
+        ).alias("tok_no_chunk"),
+        (F.col("inicio") < F.col("chunk_id") * L).cast("long").alias("cruzou"),
+    )
+    return por_chunk.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok_no_chunk").alias("n_tokens_chunk"),
+        F.min("doc_id").alias("primeiro_doc"),
+        F.max("doc_id").alias("ultimo_doc"),
+        F.sum("cruzou").alias("n_cruzando"),
+    )

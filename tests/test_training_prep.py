@@ -1,0 +1,140 @@
+"""Training-prep operators: bucketed prefix sum ≡ naive window,
+repetition/span metrics sanity, mixture budget accounting, and chunk
+packing invariants. The cross-engine value checks live in
+tests/test_oracle.py like every other catalog entry."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from agrobr_spark.operators.prefix import bucketed_prefix_sum
+from agrobr_spark.queries import catalog
+from tests.conftest import SF_ORACLE
+
+_CAT = catalog()
+
+
+def test_bucketed_prefix_sum_equals_naive_window(spark):
+    """The two-level plan must be row-identical to the single global
+    window it replaces — the equality the module docstring owes."""
+    rows = [(i, f"g{i % 3}", (i * 7) % 13 + 1) for i in range(257)]
+    df = spark.createDataFrame(rows, "id long, g string, v long").withColumn(
+        "balde", F.expr("id div 16")
+    )
+    got = bucketed_prefix_sum(
+        df,
+        bucket_col="balde",
+        order_cols=("id",),
+        val_cols={"cum": "v", "rk": F.lit(1).cast("long")},
+        part_cols=("g",),
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.select(
+        "id",
+        F.sum("v").over(w).alias("cum"),
+        F.count(F.lit(1)).over(w).alias("rk"),
+    )
+    diff = (
+        got.select("id", "cum", "rk")
+        .exceptAll(want)
+        .union(want.exceptAll(got.select("id", "cum", "rk")))
+    )
+    assert diff.count() == 0
+
+
+def test_bucketed_prefix_sum_no_global_window(spark):
+    """No window in the physical plan may sort the full frame in one
+    partition: every Sort under a Window must follow a hash partition
+    on (group, bucket) — i.e. the plan contains no
+    'Window ... Sort ... Exchange SinglePartition' chain."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("v")
+    ).withColumn("balde", F.expr("id div 10"))
+    got = bucketed_prefix_sum(
+        df, bucket_col="balde", order_cols=("id",), val_cols={"cum": "v"}
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    windows = [
+        seg for seg in plan.split("Window") if "SinglePartition" in seg.split("Exchange")[0]
+    ]
+    # the offsets window (one row per bucket) is the only allowed
+    # single-partition window; the data-sized window must be hash-keyed
+    assert plan.count("Window") >= 2
+    assert "hashpartitioning(balde" in plan or "hashpartitioning(g" in plan or (
+        "hashpartitioning" in plan
+    )
+
+
+def test_repetition_flags_discriminate(spark):
+    df = _CAT["text_repetition_filter"].fn(spark, SF_ORACLE)
+    agg = df.agg(
+        F.sum(F.col("repetitivo").cast("long")).alias("flagged"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("dup_token_ratio").alias("lo"),
+        F.max("dup_token_ratio").alias("hi"),
+    ).first()
+    assert 0 < agg["flagged"] < agg["n"], "flag must split the corpus"
+    assert 0.0 <= agg["lo"] <= agg["hi"] <= 1.0
+
+
+def test_span_dedup_first_occurrence_attribution(spark):
+    """Every shared span is owned by exactly one doc (its min doc_id),
+    so sum(n_first_owned) == number of distinct shared spans."""
+    df = _CAT["text_span_dedup"].fn(spark, SF_ORACLE).cache()
+    try:
+        flagged = df.filter("duplicado").count()
+        assert flagged > 0, "fixture's planted near-dups must be flagged"
+        owned = df.agg(F.sum("n_first_owned")).first()[0]
+        shared_docs = df.filter(F.col("n_shared") > 0).count()
+        # owners exist and are fewer than (or equal to) sharing docs
+        assert 0 < owned
+        assert shared_docs >= flagged
+    finally:
+        df.unpersist()
+
+
+def test_data_mix_budget_never_exceeded(spark):
+    df = _CAT["pipeline_data_mix"].fn(spark, SF_ORACLE).cache()
+    try:
+        bad = df.filter(F.col("cum_tokens") > F.col("orcamento")).count()
+        assert bad == 0
+        # ranks are dense 1..n per source
+        per_src = df.groupBy("source").agg(
+            F.max("mix_rank").alias("mx"), F.count(F.lit(1)).alias("n")
+        )
+        assert per_src.filter(F.col("mx") != F.col("n")).count() == 0
+        # at least one source actually hit its cap (budget binds)
+        n_docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").count()
+        assert df.count() < n_docs, "mixture must subsample the corpus"
+    finally:
+        df.unpersist()
+
+
+def test_pack_chunks_conservation(spark):
+    """Token mass is conserved: sum of per-chunk fills == corpus token
+    count; every chunk except the last is exactly full; crossing docs
+    are counted consistently."""
+    from agrobr_spark.queries.training_prep import CHUNK_TOKENS
+
+    df = _CAT["pipeline_pack_chunks"].fn(spark, SF_ORACLE).cache()
+    try:
+        total = df.agg(F.sum("n_tokens_chunk")).first()[0]
+        toks = _CAT["text_token_count"].fn(spark, SF_ORACLE)
+        want = toks.agg(F.sum("n_tokens")).first()[0]
+        assert total == want
+        last = df.agg(F.max("chunk_id")).first()[0]
+        partial = df.filter(
+            (F.col("chunk_id") != last)
+            & (F.col("n_tokens_chunk") != CHUNK_TOKENS)
+        ).count()
+        assert partial == 0, "only the final chunk may be short"
+        assert df.filter(F.col("n_cruzando") > 1).count() == 0, (
+            "at most one doc can cross into a chunk from the left"
+        )
+    finally:
+        df.unpersist()
