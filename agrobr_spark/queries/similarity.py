@@ -204,3 +204,179 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("posicao") <= TOP_K)
         .select("query_id", "vec_id", "label", "posicao", "cosseno")
     )
+
+
+# -- random-hyperplane LSH (multi-table SimHash-for-vectors) ANN: the
+#    data-independent scale path next to IVF --
+
+N_TABLES = 4  # independent hash tables; candidates are unioned
+N_PLANES = 6  # bits per table (2^6 buckets each)
+EMB_DIM = 64
+
+
+def _rp_sign(t: int, j: int, d: int) -> float:
+    """Deterministic pseudo-random ±1 for table t, plane j, dim d,
+    derived from md5 so BOTH engines see the same literal constant
+    matrix (the planes are baked into the query text — no runtime
+    hashing)."""
+    import hashlib
+
+    h = hashlib.md5(f"rp-{t}-{j}-{d}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+
+RP_TABLES = [
+    [[_rp_sign(t, j, d) for d in range(EMB_DIM)] for j in range(N_PLANES)]
+    for t in range(N_TABLES)
+]
+
+
+def _rp_bucket_spark(t: int, col: str = "embedding") -> str:
+    """Spark SQL expression for table t's bucket id: sum of sign bits;
+    each bit is the 6-dp-rounded hyperplane dot's sign (the rounding
+    keeps the bit — hence the bucket — identical across engines)."""
+    bits = []
+    for j, plane in enumerate(RP_TABLES[t]):
+        arr = "array(" + ", ".join(f"{s}D" for s in plane) + ")"
+        dot = _DOT.format(a=col, b=arr)
+        bits.append(f"(CASE WHEN round({dot}, 6) >= 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def _rp_bucket_duck(t: int, col: str) -> str:
+    bits = []
+    for j, plane in enumerate(RP_TABLES[t]):
+        arr = "[" + ", ".join(str(s) for s in plane) + "]::DOUBLE[]"
+        dot = f"list_dot_product({col}, {arr})"
+        bits.append(f"(CASE WHEN round({dot}, 6) >= 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def _probes(bucket: str) -> list[str]:
+    """Own bucket + all Hamming-1 neighbors (multiprobe radius 1)."""
+    return [bucket] + [f"({bucket}) ^ {1 << j}" for j in range(N_PLANES)]
+
+
+def _rp_oracle() -> str:
+    base_tabs = " UNION ALL ".join(
+        f"SELECT {t} AS tabela, vec_id, label, ev,"
+        f" {_rp_bucket_duck(t, 'ev')} AS balde FROM vecs"
+        for t in range(N_TABLES)
+    )
+    probe_tabs = " UNION ALL ".join(
+        f"SELECT {t} AS tabela, vec_id AS query_id, ev AS qv,"
+        f" unnest([b, {', '.join(f'xor(b, {1 << j})' for j in range(N_PLANES))}])"
+        f" AS sonda FROM (SELECT vec_id, ev, {_rp_bucket_duck(t, 'ev')} AS b"
+        f" FROM vecs WHERE vec_id < {N_QUERIES})"
+        for t in range(N_TABLES)
+    )
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev
+      FROM embeddings),
+    base AS ({base_tabs}),
+    sondas AS ({probe_tabs}),
+    candidatos AS (
+      SELECT DISTINCT s.query_id, b.vec_id, b.label
+      FROM sondas s JOIN base b
+        ON b.tabela = s.tabela AND b.balde = s.sonda
+      WHERE b.vec_id <> s.query_id),
+    pares AS (
+      SELECT c.query_id, c.vec_id, c.label,
+        round(
+          list_dot_product(q.ev, v.ev)
+            / nullif(sqrt(list_dot_product(q.ev, q.ev))
+                     * sqrt(list_dot_product(v.ev, v.ev)), 0),
+          6) AS cosseno
+      FROM candidatos c
+      JOIN vecs q ON q.vec_id = c.query_id
+      JOIN vecs v ON v.vec_id = c.vec_id),
+    rk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosseno DESC, vec_id) AS posicao
+      FROM pares)
+    SELECT query_id, vec_id, label, posicao, cosseno
+    FROM rk WHERE posicao <= {TOP_K}
+    """
+
+
+@register(
+    "sim_rp_lsh_ann",
+    oracle=_rp_oracle(),
+    tags=("SIMILARITY", "ANN", "LSH", "SCALE_DEFAULT"),
+)
+def sim_rp_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (Charikar 2002 SimHash for vectors,
+    Indyk-Motwani multi-table form): N_TABLES independent 6-bit
+    signatures from fixed ±1 hyperplanes (md5-derived constants baked
+    into the plan), queries probe each table's own bucket plus its
+    Hamming-1 neighbors, candidates are unioned across tables and
+    deduplicated, and only candidates are scored exactly.
+
+    Why it exists next to `sim_ivf_ann`: the bucketing is
+    DATA-INDEPENDENT — no centroid fit, so a new batch is assigned by
+    pure projection (the property the incremental admission path
+    wants) and the hash of a vector never changes as the corpus grows.
+    Candidate generation is an equi-join on (tabela, balde); the
+    dedup is one shuffle on (query_id, vec_id); at 100 TB the corpus
+    side is written bucketed by (tabela, balde) so probes are
+    partition-pruned, and recall dials are N_TABLES / N_PLANES /
+    probe radius exactly as in published LSH practice.
+
+    Honesty note on measured recall: the fixture embeddings are
+    near-isotropic (top-10 neighbors at cos≈0.3 vs median 0 — close
+    to the hardest case for angle hashing), where these constants
+    measure recall@10 ≈ 0.70 while scanning ≈ 38% of the corpus; on a
+    synthetic clustered corpus the same constants exceed 0.9 recall
+    (tests/test_operators.py::test_rp_lsh_recall_*). IVF's fitted
+    centroids adapt to the data and win on recall-per-candidate here;
+    LSH wins on incrementality and fit-free operation.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.posexplode(
+            F.array(*[F.expr(_rp_bucket_spark(t)) for t in range(N_TABLES)])
+        ).alias("tabela", "balde"),
+    )
+    probes = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.array(*[F.expr(p) for p in _probes(_rp_bucket_spark(t))])
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("tabela_q", "sondas"),
+    ).select(
+        "query_id", "qv", "tabela_q", F.explode("sondas").alias("sonda")
+    )
+    candidatos = (
+        base.join(
+            F.broadcast(probes),
+            (F.col("tabela") == F.col("tabela_q"))
+            & (F.col("balde") == F.col("sonda")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", "vec_id", "label", "embedding")
+        .distinct()
+    )
+    qcos = F.round(
+        F.expr(_DOT.format(a="qv", b="embedding"))
+        / F.nullif(
+            F.expr(_NORM.format(a="qv")) * F.expr(_NORM.format(a="embedding")),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("cosseno").desc(), "vec_id")
+    return (
+        candidatos.select("query_id", "vec_id", "label", qcos.alias("cosseno"))
+        .withColumn("posicao", F.row_number().over(w_rank))
+        .filter(F.col("posicao") <= TOP_K)
+        .select("query_id", "vec_id", "label", "posicao", "cosseno")
+    )

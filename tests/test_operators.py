@@ -524,3 +524,63 @@ def test_connected_components_shortcut_equals_plain(spark):
         for r in connected_components(df, "a", "b", shortcut=False).collect()
     }
     assert fast == plain
+
+
+def test_rp_lsh_recall_on_fixture(spark):
+    """Multi-table random-hyperplane LSH on the near-isotropic fixture
+    corpus (top-10 neighbors at cos≈0.3 — close to the hardest case
+    for angle hashing): the measured operating point is ~0.7 recall;
+    floor at 0.6 to catch constant/plane regressions."""
+    from agrobr_spark.queries.similarity import sim_cosine_topk, sim_rp_lsh_ann
+
+    sf_dir = "/root/testdata/sf0.001"
+    exact = sim_cosine_topk(spark, sf_dir).collect()
+    approx = sim_rp_lsh_ann(spark, sf_dir).collect()
+    truth: dict[int, set] = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    got: dict[int, set] = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    assert set(got) == set(truth)
+    recalls = [len(truth[q] & got[q]) / len(truth[q]) for q in truth]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_rp_lsh_recall_on_clustered_corpus(spark, tmp_path):
+    """On an actually-clustered corpus (what real embedding spaces
+    look like) the same baked constants must exceed 0.9 recall — the
+    honest counterpart to the isotropic-fixture floor above."""
+    import math
+    import random
+
+    from agrobr_spark.queries.similarity import (
+        EMB_DIM,
+        sim_cosine_topk,
+        sim_rp_lsh_ann,
+    )
+
+    rng = random.Random(7)
+    cents = [
+        [rng.gauss(0, 1) for _ in range(EMB_DIM)] for _ in range(10)
+    ]
+    rows = []
+    for i in range(400):
+        c = cents[i % 10]
+        v = [x + 0.25 * rng.gauss(0, 1) for x in c]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [float(x / n) for x in v], i % 10))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    exact = sim_cosine_topk(spark, str(tmp_path)).collect()
+    approx = sim_rp_lsh_ann(spark, str(tmp_path)).collect()
+    truth: dict[int, set] = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    got: dict[int, set] = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
