@@ -94,3 +94,138 @@ def read_verified(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     if h != meta["content_sha256_xor"]:
         raise ValueError("content hash mismatch: data was modified")
     return df, meta
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    key_col: str,
+    n_shards: int,
+    fmt: str = "parquet",
+    token_col: str | None = None,
+    max_records_per_file: int | None = None,
+) -> dict:
+    """Export a prepared corpus as deterministic hash shards — the
+    layout a trainer's data loader consumes (fixed shard count, stable
+    doc→shard assignment across runs, per-shard accounting).
+
+    Sharding is ``pmod(xxhash64(key), n_shards)``: content-addressed,
+    so re-exporting the same corpus lands every doc in the same shard
+    regardless of input partitioning or cluster size. The write is ONE
+    shuffle (repartition on the shard id) and the per-shard manifest
+    stats — row count, optional token sum, order-insensitive content
+    hash — come from a single distributed aggregation, not a
+    per-shard driver loop; at 100 TB with 8k shards both stages are
+    ordinary hash exchanges. ``maxRecordsPerFile`` bounds file sizes
+    inside each shard directory without another shuffle.
+
+    Extension surface (no reference analog; nearest is the provenance
+    sink above, ref: agrobr/export.py:20-129). Returns the manifest
+    dict, also written as ``_manifest.json`` beside the shards.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    shard = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
+    stamped = df.withColumn("shard", shard)
+
+    canon = F.sha2(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns]), 256
+    )
+    words = [
+        F.bit_xor(F.conv(F.substring(canon, 1 + 15 * i, 15), 16, 10).cast("bigint"))
+        for i in range(4)
+    ]
+    aggs = [F.count(F.lit(1)).alias("rows")] + [
+        w.alias(f"w{i}") for i, w in enumerate(words)
+    ]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).cast("long").alias("tokens"))
+    stats = {
+        int(r["shard"]): r.asDict()
+        for r in stamped.groupBy("shard").agg(*aggs).collect()
+    }
+
+    writer = stamped.repartition(n_shards, "shard").write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer = writer.partitionBy("shard")
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        raise ValueError(f"unsupported shard format {fmt!r}")
+
+    manifest = {
+        "provenance_version": PROVENANCE_VERSION,
+        "written_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+        "format": fmt,
+        "key_col": key_col,
+        "n_shards": n_shards,
+        "columns": df.columns,
+        "row_count": sum(s["rows"] for s in stats.values()),
+        "shards": {
+            str(k): {
+                "rows": s["rows"],
+                **({"tokens": s["tokens"]} if token_col is not None else {}),
+                "content_sha256_xor": "".join(
+                    format(int(s[f"w{i}"] or 0) & (2**60 - 1), "015x")
+                    for i in range(4)
+                ),
+            }
+            for k, s in sorted(stats.items())
+        },
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def read_training_shards(
+    spark: SparkSession, path: str, shards: list[int] | None = None
+) -> tuple[DataFrame, dict]:
+    """Read back an exported shard set (optionally a subset of shard
+    ids — partition-pruned, only those directories are scanned) and
+    verify each shard's row count and content hash against the
+    manifest; raises ``ValueError`` on any mismatch."""
+    with open(os.path.join(path, "_manifest.json")) as f:
+        manifest = json.load(f)
+    fmt = manifest.get("format", "parquet")
+    df = spark.read.parquet(path) if fmt == "parquet" else spark.read.json(path)
+    if shards is not None:
+        df = df.filter(F.col("shard").isin([int(s) for s in shards]))
+    cols = manifest["columns"]
+    want = {
+        int(k): v
+        for k, v in manifest["shards"].items()
+        if shards is None or int(k) in set(shards)
+    }
+    canon = F.sha2(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256
+    )
+    words = [
+        F.bit_xor(F.conv(F.substring(canon, 1 + 15 * i, 15), 16, 10).cast("bigint"))
+        for i in range(4)
+    ]
+    got = {
+        int(r["shard"]): r.asDict()
+        for r in df.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            *[w.alias(f"w{i}") for i, w in enumerate(words)],
+        )
+        .collect()
+    }
+    if set(got) != set(want):
+        raise ValueError(f"shard set mismatch: {sorted(got)} != {sorted(want)}")
+    for k, w in want.items():
+        g = got[k]
+        if g["rows"] != w["rows"]:
+            raise ValueError(f"shard {k}: row count {g['rows']} != {w['rows']}")
+        h = "".join(
+            format(int(g[f"w{i}"] or 0) & (2**60 - 1), "015x") for i in range(4)
+        )
+        if h != w["content_sha256_xor"]:
+            raise ValueError(f"shard {k}: content hash mismatch")
+    return df.select(*cols, "shard"), manifest
