@@ -479,3 +479,112 @@ def pipeline_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("ultimo_doc"),
         F.sum("cruzou").alias("n_cruzando"),
     )
+
+
+# -- deterministic train/val/test split (content-addressed, o5 kin) --
+
+_SPLIT_HEXV = (
+    "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), {p}, 1)) - 1)"
+)
+_SPLIT_HEXV_DUCK = (
+    "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {p}, 1)) - 1)"
+)
+# 256 buckets: 0-239 train (93.75%), 240-247 val (3.125%), rest test
+TRAIN_LT, VAL_LT = 240, 248
+
+
+@register(
+    "o6_train_val_test",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, source,
+        CAST({_SPLIT_HEXV_DUCK.format(p=1)} * 16
+             + {_SPLIT_HEXV_DUCK.format(p=2)} AS BIGINT) AS balde
+      FROM documents)
+    SELECT doc_id, source, balde,
+      CASE WHEN balde < {TRAIN_LT} THEN 'train'
+           WHEN balde < {VAL_LT} THEN 'val'
+           ELSE 'test' END AS split
+    FROM b
+    """,
+    tags=("O6", "SPLIT", "SAMPLING"),
+)
+def o6_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed train/val/test assignment: the
+    md5-derived bucket (same cross-engine construction as
+    `o5_deterministic_sample`) maps every doc to a stable split that
+    survives re-runs, corpus growth, and engine swaps — the property
+    that prevents eval-set leakage when the corpus is rebuilt. Pure
+    per-row expression, no shuffle at all; at 100 TB this is a scan."""
+    import pyspark.sql.functions as _F
+
+    d = load(spark, sf_dir, "documents")
+    balde = _F.expr(
+        f"CAST({_SPLIT_HEXV.format(p=1)} * 16 + {_SPLIT_HEXV.format(p=2)} AS BIGINT)"
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        balde.alias("balde"),
+        F.when(F.col("balde") < TRAIN_LT, "train")
+        .when(F.col("balde") < VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).select("doc_id", "source", "balde", "split")
+
+
+# -- corpus mixture report (grouping-sets rollup over source x lang) --
+
+
+@register(
+    "pipeline_corpus_report",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source, lang,
+        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+          AS n_tokens,
+        CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents)
+    SELECT
+      coalesce(source, '__total__') AS source,
+      coalesce(lang, '__total__') AS lang,
+      count(*) AS n_docs,
+      CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE) AS tokens_por_doc
+    FROM tok
+    GROUP BY CUBE (source, lang)
+    """,
+    tags=("PIPELINE", "REPORT", "GROUPING_SETS"),
+)
+def pipeline_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus composition report a mixture owner reads before
+    setting `MIX_WEIGHTS`: doc counts, token and char totals, and
+    tokens-per-doc along source, lang, source x lang, and the grand
+    total — one CUBE pass (partial+final aggregation; the expand is 4x
+    the input rows, all map-side). Integer sums divide to doubles only
+    at the end, keeping the oracle hash exact."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        "lang",
+        F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    agg = tok.cube("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return agg.select(
+        F.coalesce("source", F.lit("__total__")).alias("source"),
+        F.coalesce("lang", F.lit("__total__")).alias("lang"),
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        (
+            F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+        ).alias("tokens_por_doc"),
+    )

@@ -53,8 +53,13 @@ BENCH_QUERIES = [
     "text_quality_score",
     "text_chunk",
     "text_pii_scrub",
+    "text_repetition_filter",
+    "text_span_dedup",
+    "pipeline_data_mix",
+    "pipeline_pack_chunks",
     "sim_cosine_topk",
     "sim_ivf_ann",
+    "sim_rp_lsh_ann",
     "stream_tumbling_daily",
     "stream_stateful_dod",
 ]

@@ -140,3 +140,37 @@ class TestSortAndAggShape:
                 continue
             plan = plan_of(entry.fn(spark, SF_SMOKE))
             assert "BatchEvalPython" not in plan, name
+
+
+class TestTrainingPrepPlans:
+    def test_data_mix_window_is_hash_partitioned(self, spark, cat):
+        # the data-sized running-sum window must be keyed by
+        # (source, bucket) — never a per-source (let alone global)
+        # single-task sort (operators/prefix.py contract)
+        plan = plan_of(cat["pipeline_data_mix"].fn(spark, SF_SMOKE))
+        assert re.search(r"hashpartitioning\(source[^)]*balde", plan), plan
+
+    def test_pack_chunks_window_is_hash_partitioned(self, spark, cat):
+        plan = plan_of(cat["pipeline_pack_chunks"].fn(spark, SF_SMOKE))
+        assert re.search(r"hashpartitioning\(balde", plan), plan
+        # final per-chunk rollup is an ordinary partial+final agg
+        assert plan.count("HashAggregate") >= 2
+
+    def test_span_dedup_joins_on_span_hash(self, spark, cat):
+        plan = plan_of(cat["text_span_dedup"].fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan
+        key_lines = [ln for ln in plan.splitlines() if "Left keys" in ln]
+        assert key_lines and any(
+            re.search(r"\bs#", ln) for ln in key_lines
+        ), plan
+
+    def test_rp_lsh_candidates_are_equi_join(self, spark, cat):
+        # candidate generation must be a hash equi-join on
+        # (tabela, balde) against the broadcast probe side — the only
+        # acceptable shape for a bucketed ANN at scale
+        plan = plan_of(cat["sim_rp_lsh_ann"].fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+        key_lines = [ln for ln in plan.splitlines() if "Left keys" in ln]
+        assert any("balde" in ln or "tabela" in ln for ln in key_lines), plan

@@ -45,6 +45,12 @@ PROBE_QUERIES = [
     # the composed admission pipelines, not just their parts (r5 #8)
     "pipeline_keep_set",
     "pipeline_admit_batch",
+    # round-6 training-prep additions: span dedup (corpus-keyed join),
+    # bucketed prefix-sum consumers, multi-table LSH ANN
+    "text_span_dedup",
+    "pipeline_data_mix",
+    "pipeline_pack_chunks",
+    "sim_rp_lsh_ann",
 ]
 
 # every table any probe query loads
