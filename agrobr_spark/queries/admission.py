@@ -814,3 +814,355 @@ def pipeline_admit_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         return dec.localCheckpoint(eager=True)
     finally:
         delete_path(spark, store_dir)
+
+
+# ---- LSH-embedding admission: the fit-free variant ----
+#
+# The centroid pipeline above must FREEZE a blocking fit (yesterday's
+# centroids) to keep admissions O(|batch|); the MinHash pipeline
+# stores signatures. This variant removes the fitted state entirely:
+# blocking is the multi-table random-hyperplane bucketing of
+# queries/similarity.py (md5-derived constants baked into the plan),
+# which is data-INDEPENDENT — a vector's buckets never change as the
+# corpus grows, batch assignment is a pure projection, and the index
+# stores ONLY survivor vectors. Candidate pairs are bucket collisions
+# at Hamming distance <= 1 in any table (measured: catches 14/14 of
+# the fixture's threshold pairs; radius/tables/planes are the recall
+# dials), verified by exact cosine. Because the blocking depends only
+# on each vector alone, incremental admission lands on the same
+# survivor set as a full recompute with the same blocking — exactly
+# (modulo the documented no-retraction divergences), which
+# tests/test_admission.py asserts.
+
+def _lsh_buckets(base: DataFrame) -> DataFrame:
+    """(_id, _vec, _norm) -> one row per hash table with its bucket."""
+    from agrobr_spark.queries.similarity import N_TABLES, _rp_bucket_spark
+
+    return base.select(
+        "_id",
+        "_vec",
+        "_norm",
+        F.posexplode(
+            F.array(*[F.expr(_rp_bucket_spark(t, "_vec")) for t in range(N_TABLES)])
+        ).alias("tabela", "balde"),
+    )
+
+
+def _lsh_probes(base: DataFrame) -> DataFrame:
+    """Bucket rows widened to the Hamming-<=1 probe set per table."""
+    from agrobr_spark.queries.similarity import N_PLANES
+
+    probe_arr = (
+        "array(balde, "
+        + ", ".join(f"balde ^ {1 << j}" for j in range(N_PLANES))
+        + ")"
+    )
+    return _lsh_buckets(base).select(
+        "_id", "tabela", F.explode(F.expr(probe_arr)).alias("sonda")
+    )
+
+
+def _lsh_candidates(
+    probe_side: DataFrame, bucket_side: DataFrame, self_mode: bool
+) -> DataFrame:
+    """Distinct (ida, idb) bucket-collision candidates: probe rows of
+    one side meet bucket rows of the other on (tabela, key). Self mode
+    keeps ida < idb; cross mode keeps everything INCLUDING equal ids,
+    so a replayed doc collides with its own survivor row (cos 1.0) and
+    is rejected as duplicado_corpus — replay idempotency for free."""
+    p = _lsh_probes(probe_side).select(
+        F.col("_id").alias("ida"), "tabela", "sonda"
+    )
+    b = _lsh_buckets(bucket_side).select(
+        F.col("_id").alias("idb"), "tabela", "balde"
+    )
+    cand = p.join(
+        b, (p["tabela"] == b["tabela"]) & (p["sonda"] == b["balde"])
+    ).select("ida", "idb")
+    if self_mode:
+        cand = cand.filter(F.col("ida") < F.col("idb"))
+    return cand.distinct()
+
+
+def _lsh_verified_pairs(
+    cand: DataFrame, base_a: DataFrame, base_b: DataFrame
+) -> DataFrame:
+    """Exact-cosine verification of candidate pairs."""
+    a = base_a.select(
+        F.col("_id").alias("ida"),
+        F.col("_vec").alias("va"),
+        F.col("_norm").alias("na"),
+    )
+    b = base_b.select(
+        F.col("_id").alias("idb"),
+        F.col("_vec").alias("vb"),
+        F.col("_norm").alias("nb"),
+    )
+    return (
+        cand.join(a, "ida")
+        .join(b, "idb")
+        .filter(_pair_cos() >= _COS_THRESHOLD)
+        .select(F.col("ida").alias("id_a"), F.col("idb").alias("id_b"))
+    )
+
+
+def build_lsh_admission_index(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    cutoff: int | None = None,
+) -> None:
+    """Corpus-side build: same gates as build_admission_index but with
+    LSH pair blocking and NO fitted state — the index is the survivor
+    table (doc_id, n_chars, embedding) plus the benchmark shingles."""
+    cut = int(cutoff) if cutoff is not None else _split_params(spark, sf_dir)[0]
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < cut)
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < cut)
+    base = _vec_base(emb)
+
+    pares = _lsh_verified_pairs(_lsh_candidates(base, base, True), base, base)
+    comp = connected_components(pares, "id_a", "id_b")
+    perdedor = comp.filter(F.col("componente") < F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+
+    sh = _doc_shingles(docs)
+    bench = sh.filter(F.col("doc_id") < _BENCH_DOCS).select("shingle").distinct()
+    bench.write.mode("overwrite").parquet(f"{store_dir}/bench_shingles")
+    bench = spark.read.parquet(f"{store_dir}/bench_shingles")
+    contaminado = (
+        sh.filter(F.col("doc_id") >= _BENCH_DOCS)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _CONTAM_HITS)
+    )
+
+    dec = _decisions(docs, contaminado, [("duplicado", perdedor)])
+    survivors = (
+        dec.filter(F.col("mantido"))
+        .select("doc_id")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .join(
+            base.select(
+                F.col("_id").alias("doc_id"), F.col("_vec").alias("embedding")
+            ),
+            "doc_id",
+        )
+    )
+    ParquetStore(spark, f"{store_dir}/survivors", ("doc_id",)).overwrite(
+        survivors
+    )
+
+
+def admit_lsh_frame(
+    spark: SparkSession,
+    docs_b: DataFrame,
+    emb_b: DataFrame,
+    store_dir: str,
+) -> DataFrame:
+    """Gate a batch against the persisted survivor vectors only.
+    Survivor buckets are recomputed by pure projection at read time
+    (cheap expressions; at 100 TB persist the survivor table bucketed
+    by (tabela, balde) instead and the probe join partition-prunes)."""
+    store = ParquetStore(spark, f"{store_dir}/survivors", ("doc_id",))
+    surv = store.read()
+    bench = spark.read.parquet(f"{store_dir}/bench_shingles")
+
+    contaminado = (
+        _doc_shingles(docs_b)
+        .filter(F.col("doc_id") >= _BENCH_DOCS)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _CONTAM_HITS)
+    )
+
+    base_b = _vec_base(emb_b)
+    base_s = _vec_base(
+        surv.select(
+            F.col("doc_id").alias("vec_id"), F.col("embedding")
+        )
+    )
+    dup_corpus = (
+        _lsh_verified_pairs(
+            _lsh_candidates(base_b, base_s, False), base_b, base_s
+        )
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+
+    pares_b = _lsh_verified_pairs(
+        _lsh_candidates(base_b, base_b, True), base_b, base_b
+    )
+    comp_b = connected_components(pares_b, "id_a", "id_b")
+    perdedor_lote = comp_b.filter(F.col("componente") < F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+
+    dec = _decisions(
+        docs_b,
+        contaminado,
+        [("duplicado_corpus", dup_corpus), ("duplicado_lote", perdedor_lote)],
+    )
+    dec = dec.localCheckpoint(eager=True)
+
+    admitted = (
+        dec.filter(F.col("mantido"))
+        .select("doc_id")
+        .join(docs_b.select("doc_id", "n_chars"), "doc_id")
+        .join(
+            base_b.select(
+                F.col("_id").alias("doc_id"), F.col("_vec").alias("embedding")
+            ),
+            "doc_id",
+        )
+    )
+    store.merge_upsert(admitted)
+    return dec
+
+
+def _lsh_oracle() -> str:
+    from agrobr_spark.queries.similarity import (
+        N_PLANES,
+        N_TABLES,
+        _rp_bucket_duck,
+    )
+
+    baldes = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tabela, {_rp_bucket_duck(t, 'ev')} AS balde"
+        " FROM base"
+        for t in range(N_TABLES)
+    )
+    probe_list = "[b, " + ", ".join(
+        f"xor(b, {1 << j})" for j in range(N_PLANES)
+    ) + "]"
+    sondas = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tabela, unnest({probe_list}) AS sonda"
+        f" FROM (SELECT vec_id, {_rp_bucket_duck(t, 'ev')} AS b FROM base)"
+        for t in range(N_TABLES)
+    )
+    return f"""
+    WITH RECURSIVE
+    lim AS (SELECT CAST(floor({_CUT_FRAC} * (max(doc_id) + 1)) AS BIGINT)
+                   AS corte FROM documents),
+    base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+             sqrt({_dotp("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm
+      FROM embeddings),
+    baldes AS ({baldes}),
+    sondas AS ({sondas}),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS va, q.vec_id AS vb
+      FROM sondas p JOIN baldes q
+        ON q.tabela = p.tabela AND q.balde = p.sonda),
+    par_all AS (
+      SELECT c.va, c.vb FROM cand c
+      JOIN base a ON a.vec_id = c.va
+      JOIN base b ON b.vec_id = c.vb
+      WHERE round({_dotp("a.ev", "b.ev")} / nullif(a.nrm * b.nrm, 0), 6)
+            >= {_COS_THRESHOLD}),
+    par_c AS (
+      SELECT p.va, p.vb FROM par_all p, lim
+      WHERE p.va < p.vb AND p.vb < lim.corte),
+    arest_c AS (SELECT va AS a, vb AS b FROM par_c
+                UNION SELECT vb, va FROM par_c),
+    alc_c AS (
+      SELECT a AS id, b AS peer FROM arest_c
+      UNION
+      SELECT r.id, e.b FROM alc_c r JOIN arest_c e ON r.peer = e.a),
+    comp_c AS (SELECT id, least(id, min(peer)) AS componente
+               FROM alc_c GROUP BY id),
+    toks AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+        string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])) AS shingle
+      FROM toks, unnest(range(1, len(t) - 3)) AS r(i)
+      WHERE len(t) >= 5),
+    benchset AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {_BENCH_DOCS}),
+    contaminados AS (
+      SELECT s.doc_id FROM sh s JOIN benchset b ON s.shingle = b.shingle
+      WHERE s.doc_id >= {_BENCH_DOCS}
+      GROUP BY s.doc_id HAVING count(*) >= {_CONTAM_HITS}),
+    dec_c AS (
+      SELECT tk.doc_id,
+        CASE WHEN tk.n_tokens < {_MIN_TOKENS} THEN 'curto'
+             WHEN tk.doc_id IN (SELECT doc_id FROM contaminados)
+               THEN 'contaminado'
+             WHEN tk.doc_id IN (SELECT id FROM comp_c WHERE componente < id)
+               THEN 'duplicado'
+             ELSE 'mantido' END AS motivo
+      FROM toks tk, lim WHERE tk.doc_id < lim.corte),
+    surv_ids AS (
+      SELECT d.doc_id FROM dec_c d
+      JOIN base v ON v.vec_id = d.doc_id
+      WHERE d.motivo = 'mantido'),
+    dup_corpus AS (
+      SELECT DISTINCT p.va AS doc_id
+      FROM (SELECT va, vb FROM par_all
+            UNION SELECT vec_id, vec_id FROM base) p
+      JOIN surv_ids s ON s.doc_id = p.vb, lim
+      WHERE p.va >= lim.corte
+      UNION
+      SELECT DISTINCT p.vb AS doc_id
+      FROM par_all p JOIN surv_ids s ON s.doc_id = p.va, lim
+      WHERE p.vb >= lim.corte),
+    par_b AS (
+      SELECT p.va, p.vb FROM par_all p, lim
+      WHERE p.va < p.vb AND p.va >= lim.corte),
+    arest_b AS (SELECT va AS a, vb AS b FROM par_b
+                UNION SELECT vb, va FROM par_b),
+    alc_b AS (
+      SELECT a AS id, b AS peer FROM arest_b
+      UNION
+      SELECT r.id, e.b FROM alc_b r JOIN arest_b e ON r.peer = e.a),
+    comp_b AS (SELECT id, least(id, min(peer)) AS componente
+               FROM alc_b GROUP BY id),
+    dec_b AS (
+      SELECT tk.doc_id,
+        CASE WHEN tk.n_tokens < {_MIN_TOKENS} THEN 'curto'
+             WHEN tk.doc_id IN (SELECT doc_id FROM contaminados)
+               THEN 'contaminado'
+             WHEN tk.doc_id IN (SELECT doc_id FROM dup_corpus)
+               THEN 'duplicado_corpus'
+             WHEN tk.doc_id IN (SELECT id FROM comp_b WHERE componente < id)
+               THEN 'duplicado_lote'
+             ELSE 'mantido' END AS motivo
+      FROM toks tk, lim WHERE tk.doc_id >= lim.corte)
+    SELECT doc_id, motivo, motivo = 'mantido' AS mantido FROM dec_b
+    """
+
+
+@register(
+    "pipeline_admit_lsh",
+    oracle=_lsh_oracle(),
+    tags=("PIPELINE", "ADMISSION", "INCREMENTAL", "LSH", "SCALE_DEFAULT"),
+)
+def pipeline_admit_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit-free incremental admission end to end: build the survivor
+    index from the corpus split with LSH pair blocking, admit the
+    batch split against the persisted survivor VECTORS only (buckets
+    recomputed by projection — there is no fitted state to freeze),
+    MERGE accepted docs back, return the per-doc decision. The oracle
+    recomputes the identical decision in pure SQL (recursive CTEs for
+    both components fixpoints, the same hyperplane constants baked
+    into the query text)."""
+    import tempfile
+
+    from agrobr_spark.store.fs import delete_path
+
+    store_dir = tempfile.mkdtemp(prefix="admit_lsh_")
+    try:
+        build_lsh_admission_index(spark, sf_dir, store_dir)
+        cut = _split_params(spark, sf_dir)[0]
+        docs_b = load(spark, sf_dir, "documents").filter(F.col("doc_id") >= cut)
+        emb_b = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= cut)
+        dec = admit_lsh_frame(spark, docs_b, emb_b, store_dir)
+        return dec.localCheckpoint(eager=True)
+    finally:
+        delete_path(spark, store_dir)
