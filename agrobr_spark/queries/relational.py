@@ -573,6 +573,36 @@ def a10_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "a14_approx_distinct",
+    # No value-exact oracle ON PURPOSE (the a13_percentiles_approx
+    # precedent): approx_count_distinct is HyperLogLog++ and DuckDB's
+    # approx sketch differs — they agree only within the error bound,
+    # never bit-for-bit, so the driver records the rows-only check.
+    # The exactness contract lives in tests/test_operators.py::
+    # test_approx_distinct_within_bound, which asserts every sketch
+    # count sits within the configured relative error of the exact
+    # count. The exact twin (a10_distinct_values / the exact
+    # count-distinct inside a8) stays fully hash-verified.
+    oracle=None,
+    tags=("A14", "DISTINCT", "APPROX", "SCALE_DEFAULT"),
+)
+def a14_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB cardinality path: HyperLogLog++ approximate distinct
+    counts per group (rsd 2%) — fixed ~kB sketch state per group
+    instead of a distinct-shuffle of every value, one partial+final
+    aggregation. Exact count-distinct at 100 TB shuffles the full
+    column; this is the documented, bounded swap (same pattern as
+    a13_percentiles_approx)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("n_parts_aprox"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("n_pedidos_aprox"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------- §2.5 W
 
 

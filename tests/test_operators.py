@@ -584,3 +584,34 @@ def test_rp_lsh_recall_on_clustered_corpus(spark, tmp_path):
         got.setdefault(r.query_id, set()).add(r.vec_id)
     recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_approx_distinct_within_bound(spark):
+    """a14's HLL++ counts must sit within the configured relative
+    error (2% rsd -> assert a generous 3x window) of the exact
+    distinct counts — the exactness contract the rows-only driver
+    check can't express (a13_percentiles_approx precedent)."""
+    import pyspark.sql.functions as F
+
+    from agrobr_spark.io import load
+    from agrobr_spark.queries.relational import a14_approx_distinct
+
+    sf_dir = "/root/testdata/sf0.001"
+    approx = {
+        r["l_returnflag"]: r for r in a14_approx_distinct(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("p"),
+            F.countDistinct("l_orderkey").alias("o"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, ex in exact.items():
+        ap = approx[flag]
+        assert abs(ap["n_parts_aprox"] - ex["p"]) <= max(3, 0.06 * ex["p"])
+        assert abs(ap["n_pedidos_aprox"] - ex["o"]) <= max(3, 0.06 * ex["o"])

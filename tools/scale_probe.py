@@ -45,6 +45,7 @@ PROBE_QUERIES = [
     # the composed admission pipelines, not just their parts (r5 #8)
     "pipeline_keep_set",
     "pipeline_admit_batch",
+    "pipeline_admit_lsh",
     # round-6 training-prep additions: span dedup (corpus-keyed join),
     # bucketed prefix-sum consumers, multi-table LSH ANN
     "text_span_dedup",
