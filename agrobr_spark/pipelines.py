@@ -1,0 +1,114 @@
+"""End-to-end training-corpus preparation: the one-call composition of
+the catalog's verified stages, from raw documents to sharded trainer
+input.
+
+Every stage is an independently oracle-verified catalog query (or a
+tested sink); this module only WIRES them — no new semantics, so the
+correctness story is inherited:
+
+1. admission decision  — ``pipeline_keep_set`` (curto / contaminado /
+   duplicado / mantido with reasons);
+2. quality gates       — ``text_repetition_filter`` (within-doc) and
+   ``text_span_dedup`` (cross-doc span sharing) flags;
+3. mixture sampling    — ``pipeline_data_mix`` per-source token
+   budgets, restricted to the docs that survived 1-2;
+4. split assignment    — ``o6_train_val_test`` content-addressed;
+5. sharded export      — ``sources.sinks.write_training_shards`` with
+   per-shard manifest accounting.
+
+At 100 TB each stage is a handful of hash-partitioned exchanges (see
+the per-operator docstrings and SCALING.md); the composition adds only
+PK joins between their outputs. No reference analog — the reference's
+pipeline chains are fetch→parse→validate→store (e.g.
+/root/reference/agrobr/cepea/api.py); this is the LLM-data extension
+surface assembled into the reference's "one call does the whole
+chain" shape.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from agrobr_spark.io import load
+
+
+def prepare_training_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    *,
+    n_shards: int = 8,
+    apply_quality_gates: bool = True,
+) -> dict:
+    """Run the full preparation chain and export shards to
+    ``out_dir``. Returns a summary dict: per-reason decision counts,
+    selected doc/token totals per source, the shard manifest, and the
+    per-split counts of the exported docs."""
+    from agrobr_spark.queries.pipeline_text import pipeline_keep_set
+    from agrobr_spark.queries.training_prep import (
+        o6_train_val_test,
+        pipeline_data_mix,
+        text_repetition_filter,
+        text_span_dedup,
+    )
+    from agrobr_spark.sources.sinks import write_training_shards
+
+    decisions = pipeline_keep_set(spark, sf_dir)
+    kept = decisions.filter(F.col("mantido")).select("doc_id")
+
+    reasons = {
+        r["motivo"]: r["n"]
+        for r in decisions.groupBy("motivo")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    if apply_quality_gates:
+        rep_ok = (
+            text_repetition_filter(spark, sf_dir)
+            .filter(~F.col("repetitivo"))
+            .select("doc_id")
+        )
+        span_ok = (
+            text_span_dedup(spark, sf_dir)
+            .filter(~F.col("duplicado"))
+            .select("doc_id")
+        )
+        kept = kept.join(rep_ok, "doc_id").join(span_ok, "doc_id")
+
+    mix = pipeline_data_mix(spark, sf_dir).join(kept, "doc_id")
+    per_source = {
+        r["source"]: {"docs": r["docs"], "tokens": r["tokens"]}
+        for r in mix.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+        )
+        .collect()
+    }
+
+    split = o6_train_val_test(spark, sf_dir).select("doc_id", "split")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    final = (
+        mix.select("doc_id", "n_tokens")
+        .join(docs, "doc_id")
+        .join(split, "doc_id")
+    )
+    manifest = write_training_shards(
+        final,
+        out_dir,
+        key_col="doc_id",
+        n_shards=n_shards,
+        token_col="n_tokens",
+    )
+    per_split = {
+        r["split"]: r["n"]
+        for r in final.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return {
+        "decision_reasons": reasons,
+        "selected_per_source": per_source,
+        "per_split": per_split,
+        "shards": manifest,
+    }
