@@ -339,11 +339,35 @@ def pipeline_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget itself is all-BIGINT arithmetic (integer weights, integer
     division) so the oracle — which runs the naive one-window form —
     hash-matches exactly.
+
+    The catalog entry pins ``MIX_WEIGHTS``/``MIX_FRACTION_DEN`` for
+    the oracle; library users call :func:`mix_by_token_budget` with
+    their own weights.
     """
+    d = load(spark, sf_dir, "documents")
+    return mix_by_token_budget(d, MIX_WEIGHTS, MIX_FRACTION_DEN)
+
+
+def mix_by_token_budget(
+    docs: DataFrame,
+    weights: dict[str, int],
+    fraction_den: int,
+    default_weight: int = 1,
+) -> DataFrame:
+    """Library form of ``pipeline_data_mix``: integer ``weights`` per
+    source (denominator = their sum), overall budget = corpus tokens
+    // ``fraction_den``; sources absent from ``weights`` get
+    ``default_weight``. Same bucketed-prefix-sum plan as the catalog
+    entry."""
     from agrobr_spark.operators.prefix import bucketed_prefix_sum
 
-    d = load(spark, sf_dir, "documents")
-    tok = d.select(
+    w_sum = sum(weights.values())
+    w_case = (
+        "CASE source "
+        + " ".join(f"WHEN '{s}' THEN {w}" for s, w in sorted(weights.items()))
+        + f" ELSE {default_weight} END"
+    )
+    tok = docs.select(
         "doc_id",
         "source",
         F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n_tokens"),
@@ -357,9 +381,7 @@ def pipeline_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         val_cols={"cum_tokens": "n_tokens", "mix_rank": F.lit(1).cast("long")},
         part_cols=("source",),
     )
-    budget = F.expr(
-        f"(({_W_CASE}) * (total div {MIX_FRACTION_DEN})) div {_MIX_W_SUM}"
-    )
+    budget = F.expr(f"(({w_case}) * (total div {fraction_den})) div {w_sum}")
     return (
         cum.crossJoin(F.broadcast(total))
         .withColumn("orcamento", budget)

@@ -138,3 +138,65 @@ def test_pack_chunks_conservation(spark):
         )
     finally:
         df.unpersist()
+
+
+def test_mix_by_token_budget_custom_weights(spark):
+    """Library weights actually steer the mixture: doubling one
+    source's weight (denominator fixed by the others) must not shrink
+    its admitted token mass, and zero weight excludes a source."""
+    import pyspark.sql.functions as F
+
+    from agrobr_spark.io import load
+    from agrobr_spark.queries.training_prep import mix_by_token_budget
+
+    docs = load(spark, SF_ORACLE, "documents")
+    base = mix_by_token_budget(docs, {"src0": 1, "src1": 1}, 4)
+    boosted = mix_by_token_budget(docs, {"src0": 2, "src1": 1}, 4)
+
+    def toks(df, src):
+        r = (
+            df.filter(F.col("source") == src)
+            .agg(F.sum("n_tokens"))
+            .first()[0]
+        )
+        return r or 0
+
+    assert toks(boosted, "src0") >= toks(base, "src0")
+    none = mix_by_token_budget(docs, {"src0": 0, "src1": 1}, 4, default_weight=0)
+    assert none.filter(F.col("source") != "src1").count() == 0
+
+
+def test_admission_handles_empty_batch(spark, tmp_path):
+    """A daily pipeline hits empty batches; both admission variants
+    must return an empty decision frame without touching the store."""
+    import pyspark.sql.functions as F
+
+    from agrobr_spark.io import load
+    from agrobr_spark.queries.admission import (
+        admit_frame,
+        admit_lsh_frame,
+        build_admission_index,
+        build_lsh_admission_index,
+    )
+    from agrobr_spark.store.table import ParquetStore
+
+    docs0 = load(spark, SF_ORACLE, "documents").filter(F.col("doc_id") < 0)
+    emb0 = load(spark, SF_ORACLE, "embeddings").filter(F.col("vec_id") < 0)
+
+    d1 = str(tmp_path / "cent")
+    build_admission_index(spark, SF_ORACLE, d1)
+    before = ParquetStore(spark, f"{d1}/survivors", ("doc_id",)).read().count()
+    assert admit_frame(spark, docs0, emb0, d1).count() == 0
+    assert (
+        ParquetStore(spark, f"{d1}/survivors", ("doc_id",)).read().count()
+        == before
+    )
+
+    d2 = str(tmp_path / "lsh")
+    build_lsh_admission_index(spark, SF_ORACLE, d2)
+    before = ParquetStore(spark, f"{d2}/survivors", ("doc_id",)).read().count()
+    assert admit_lsh_frame(spark, docs0, emb0, d2).count() == 0
+    assert (
+        ParquetStore(spark, f"{d2}/survivors", ("doc_id",)).read().count()
+        == before
+    )
