@@ -32,7 +32,7 @@ Spark plans.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from agrobr_spark.io import load
 from agrobr_spark.queries import register
@@ -609,4 +609,136 @@ def pipeline_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
         ).alias("tokens_por_doc"),
+    )
+
+
+# -- containment dedup (RefinedWeb-style substring containment,
+#    shingle-subset form) --
+
+
+@register(
+    "text_containment",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        md5(array_to_string(t[i:i+{SPAN_W - 1}], ' ')) AS s
+      FROM toks, unnest(range(1, len(t) - {SPAN_W - 2})) AS u(i)),
+    tam AS (SELECT doc_id, count(*) AS n_spans FROM sh GROUP BY doc_id),
+    comum AS (
+      SELECT a.doc_id AS id_contido, b.doc_id AS id_contem,
+             count(*) AS n_comum
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT c.id_contido, c.id_contem,
+           t.n_spans AS n_spans_contido,
+           CAST(c.n_comum AS BIGINT) AS n_comum
+    FROM comum c JOIN tam t ON t.doc_id = c.id_contido
+    WHERE c.n_comum = t.n_spans
+    """,
+    tags=("TEXT", "DEDUP", "CONTAINMENT"),
+)
+def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup (RefinedWeb's substring-dedup class, shingle
+    form): doc A is contained in doc B when EVERY one of A's 8-token
+    spans also occurs in B — the asymmetric relation exact/Jaccard
+    dedup misses (a quote-with-commentary doc is not a near-dup of its
+    source, but its source is fully contained in it).
+
+    Plan: the span inventory is the same md5-shingle explode as
+    `text_span_dedup`; candidate pairs come from one equi-join on the
+    span hash with a per-pair shared-span count (partial+final agg on
+    the pair key), then one PK join compares against the contained
+    doc's span count. A span shared by k docs contributes k(k-1)
+    pair rows — bounded by the corpus's span-sharing structure, the
+    same term every shingle-dedup stage here already carries, and AQE
+    splits a pathological mega-span. Subset-of-spans is necessary for
+    true substring containment (not sufficient at window boundaries) —
+    the candidate set a downstream exact verifier consumes."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOKS).alias("t")
+    )
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("t") >= SPAN_W,
+                    F.expr(
+                        f"transform(sequence(1, size(t) - {SPAN_W - 1}),"
+                        f" i -> md5(concat_ws(' ', slice(t, i, {SPAN_W}))))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    tam = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    a = sh.select(F.col("doc_id").alias("id_contido"), "s")
+    b = sh.select(F.col("doc_id").alias("id_contem"), "s")
+    comum = (
+        a.join(b, "s")
+        .filter(F.col("id_contido") != F.col("id_contem"))
+        .groupBy("id_contido", "id_contem")
+        .agg(F.count(F.lit(1)).alias("n_comum"))
+    )
+    return (
+        comum.join(
+            tam.select(
+                F.col("doc_id").alias("id_contido"),
+                F.col("n_spans").alias("n_spans_contido"),
+            ),
+            "id_contido",
+        )
+        .filter(F.col("n_comum") == F.col("n_spans_contido"))
+        .select("id_contido", "id_contem", "n_spans_contido", "n_comum")
+    )
+
+
+# -- quality decile bucketing (curriculum / quality-threshold prep) --
+
+
+@register(
+    "text_quality_deciles",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id, source,
+        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+          AS n_tokens
+      FROM documents)
+    SELECT doc_id, source, n_tokens,
+      CAST(ntile(10) OVER (
+        PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS INTEGER)
+        AS decil
+    FROM q
+    """,
+    tags=("TEXT", "QUALITY", "NTILE"),
+)
+def text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality deciles (`ntile(10)` over token count with a
+    doc_id tie-break): the bucketing a curriculum or quality-threshold
+    step consumes ("train on deciles 1-8, hold 9-10 out"). ntile's
+    SQL-standard distribution rule is engine-identical given a total
+    order, so the oracle is a hash match.
+
+    Scale note: ntile needs its partition's total count — inherently a
+    per-source window. Unlike the prefix-sum ops there is no exact
+    two-level decomposition (each row's bucket depends on the source's
+    global count), so at 100 TB per-source deciles over 10^9-doc
+    sources should switch to approx_percentile cutoffs (a13's twin)
+    joined back as range predicates; this entry is the exact form and
+    documents that swap."""
+    d = load(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        "source",
+        F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_tokens").desc(), "doc_id"
+    )
+    return q.select(
+        "doc_id", "source", "n_tokens", F.ntile(10).over(w).alias("decil")
     )

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "text_pii_scrub",
     "text_repetition_filter",
     "text_span_dedup",
+    "text_containment",
     "pipeline_data_mix",
     "pipeline_pack_chunks",
     "sim_cosine_topk",

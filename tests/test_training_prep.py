@@ -200,3 +200,49 @@ def test_admission_handles_empty_batch(spark, tmp_path):
         ParquetStore(spark, f"{d2}/survivors", ("doc_id",)).read().count()
         == before
     )
+
+
+def test_containment_is_asymmetric_and_subset(spark):
+    """Containment candidates: the contained doc's shared-span count
+    equals its span inventory (subset relation), and the relation is
+    directional — A-in-B does not imply B-in-A."""
+    df = _CAT["text_containment"].fn(spark, SF_ORACLE).cache()
+    try:
+        assert df.count() > 0, "fixture's planted near-dups must collide"
+        bad = df.filter(F.col("n_comum") != F.col("n_spans_contido")).count()
+        assert bad == 0
+        pares = {
+            (r["id_contido"], r["id_contem"]) for r in df.collect()
+        }
+        assert any((b, a) not in pares for a, b in pares), (
+            "at least one containment must be one-directional"
+        )
+    finally:
+        df.unpersist()
+
+
+def test_quality_deciles_partition_invariants(spark):
+    """ntile(10) per source: deciles cover 1..10, sizes within a
+    partition differ by at most one, and decil 1 holds the longest
+    docs (order by n_tokens desc)."""
+    df = _CAT["text_quality_deciles"].fn(spark, SF_ORACLE).cache()
+    try:
+        rng = df.agg(F.min("decil"), F.max("decil")).first()
+        assert rng[0] == 1 and rng[1] == 10
+        sizes = (
+            df.groupBy("source", "decil").count()
+            .groupBy("source")
+            .agg((F.max("count") - F.min("count")).alias("spread"))
+        )
+        assert sizes.filter(F.col("spread") > 1).count() == 0
+        # decile 1 min length >= decile 10 max length, per source
+        b = (
+            df.groupBy("source")
+            .agg(
+                F.min(F.when(F.col("decil") == 1, F.col("n_tokens"))).alias("d1_min"),
+                F.max(F.when(F.col("decil") == 10, F.col("n_tokens"))).alias("d10_max"),
+            )
+        )
+        assert b.filter(F.col("d1_min") < F.col("d10_max")).count() == 0
+    finally:
+        df.unpersist()
