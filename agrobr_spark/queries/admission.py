@@ -834,7 +834,7 @@ def pipeline_admit_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (modulo the documented no-retraction divergences), which
 # tests/test_admission.py asserts.
 
-def _lsh_buckets(base: DataFrame) -> DataFrame:
+def _lsh_buckets(base: DataFrame, n_planes: int) -> DataFrame:
     """(_id, _vec, _norm) -> one row per hash table with its bucket."""
     from agrobr_spark.queries.similarity import N_TABLES, _rp_bucket_spark
 
@@ -843,37 +843,48 @@ def _lsh_buckets(base: DataFrame) -> DataFrame:
         "_vec",
         "_norm",
         F.posexplode(
-            F.array(*[F.expr(_rp_bucket_spark(t, "_vec")) for t in range(N_TABLES)])
+            F.array(
+                *[
+                    F.expr(_rp_bucket_spark(t, "_vec", n_planes))
+                    for t in range(N_TABLES)
+                ]
+            )
         ).alias("tabela", "balde"),
     )
 
 
-def _lsh_probes(base: DataFrame) -> DataFrame:
+def _lsh_probes(base: DataFrame, n_planes: int) -> DataFrame:
     """Bucket rows widened to the Hamming-<=1 probe set per table."""
-    from agrobr_spark.queries.similarity import N_PLANES
-
     probe_arr = (
         "array(balde, "
-        + ", ".join(f"balde ^ {1 << j}" for j in range(N_PLANES))
+        + ", ".join(f"balde ^ {1 << j}" for j in range(int(n_planes)))
         + ")"
     )
-    return _lsh_buckets(base).select(
+    return _lsh_buckets(base, n_planes).select(
         "_id", "tabela", F.explode(F.expr(probe_arr)).alias("sonda")
     )
 
 
 def _lsh_candidates(
-    probe_side: DataFrame, bucket_side: DataFrame, self_mode: bool
+    probe_side: DataFrame,
+    bucket_side: DataFrame,
+    self_mode: bool,
+    n_planes: int,
 ) -> DataFrame:
     """Distinct (ida, idb) bucket-collision candidates: probe rows of
     one side meet bucket rows of the other on (tabela, key). Self mode
     keeps ida < idb; cross mode keeps everything INCLUDING equal ids,
     so a replayed doc collides with its own survivor row (cos 1.0) and
-    is rejected as duplicado_corpus — replay idempotency for free."""
-    p = _lsh_probes(probe_side).select(
+    is rejected as duplicado_corpus — replay idempotency for free.
+
+    ``n_planes`` is the index's frozen bucket width (see
+    ``lsh_planes_for``): both sides MUST hash with the width the index
+    was built at or collisions are missed — which is why the width is
+    persisted as index metadata, not recomputed per batch."""
+    p = _lsh_probes(probe_side, n_planes).select(
         F.col("_id").alias("ida"), "tabela", "sonda"
     )
-    b = _lsh_buckets(bucket_side).select(
+    b = _lsh_buckets(bucket_side, n_planes).select(
         F.col("_id").alias("idb"), "tabela", "balde"
     )
     cand = p.join(
@@ -915,12 +926,30 @@ def build_lsh_admission_index(
     """Corpus-side build: same gates as build_admission_index but with
     LSH pair blocking and NO fitted state — the index is the survivor
     table (doc_id, n_chars, embedding) plus the benchmark shingles."""
+    import json
+
+    from agrobr_spark.queries.similarity import lsh_planes_for
+    from agrobr_spark.store.fs import write_text
+
     cut = int(cutoff) if cutoff is not None else _split_params(spark, sf_dir)[0]
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < cut)
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < cut)
     base = _vec_base(emb)
 
-    pares = _lsh_verified_pairs(_lsh_candidates(base, base, True), base, base)
+    # freeze the bucket width at build time from the corpus size and
+    # persist it with the index: every later batch must hash with the
+    # SAME width (the blocking is width-dependent), and the width must
+    # grow with the corpus or candidate pairs grow quadratically (the
+    # 5x-probe regression this rule fixed: 5.9x wall at 5x data with
+    # p pinned at 6)
+    n_planes = lsh_planes_for(base.count())
+    write_text(
+        spark, f"{store_dir}/lsh_meta.json", json.dumps({"n_planes": n_planes})
+    )
+
+    pares = _lsh_verified_pairs(
+        _lsh_candidates(base, base, True, n_planes), base, base
+    )
     comp = connected_components(pares, "id_a", "id_b")
     perdedor = comp.filter(F.col("componente") < F.col("id")).select(
         F.col("id").alias("doc_id")
@@ -965,9 +994,21 @@ def admit_lsh_frame(
     Survivor buckets are recomputed by pure projection at read time
     (cheap expressions; at 100 TB persist the survivor table bucketed
     by (tabela, balde) instead and the probe join partition-prunes)."""
+    import json
+
+    from agrobr_spark.store.fs import read_text
+
     store = ParquetStore(spark, f"{store_dir}/survivors", ("doc_id",))
     surv = store.read()
     bench = spark.read.parquet(f"{store_dir}/bench_shingles")
+    meta = read_text(spark, f"{store_dir}/lsh_meta.json")
+    if meta is None:
+        raise ValueError(
+            f"admit_lsh_frame: {store_dir}/lsh_meta.json missing — the "
+            "index must be built by build_lsh_admission_index, which "
+            "freezes the LSH bucket width"
+        )
+    n_planes = int(json.loads(meta)["n_planes"])
 
     contaminado = (
         _doc_shingles(docs_b)
@@ -986,14 +1027,14 @@ def admit_lsh_frame(
     )
     dup_corpus = (
         _lsh_verified_pairs(
-            _lsh_candidates(base_b, base_s, False), base_b, base_s
+            _lsh_candidates(base_b, base_s, False, n_planes), base_b, base_s
         )
         .select(F.col("id_a").alias("doc_id"))
         .distinct()
     )
 
     pares_b = _lsh_verified_pairs(
-        _lsh_candidates(base_b, base_b, True), base_b, base_b
+        _lsh_candidates(base_b, base_b, True, n_planes), base_b, base_b
     )
     comp_b = connected_components(pares_b, "id_a", "id_b")
     perdedor_lote = comp_b.filter(F.col("componente") < F.col("id")).select(
@@ -1024,22 +1065,32 @@ def admit_lsh_frame(
 
 def _lsh_oracle() -> str:
     from agrobr_spark.queries.similarity import (
-        N_PLANES,
+        MAX_PLANES,
         N_TABLES,
         _rp_bucket_duck,
+        lsh_planes_case_duck,
     )
 
+    # a p-plane bucket is the low-p-bit mask of the MAX_PLANES-bit
+    # bucket (same hyperplane family), so the width can be a runtime
+    # scalar here even though the plane constants are baked into the
+    # query text; pl replicates lsh_planes_for over the corpus count
+    mask = "((1::BIGINT << pl.p) - 1)"
     baldes = " UNION ALL ".join(
-        f"SELECT vec_id, {t} AS tabela, {_rp_bucket_duck(t, 'ev')} AS balde"
-        " FROM base"
+        f"SELECT vec_id, {t} AS tabela,"
+        f" ({_rp_bucket_duck(t, 'ev', MAX_PLANES)} & {mask}) AS balde"
+        " FROM base, pl"
         for t in range(N_TABLES)
     )
     probe_list = "[b, " + ", ".join(
-        f"xor(b, {1 << j})" for j in range(N_PLANES)
+        f"xor(b, {1 << j})" for j in range(MAX_PLANES)
     ) + "]"
     sondas = " UNION ALL ".join(
-        f"SELECT vec_id, {t} AS tabela, unnest({probe_list}) AS sonda"
-        f" FROM (SELECT vec_id, {_rp_bucket_duck(t, 'ev')} AS b FROM base)"
+        f"SELECT vec_id, {t} AS tabela,"
+        f" unnest(list_slice({probe_list}, 1, p + 1)) AS sonda"
+        f" FROM (SELECT vec_id,"
+        f" ({_rp_bucket_duck(t, 'ev', MAX_PLANES)} & {mask}) AS b,"
+        f" pl.p AS p FROM base, pl)"
         for t in range(N_TABLES)
     )
     return f"""
@@ -1050,6 +1101,10 @@ def _lsh_oracle() -> str:
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
              sqrt({_dotp("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm
       FROM embeddings),
+    pl AS (
+      SELECT {lsh_planes_case_duck("n")} AS p
+      FROM (SELECT count(*) AS n FROM base, lim
+            WHERE base.vec_id < lim.corte)),
     baldes AS ({baldes}),
     sondas AS ({sondas}),
     cand AS (

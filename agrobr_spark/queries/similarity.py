@@ -210,7 +210,10 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    data-independent scale path next to IVF --
 
 N_TABLES = 4  # independent hash tables; candidates are unioned
-N_PLANES = 6  # bits per table (2^6 buckets each)
+N_PLANES = 6  # bits per table (2^6 buckets each) — the ANN default
+MAX_PLANES = 12  # widest supported bucket width (2^12 buckets/table)
+MIN_PLANES = 4
+TARGET_BUCKET = 16  # expected vectors per bucket the sizing rule aims at
 EMB_DIM = 64
 
 
@@ -225,27 +228,60 @@ def _rp_sign(t: int, j: int, d: int) -> float:
     return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
 
 
+# MAX_PLANES planes per table; a p-plane bucket is the low-p-bit
+# prefix, so every narrower width is a mask of the same family and
+# existing 6-plane callers are unchanged.
 RP_TABLES = [
-    [[_rp_sign(t, j, d) for d in range(EMB_DIM)] for j in range(N_PLANES)]
+    [[_rp_sign(t, j, d) for d in range(EMB_DIM)] for j in range(MAX_PLANES)]
     for t in range(N_TABLES)
 ]
 
 
-def _rp_bucket_spark(t: int, col: str = "embedding") -> str:
+def lsh_planes_for(n: int) -> int:
+    """Size-adaptive plane count: the smallest p in
+    [MIN_PLANES, MAX_PLANES] with TARGET_BUCKET * 2^p >= n, i.e.
+    expected bucket occupancy stays ~TARGET_BUCKET as data grows.
+    With p pinned, bucket occupancy grows linearly in n and the
+    bucket-collision candidate count quadratically — the exact
+    superlinear term the 5x probe caught on the pinned-centroid
+    near-dup in round 5 and on pipeline_admit_lsh in round 6
+    (5.9x wall at 5x data). Integer-only on purpose: a float
+    log2/ceil can land either side of a power-of-two boundary
+    depending on the engine's libm; the comparison chain cannot."""
+    p = MIN_PLANES
+    while p < MAX_PLANES and TARGET_BUCKET * (1 << p) < int(n):
+        p += 1
+    return p
+
+
+def lsh_planes_case_duck(n_expr: str) -> str:
+    """The same sizing rule as a DuckDB scalar expression over a
+    count/ceiling expression, so an oracle can replicate the rule
+    verbatim (same comparison chain, no floating point)."""
+    arms = " ".join(
+        f"WHEN {n_expr} <= {TARGET_BUCKET * (1 << p)} THEN {p}"
+        for p in range(MIN_PLANES, MAX_PLANES)
+    )
+    return f"(CASE {arms} ELSE {MAX_PLANES} END)"
+
+
+def _rp_bucket_spark(
+    t: int, col: str = "embedding", n_planes: int = N_PLANES
+) -> str:
     """Spark SQL expression for table t's bucket id: sum of sign bits;
     each bit is the 6-dp-rounded hyperplane dot's sign (the rounding
     keeps the bit — hence the bucket — identical across engines)."""
     bits = []
-    for j, plane in enumerate(RP_TABLES[t]):
+    for j, plane in enumerate(RP_TABLES[t][: int(n_planes)]):
         arr = "array(" + ", ".join(f"{s}D" for s in plane) + ")"
         dot = _DOT.format(a=col, b=arr)
         bits.append(f"(CASE WHEN round({dot}, 6) >= 0 THEN {1 << j} ELSE 0 END)")
     return "CAST(" + " + ".join(bits) + " AS BIGINT)"
 
 
-def _rp_bucket_duck(t: int, col: str) -> str:
+def _rp_bucket_duck(t: int, col: str, n_planes: int = N_PLANES) -> str:
     bits = []
-    for j, plane in enumerate(RP_TABLES[t]):
+    for j, plane in enumerate(RP_TABLES[t][: int(n_planes)]):
         arr = "[" + ", ".join(str(s) for s in plane) + "]::DOUBLE[]"
         dot = f"list_dot_product({col}, {arr})"
         bits.append(f"(CASE WHEN round({dot}, 6) >= 0 THEN {1 << j} ELSE 0 END)")

@@ -281,3 +281,76 @@ def test_lsh_admission_replay_is_idempotent(spark):
         assert kept_before <= replay_dup
         assert dec2.filter("mantido").count() == 0
         assert _surv_ids(spark, store_dir) == before
+
+
+def test_lsh_planes_sizing_rule():
+    """The adaptive bucket-width rule: monotone in n, clamped to
+    [MIN_PLANES, MAX_PLANES], and the DuckDB CASE-chain twin computes
+    the identical value for every n across the whole operating range
+    (the cross-engine identity the oracle depends on)."""
+    import duckdb
+
+    from agrobr_spark.queries.similarity import (
+        MAX_PLANES,
+        MIN_PLANES,
+        TARGET_BUCKET,
+        lsh_planes_case_duck,
+        lsh_planes_for,
+    )
+
+    assert lsh_planes_for(0) == MIN_PLANES
+    assert lsh_planes_for(10**12) == MAX_PLANES
+    prev = MIN_PLANES
+    ns = [1, 100, 400, 2_000, 10_000, 65_536, 10**6, 10**9]
+    # boundary exactness: at n == TARGET_BUCKET * 2^p the width stays p
+    ns += [TARGET_BUCKET * (1 << p) for p in range(MIN_PLANES, MAX_PLANES)]
+    ns += [TARGET_BUCKET * (1 << p) + 1 for p in range(MIN_PLANES, MAX_PLANES)]
+    con = duckdb.connect()
+    try:
+        for n in sorted(ns):
+            p = lsh_planes_for(n)
+            assert MIN_PLANES <= p <= MAX_PLANES
+            assert p >= prev, "width must be monotone in n"
+            prev = p
+            duck = con.execute(
+                f"SELECT {lsh_planes_case_duck(str(n))}"
+            ).fetchone()[0]
+            assert duck == p, f"n={n}: spark rule {p} != duck rule {duck}"
+    finally:
+        con.close()
+    assert lsh_planes_for(TARGET_BUCKET * (1 << MIN_PLANES)) == MIN_PLANES
+    assert (
+        lsh_planes_for(TARGET_BUCKET * (1 << MIN_PLANES) + 1) == MIN_PLANES + 1
+    )
+
+
+def test_lsh_index_freezes_bucket_width(spark, tmp_path):
+    """The index persists the width it was built at, and admit refuses
+    an index without that metadata — hashing a batch at a different
+    width than the index silently loses collisions, so the failure
+    must be loud."""
+    import json
+
+    import pytest
+
+    from agrobr_spark.queries.admission import (
+        admit_lsh_frame,
+        build_lsh_admission_index,
+    )
+    from agrobr_spark.queries.similarity import lsh_planes_for
+    from agrobr_spark.store.fs import delete_path, read_text
+
+    cut, n_corp = _split_params(spark, SF_SMOKE)
+    d = str(tmp_path / "idx")
+    build_lsh_admission_index(spark, SF_SMOKE, d)
+    meta = json.loads(read_text(spark, f"{d}/lsh_meta.json"))
+    assert meta["n_planes"] == lsh_planes_for(n_corp)
+
+    docs_b = load(spark, SF_SMOKE, "documents").filter(F.col("doc_id") >= cut)
+    emb_b = load(spark, SF_SMOKE, "embeddings").filter(F.col("vec_id") >= cut)
+    dec = admit_lsh_frame(spark, docs_b.limit(20), emb_b.limit(20), d)
+    assert dec.count() > 0
+
+    delete_path(spark, f"{d}/lsh_meta.json")
+    with pytest.raises(ValueError, match="lsh_meta"):
+        admit_lsh_frame(spark, docs_b.limit(5), emb_b.limit(5), d)
