@@ -30,10 +30,25 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
     )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """``readStream`` over the events parquet (file-source streaming —
-    each file is a micro-batch input; on a cluster this is a bucket or
-    Kafka topic with identical downstream code).
+    on a cluster this is a bucket or Kafka topic with identical
+    downstream code).
+
+    ``max_files_per_trigger`` bounds each micro-batch's file intake;
+    the default (None) lets one batch take everything available —
+    results are identical under any split (the final watermark depends
+    only on the global max event time), but per-batch fixed overhead
+    is NOT: the old 1-file-per-trigger default made total cost grow
+    with the file COUNT (the 5× probe read 2.9–3.9× wall at 5× data
+    purely from 5 part files → 5 micro-batches). Tests that
+    specifically exercise multi-batch behavior (watermark drops,
+    replay idempotency, batch-split invariance) build their own
+    readers with an explicit ``maxFilesPerTrigger=1``.
 
     ``sf_dir`` is the scale-factor directory; the file source needs a
     directory path, so the events file is selected by glob filter.
@@ -72,9 +87,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # this one case keeps it set for the session — unavoidable until
         # Spark exposes a per-stream reader option for it.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(_events_schema(ts_type)).option(
-        "maxFilesPerTrigger", 1
-    )
+    reader = spark.readStream.schema(_events_schema(ts_type))
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", int(max_files_per_trigger)
+        )
     # events.parquet is a single file in the driver fixtures but a
     # directory of part files for any Spark-written table; the file
     # source takes a directory directly, while a bare file needs the
