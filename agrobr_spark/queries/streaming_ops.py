@@ -429,3 +429,49 @@ def stream_admit_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         delete_path(spark, store_dir)
         shutil.rmtree(ingest, ignore_errors=True)
+
+
+@register(
+    "stream_dedup_exact",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS data
+    FROM events
+    """,
+    tags=("STREAM", "DEDUP", "P7"),
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: first event per (user_id, event_type,
+    day) via ``dropDuplicatesWithinWatermark`` — the streaming twin of
+    P7/dedup_exact, and the idiom a streaming ingest uses to make an
+    at-least-once feed effectively-exactly-once BEFORE it reaches a
+    sink (the alternative to the sink-side MERGE of
+    ``stream_upsert_merge``).
+
+    State is bounded by the watermark: a key's dedup state lives only
+    until the watermark passes its event time + 1 day, so state size
+    tracks the horizon's key cardinality, not the stream's history —
+    the property that makes this run forever at 100 TB/day. Only the
+    key columns are emitted (which physical duplicate "wins" is
+    arrival-order-dependent; the KEY SET is deterministic, so the
+    oracle is a plain DISTINCT). A replay test
+    (tests/test_streaming.py) feeds the same file twice through
+    1-file micro-batches and asserts the emitted key set is unchanged
+    — duplicates are suppressed by state while keys are in-horizon and
+    by the watermark drop once they are not.
+    """
+    from agrobr_spark.streaming.windows import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    _COUNTER[0] += 1
+    name = f"stream_dedup_exact_{_COUNTER[0]}"
+    events = read_events_stream(spark, sf_dir)
+    dedup = (
+        events.withWatermark("ts", "1 day")
+        .withColumn("data", F.col("ts").cast("date"))
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "data"])
+        .select("user_id", "event_type", "data")
+    )
+    return run_available_now(dedup, name, mode="append")

@@ -105,6 +105,7 @@ def write_training_shards(
     fmt: str = "parquet",
     token_col: str | None = None,
     max_records_per_file: int | None = None,
+    compression: str | None = None,
 ) -> dict:
     """Export a prepared corpus as deterministic hash shards — the
     layout a trainer's data loader consumes (fixed shard count, stable
@@ -149,6 +150,11 @@ def write_training_shards(
     writer = stamped.repartition(n_shards, "shard").write.mode("overwrite")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    if compression is not None:
+        # parquet: zstd/snappy/gzip codecs; json: gzip etc. — the
+        # ``fmt="json"`` + gzip pairing is the JSONL.gz interchange
+        # layout tokenizer/training toolchains consume directly
+        writer = writer.option("compression", compression)
     writer = writer.partitionBy("shard")
     if fmt == "parquet":
         writer.parquet(path)

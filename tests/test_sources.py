@@ -340,3 +340,45 @@ def test_training_shards_detects_tamper(spark, tmp_path):
     _sh.rmtree(f"{path}/shard=1")
     with _pytest.raises(ValueError, match="shard set mismatch"):
         read_training_shards(spark, path)
+
+
+def test_training_shards_jsonl_gz_roundtrip(spark, tmp_path):
+    """JSONL.gz export (fmt=json + gzip): the interchange layout
+    tokenizer toolchains read line-by-line. Files must actually be
+    gzipped .json.gz, the verified read-back must pass, and the shard
+    assignment must be identical to the parquet export of the same
+    frame (content-addressed, format-independent)."""
+    import glob as _glob
+
+    from agrobr_spark.sources.sinks import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    df = spark.range(120).selectExpr(
+        "id AS doc_id", "concat('doc ', id) AS text", "id % 5 + 1 AS n_tokens"
+    )
+    jpath = str(tmp_path / "jsonl")
+    mj = write_training_shards(
+        df, jpath, key_col="doc_id", n_shards=3, fmt="json",
+        token_col="n_tokens", compression="gzip",
+    )
+    files = _glob.glob(f"{jpath}/shard=*/*.json.gz")
+    assert files, "json shards must be gzip-compressed"
+    import gzip as _gz
+    import json as _json
+
+    with _gz.open(files[0], "rt") as fh:
+        first = _json.loads(fh.readline())
+    assert {"doc_id", "text", "n_tokens"} <= set(first)
+
+    back, _ = read_training_shards(spark, jpath)
+    assert back.count() == 120
+
+    mp = write_training_shards(
+        df, str(tmp_path / "pq"), key_col="doc_id", n_shards=3,
+        token_col="n_tokens",
+    )
+    assert {k: v["rows"] for k, v in mj["shards"].items()} == {
+        k: v["rows"] for k, v in mp["shards"].items()
+    }

@@ -235,3 +235,49 @@ def test_stream_admit_replay_converges(spark):
         for r in stream_admit_batch(spark, SF_SMOKE).collect()
     }
     assert first and first == second
+
+
+def test_stream_dedup_replay_emits_no_duplicate_keys(spark, tmp_path):
+    """Feeding the SAME events file twice through 1-file micro-batches
+    must emit each (user, type, day) key exactly once: in-horizon
+    replays are suppressed by dedup state, out-of-horizon replays by
+    the watermark drop — either way the key set equals one copy's
+    DISTINCT."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from agrobr_spark.streaming.windows import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    src = f"{SF_SMOKE}/events.parquet"
+    ingest = tmp_path / "events.parquet"
+    ingest.mkdir()
+    shutil.copyfile(src, ingest / "copy_a.parquet")
+    shutil.copyfile(src, ingest / "copy_b.parquet")
+
+    events = read_events_stream(spark, str(tmp_path), max_files_per_trigger=1)
+    dedup = (
+        events.withWatermark("ts", "1 day")
+        .withColumn("data", F.col("ts").cast("date"))
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "data"])
+        .select("user_id", "event_type", "data")
+    )
+    got = [
+        (r["user_id"], r["event_type"], r["data"])
+        for r in run_available_now(dedup, "t_dedup_replay", mode="append").collect()
+    ]
+    assert len(got) == len(set(got)), "replay must not re-emit a key"
+
+    from agrobr_spark.io import load
+
+    want = {
+        (r["user_id"], r["event_type"], r["data"])
+        for r in load(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type", F.col("ts").cast("date").alias("data"))
+        .distinct()
+        .collect()
+    }
+    assert set(got) == want

@@ -52,6 +52,11 @@ PROBE_QUERIES = [
     "pipeline_data_mix",
     "pipeline_pack_chunks",
     "sim_rp_lsh_ann",
+    # round-6 late additions: containment (shingle-subset join; the 5×
+    # fixture's replication grows TRUE containment mass superlinearly,
+    # read the ratio with that in mind) and the streaming dedup idiom
+    "text_containment",
+    "stream_dedup_exact",
 ]
 
 # every table any probe query loads
