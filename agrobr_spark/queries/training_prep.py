@@ -742,3 +742,56 @@ def text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "doc_id", "source", "n_tokens", F.ntile(10).over(w).alias("decil")
     )
+
+
+@register(
+    "text_quality_deciles_approx",
+    # No value-exact oracle ON PURPOSE (the a13/a14 approx precedent):
+    # percentile_approx is a GK sketch whose cutoffs match DuckDB's
+    # quantile only within the accuracy bound, and ntile's remainder
+    # distribution differs from threshold bucketing by definition. The
+    # exactness contract lives in tests/test_training_prep.py::
+    # test_quality_deciles_approx_tracks_exact: never off by more than
+    # ONE decile from the exact ntile; agreement fraction is
+    # tie-density-dependent (ntile splits tied token counts across
+    # adjacent deciles, thresholds cannot — measured 0.766 on the
+    # fixture, floor 0.7). The exact twin (text_quality_deciles)
+    # stays fully hash-verified.
+    oracle=None,
+    tags=("TEXT", "QUALITY", "APPROX", "SCALE_DEFAULT"),
+)
+def text_quality_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB decile path the exact entry's docstring promises:
+    per-source ``percentile_approx`` cutoffs (one partial+final agg,
+    fixed sketch state per source) broadcast-joined back and applied
+    as range predicates — no per-source global window, so a
+    10^9-doc source costs one aggregation instead of a full-partition
+    sort. ``decil_aprox`` = 1 + number of cutoffs strictly above the
+    doc's token count (decile 1 = longest docs, matching the exact
+    twin's DESC ordering)."""
+    d = load(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        "source",
+        F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n_tokens"),
+    )
+    qs = ", ".join(str(x / 10.0) for x in range(9, 0, -1))
+    cortes = q.groupBy("source").agg(
+        F.expr(f"percentile_approx(n_tokens, array({qs}), 10000)").alias(
+            "cortes"
+        )
+    )
+    return (
+        q.join(F.broadcast(cortes), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (
+                F.lit(1)
+                + F.expr(
+                    "size(filter(cortes, c -> n_tokens < c))"
+                )
+            ).cast("int").alias("decil_aprox"),
+        )
+    )

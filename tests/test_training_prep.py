@@ -246,3 +246,30 @@ def test_quality_deciles_partition_invariants(spark):
         assert b.filter(F.col("d1_min") < F.col("d10_max")).count() == 0
     finally:
         df.unpersist()
+
+
+def test_quality_deciles_approx_tracks_exact(spark):
+    """The approx decile path must never be off by more than ONE
+    decile from the exact ntile — the strong guarantee (the sketch is
+    effectively exact at this size, so any residual disagreement is
+    definitional: ntile distributes TIED token counts across adjacent
+    deciles to equalize bucket sizes, while threshold bucketing puts
+    all ties in one bucket — a one-decile boundary effect by
+    construction). Agreement fraction is tie-density-dependent:
+    measured 0.766 on the fixture (107/500 docs sit one decile later,
+    10 one earlier, all on tie runs), floor asserted at 0.7."""
+    exact = _CAT["text_quality_deciles"].fn(spark, SF_ORACLE)
+    approx = _CAT["text_quality_deciles_approx"].fn(spark, SF_ORACLE)
+    j = exact.select("doc_id", "decil").join(
+        approx.select("doc_id", "decil_aprox"), "doc_id"
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("decil") == F.col("decil_aprox")).cast("long")
+        ).alias("iguais"),
+        F.max(F.abs(F.col("decil") - F.col("decil_aprox"))).alias("desvio"),
+    ).first()
+    assert agg["n"] > 0
+    assert agg["desvio"] <= 1, agg
+    assert agg["iguais"] / agg["n"] >= 0.7, agg
