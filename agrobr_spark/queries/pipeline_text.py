@@ -801,3 +801,96 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("familiaridade"),
         )
     )
+
+
+# -- inter-source overlap matrix (corpus curation diagnostics) --
+
+
+@register(
+    "corpus_overlap_matrix",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT source,
+             md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])) AS shingle
+      FROM toks, unnest(range(1, len(t) - 3)) AS r(i)
+      WHERE len(t) >= 5),
+    tam AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+    comum AS (
+      SELECT a.source AS fonte_a, b.source AS fonte_b, count(*) AS n_comum
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT c.fonte_a, c.fonte_b, c.n_comum,
+      CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+      round(CAST(c.n_comum AS DOUBLE) / ta.n, 6) AS frac_a,
+      round(CAST(c.n_comum AS DOUBLE) / tb.n, 6) AS frac_b
+    FROM comum c
+    JOIN tam ta ON ta.source = c.fonte_a
+    JOIN tam tb ON tb.source = c.fonte_b
+    """,
+    tags=("TEXT", "OVERLAP", "CURATION"),
+)
+def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source×source content-overlap matrix: for every ordered source
+    pair, how many DISTINCT 5-word shingles the two sources share and
+    what fraction of each side's shingle inventory that is — the
+    corpus-curation diagnostic behind "how much of crawl B is already
+    in dump A" decisions (mixture weights, source dedup order).
+
+    Plan: the per-(source, shingle) inventory is one distinct over the
+    shingle explode; pairs come from an inverted-index equi-join on
+    the shingle hash with a<b canonicalization, aggregated straight to
+    the source-pair key. Pair rows per shingle are bounded by the
+    NUMBER OF SOURCES sharing it (not documents), so the join output
+    is at most |sources|²/2 per shingle — with the source dimension in
+    the tens this stays a skew-free hash join at any corpus size. The
+    two totals join on the tiny per-source frame (broadcast)."""
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.select("source", F.split(F.trim("text"), r"\s+").alias("t"))
+        .filter(F.size("t") >= 5)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 5), i -> md5(concat_ws("
+                    "' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    tam = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("fonte_a"), "shingle")
+    b = sh.select(F.col("source").alias("fonte_b"), "shingle")
+    comum = (
+        a.join(b, "shingle")
+        .filter(F.col("fonte_a") < F.col("fonte_b"))
+        .groupBy("fonte_a", "fonte_b")
+        .agg(F.count(F.lit(1)).alias("n_comum"))
+    )
+    ta = F.broadcast(
+        tam.select(F.col("source").alias("fonte_a"), F.col("n").alias("n_a"))
+    )
+    tb = F.broadcast(
+        tam.select(F.col("source").alias("fonte_b"), F.col("n").alias("n_b"))
+    )
+    return (
+        comum.join(ta, "fonte_a")
+        .join(tb, "fonte_b")
+        .select(
+            "fonte_a",
+            "fonte_b",
+            "n_comum",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_comum").cast("double") / F.col("n_a"), 6
+            ).alias("frac_a"),
+            F.round(
+                F.col("n_comum").cast("double") / F.col("n_b"), 6
+            ).alias("frac_b"),
+        )
+    )

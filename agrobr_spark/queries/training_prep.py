@@ -795,3 +795,170 @@ def text_quality_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("decil_aprox"),
         )
     )
+
+
+# -- deterministic training order (global shuffle without a global sort) --
+
+
+_SHUFFLE_SEED = "s42:"
+_N_ORDER_SHARDS = 16
+
+
+@register(
+    "pipeline_shuffle_order",
+    oracle=f"""
+    WITH chaves AS (
+      SELECT doc_id, md5('{_SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)) AS chave
+      FROM documents),
+    com_shard AS (
+      SELECT doc_id, chave,
+        CAST(('0x' || substring(chave, 1, 15))::UBIGINT
+             % {_N_ORDER_SHARDS} AS INTEGER) AS shard
+      FROM chaves)
+    SELECT doc_id, chave, shard,
+      CAST(row_number() OVER (
+        PARTITION BY shard ORDER BY chave, doc_id) AS BIGINT)
+        AS ordem_no_shard
+    FROM com_shard
+    """,
+    tags=("PIPELINE", "ORDER", "SHUFFLE"),
+)
+def pipeline_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order permutation WITHOUT a global
+    sort: every doc gets a content-addressed shuffle key
+    (md5(seed || doc_id)), a shard (hash mod {n}), and its rank WITHIN
+    the shard. The training order is (shard, ordem_no_shard) — readers
+    consume shards in id order, each internally hash-shuffled.
+    Changing the seed literal re-permutes the whole corpus
+    reproducibly; the same seed always yields the same order on any
+    cluster size (no rand(), no partition-order dependence).
+
+    Scale shape: the only wide operation is a row_number window
+    PARTITIONED BY shard — n/{n} rows per partition, never a single
+    global ordering task (the naive global row_number is exactly the
+    plan this avoids). At 100 TB raise the shard count; the layout
+    matches write_training_shards so order assignment and physical
+    export share one shuffle.""".format(n=_N_ORDER_SHARDS)
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    chave = F.md5(F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(F.col("chave"), 1, 15), 16, 10)
+        .cast("bigint") % _N_ORDER_SHARDS
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("chave", "doc_id")
+    return (
+        d.withColumn("chave", chave)
+        .withColumn("shard", shard)
+        .withColumn("ordem_no_shard", F.row_number().over(w).cast("bigint"))
+    )
+
+
+# -- curriculum order: quality phase first, hash-shuffled within phase --
+
+
+@register(
+    "pipeline_curriculum_order",
+    oracle=rf"""
+    WITH q AS (
+      SELECT doc_id, source,
+        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+          AS n_tokens
+      FROM documents),
+    decis AS (
+      SELECT doc_id, source, n_tokens,
+        CAST(ntile(10) OVER (
+          PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS INTEGER)
+          AS decil
+      FROM q)
+    SELECT doc_id, source, decil,
+      md5('{_SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)) AS chave,
+      CAST(row_number() OVER (
+        PARTITION BY decil, source
+        ORDER BY md5('{_SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)), doc_id)
+        AS BIGINT) AS ordem_na_fase
+    FROM decis
+    """,
+    tags=("PIPELINE", "ORDER", "CURRICULUM"),
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: docs are staged by per-source quality
+    decile (decil 1 = longest docs first, the exact ntile of
+    `text_quality_deciles`) and deterministically hash-shuffled WITHIN
+    each (decile, source) phase — "train highest-quality-first, random
+    within a stage". The consumption order is
+    (decil, source, ordem_na_fase).
+
+    Scale shape: one per-source ntile window (see
+    text_quality_deciles' documented approx swap for 10^9-doc sources)
+    plus a row_number partitioned by (decil, source) — both keyed
+    windows, no global sort."""
+    d = load(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        "source",
+        F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n_tokens"),
+    )
+    wd = Window.partitionBy("source").orderBy(F.col("n_tokens").desc(), "doc_id")
+    chave = F.md5(F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string")))
+    decis = q.withColumn("decil", F.ntile(10).over(wd)).withColumn(
+        "chave", chave
+    )
+    wf = Window.partitionBy("decil", "source").orderBy("chave", "doc_id")
+    return decis.select(
+        "doc_id",
+        "source",
+        "decil",
+        "chave",
+        F.row_number().over(wf).cast("bigint").alias("ordem_na_fase"),
+    )
+
+
+# -- sequence-length distribution (log2 buckets, integer-exact) --
+
+
+@register(
+    "text_length_histogram",
+    oracle=r"""
+    WITH q AS (
+      SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+          AS n_tokens
+      FROM documents)
+    SELECT CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE length(bin(n_tokens)) END AS INTEGER) AS balde,
+      CAST(CASE WHEN n_tokens = 0 THEN 0
+           ELSE 1 << (length(bin(n_tokens)) - 1) END AS BIGINT) AS lo,
+      count(*) AS n_docs,
+      CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM q
+    GROUP BY 1, 2
+    """,
+    tags=("TEXT", "HISTOGRAM", "A4"),
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution in power-of-two buckets — the
+    histogram a packing/chunking job reads to size CHUNK_TOKENS and
+    predict boundary waste. Bucket id is the BIT LENGTH of the token
+    count (length of its binary representation: 1-1, 2-3, 4-7, ...),
+    computed with string-of-binary length on BOTH engines — integer
+    exact, immune to the log2 libm boundary drift a floor(log2(n))
+    formulation risks at exact powers of two. One partial+final
+    aggregation; scan-bound at any scale."""
+    d = load(spark, sf_dir, "documents")
+    q = d.select(F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n_tokens"))
+    balde = F.when(F.col("n_tokens") == 0, F.lit(0)).otherwise(
+        F.length(F.bin(F.col("n_tokens")))
+    ).cast("int")
+    lo = F.when(F.col("n_tokens") == 0, F.lit(0)).otherwise(
+        F.expr("shiftleft(1, length(bin(n_tokens)) - 1)")
+    ).cast("bigint")
+    return (
+        q.withColumn("balde", balde)
+        .withColumn("lo", lo)
+        .groupBy("balde", "lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

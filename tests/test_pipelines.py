@@ -43,3 +43,20 @@ def test_prepare_training_corpus_no_quality_gates(spark, tmp_path):
         apply_quality_gates=True,
     )
     assert s_loose["shards"]["row_count"] >= s_tight["shards"]["row_count"]
+
+
+def test_overlap_matrix_fractions_and_canonical_pairs(spark):
+    """Overlap fractions are in (0, 1], pairs are a<b canonical, and
+    the planted cross-source near-dups give at least one pair real
+    overlap mass."""
+    from tests.conftest import SF_ORACLE
+
+    from agrobr_spark.queries import catalog as _catalog
+
+    df = _catalog()["corpus_overlap_matrix"].fn(spark, SF_ORACLE)
+    rows = df.collect()
+    assert rows, "planted dups must produce at least one overlapping pair"
+    for r in rows:
+        assert r["fonte_a"] < r["fonte_b"]
+        assert 0 < r["frac_a"] <= 1 and 0 < r["frac_b"] <= 1
+        assert r["n_comum"] <= min(r["n_a"], r["n_b"])

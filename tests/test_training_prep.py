@@ -273,3 +273,53 @@ def test_quality_deciles_approx_tracks_exact(spark):
     assert agg["n"] > 0
     assert agg["desvio"] <= 1, agg
     assert agg["iguais"] / agg["n"] >= 0.7, agg
+
+
+def test_shuffle_order_is_a_permutation(spark):
+    """(shard, ordem_no_shard) must be a bijection over the corpus:
+    every doc appears once, ranks are dense 1..|shard| per shard, and
+    the induced order is stable across re-evaluation (content-
+    addressed, no rand())."""
+    df = _CAT["pipeline_shuffle_order"].fn(spark, SF_ORACLE).cache()
+    try:
+        n = df.count()
+        assert df.select("doc_id").distinct().count() == n
+        dense = df.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("ordem_no_shard").alias("mx"),
+            F.min("ordem_no_shard").alias("mn"),
+        )
+        assert dense.filter(
+            (F.col("mx") != F.col("c")) | (F.col("mn") != 1)
+        ).count() == 0
+        again = _CAT["pipeline_shuffle_order"].fn(spark, SF_ORACLE)
+        assert sorted(map(tuple, df.collect())) == sorted(
+            map(tuple, again.collect())
+        )
+    finally:
+        df.unpersist()
+
+
+def test_curriculum_phases_are_dense_and_cover(spark):
+    df = _CAT["pipeline_curriculum_order"].fn(spark, SF_ORACLE).cache()
+    try:
+        total = df.count()
+        assert df.select("doc_id").distinct().count() == total
+        dense = df.groupBy("decil", "source").agg(
+            F.count(F.lit(1)).alias("c"), F.max("ordem_na_fase").alias("mx")
+        )
+        assert dense.filter(F.col("mx") != F.col("c")).count() == 0
+    finally:
+        df.unpersist()
+
+
+def test_length_histogram_partitions_the_corpus(spark):
+    from agrobr_spark.io import load as _load
+
+    df = _CAT["text_length_histogram"].fn(spark, SF_ORACLE)
+    rows = df.collect()
+    n_docs = _load(spark, SF_ORACLE, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        if r["balde"] > 0:
+            assert r["lo"] == 1 << (r["balde"] - 1)
