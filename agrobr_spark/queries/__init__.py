@@ -105,6 +105,7 @@ def catalog() -> dict[str, CatalogEntry]:
         streaming_ops,
         training_prep,
         validation_ops,
+        vocab,
     )
 
     hist = _verification_history()

@@ -894,3 +894,91 @@ def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frac_b"),
         )
     )
+
+
+# -- per-doc TF-IDF keywords --
+
+
+TFIDF_TOPK = 5
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    tf AS (
+      SELECT doc_id, lower(tok) AS termo, count(*) AS tf
+      FROM toks, unnest(t) AS u(tok) GROUP BY 1, 2),
+    n_docs AS (SELECT count(*) AS n FROM documents),
+    df AS (SELECT termo, count(*) AS df FROM tf GROUP BY termo),
+    pontuado AS (
+      SELECT tf.doc_id, tf.termo, CAST(tf.tf AS BIGINT) AS tf,
+        CAST(df.df AS BIGINT) AS df,
+        round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN df USING (termo) CROSS JOIN n_docs n),
+    topo AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, termo) AS posicao
+      FROM pontuado)
+    SELECT doc_id, termo, tf, df, tfidf, CAST(posicao AS INTEGER) AS posicao
+    FROM topo WHERE posicao <= {TFIDF_TOPK}
+    """,
+    tags=("TEXT", "TFIDF", "KEYWORDS"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{k} TF-IDF keywords — the corpus-analysis
+    primitive behind keyword indexing, topic drift monitoring, and
+    quality-by-vocabulary heuristics. ``tfidf = tf · ln((N+1)/(df+1))``
+    rounded to 6 decimals (the repo's standard cross-engine float
+    discipline — ln is within-1-ulp on both engines, and the rounding
+    plus a term tie-break keeps the top-k selection deterministic).
+
+    Plan: TF is one explode→groupBy on (doc, term); DF is a second
+    groupBy on the TF table (never re-touches the corpus); the join
+    back is an equi-join on the term (document frequency table is
+    ~vocabulary-sized — broadcastable at any corpus size for natural-
+    language vocabularies); top-k is one row_number window KEYED by
+    doc_id. No global sort, no unkeyed window, and stop-words need no
+    list — their IDF → 0 demotes them arithmetically.""".format(
+        k=TFIDF_TOPK
+    )
+    d = load(spark, sf_dir, "documents")
+    toks = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", F.lower("tok").alias("termo"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # corpus size as a broadcast 1-row aggregate, not an eager count()
+    # job per invocation (the r5-nit pattern: composed queries must not
+    # pay a driver action per layer)
+    n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_corpus"))
+    df_tab = tf.groupBy("termo").agg(F.count(F.lit(1)).alias("df"))
+    pontuado = (
+        tf.join(F.broadcast(df_tab), "termo")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "termo",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("n_corpus") + 1.0) / (F.col("df") + 1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "termo")
+    return (
+        pontuado.withColumn("posicao", F.row_number().over(w).cast("int"))
+        .filter(F.col("posicao") <= TFIDF_TOPK)
+    )
