@@ -513,3 +513,142 @@ def mm_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("media_b"),
         "cosseno",
     )
+
+
+# -- funnel + retention: the two classic event-analytics rollups --
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "w8_funnel",
+    oracle=f"""
+    WITH e1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+    e2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN e1 ON e1.user_id = e.user_id
+      WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > e1.t1
+      GROUP BY e.user_id),
+    e3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN e2 ON e2.user_id = e.user_id
+      WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > e2.t2
+      GROUP BY e.user_id),
+    contagens AS (
+      SELECT (SELECT count(*) FROM e1) AS c1,
+             (SELECT count(*) FROM e2) AS c2,
+             (SELECT count(*) FROM e3) AS c3)
+    SELECT ordem, etapa, n_usuarios,
+      round(CAST(n_usuarios AS DOUBLE) / nullif(c1, 0), 6) AS conversao
+    FROM contagens,
+      (VALUES (1, '{FUNNEL_STEPS[0]}'), (2, '{FUNNEL_STEPS[1]}'),
+              (3, '{FUNNEL_STEPS[2]}')) AS etapas(ordem, etapa),
+      LATERAL (SELECT CASE ordem WHEN 1 THEN c1 WHEN 2 THEN c2
+                      ELSE c3 END AS n_usuarios)
+    """,
+    tags=("W8", "FUNNEL", "EVENTS"),
+)
+def w8_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict sequential funnel (view → click → purchase): a user
+    counts for step k only with a step-k event strictly AFTER their
+    step-(k-1) entry time — the standard product-analytics funnel, not
+    the set-intersection shortcut that overcounts out-of-order users.
+
+    Plan: each stage is one filtered groupBy on user_id joined to the
+    previous stage's entry times (equi-join on the user key, partial
+    aggregation applies); the final 3-row report folds the stage
+    counts with one stack — no window over the event stream, no
+    per-user state, and the event scan is filtered to the step types
+    at the source. At 100 TB each stage is an ordinary keyed
+    aggregation over the (pushdown-pruned) step's events."""
+    e = load(spark, sf_dir, "events")
+    u1 = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    u2 = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(u1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    u3 = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(u2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    flags = (
+        u1.select("user_id", F.lit(1).alias("f1"))
+        .join(u2.select("user_id", F.lit(1).alias("f2")), "user_id", "left")
+        .join(u3.select("user_id", F.lit(1).alias("f3")), "user_id", "left")
+        .agg(
+            F.sum("f1").alias("c1"),
+            F.sum(F.coalesce("f2", F.lit(0))).alias("c2"),
+            F.sum(F.coalesce("f3", F.lit(0))).alias("c3"),
+        )
+    )
+    return flags.select(
+        F.expr(
+            f"stack(3, 1, '{FUNNEL_STEPS[0]}', c1, 2, '{FUNNEL_STEPS[1]}',"
+            f" c2, 3, '{FUNNEL_STEPS[2]}', c3) AS (ordem, etapa, n_usuarios)"
+        ),
+        F.col("c1").alias("_c1"),
+    ).select(
+        "ordem",
+        "etapa",
+        F.col("n_usuarios").cast("bigint").alias("n_usuarios"),
+        F.round(
+            F.col("n_usuarios").cast("double")
+            / F.nullif(F.col("_c1"), F.lit(0)),
+            6,
+        ).alias("conversao"),
+    )
+
+
+@register(
+    "w9_retention_cohorts",
+    oracle="""
+    WITH primeiro AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS coorte FROM events
+      GROUP BY user_id),
+    atividade AS (
+      SELECT DISTINCT e.user_id, p.coorte,
+        date_diff('day', p.coorte, CAST(e.ts AS DATE)) AS dias_depois
+      FROM events e JOIN primeiro p ON p.user_id = e.user_id)
+    SELECT coorte, CAST(dias_depois AS INTEGER) AS dias_depois,
+      count(*) AS n_usuarios
+    FROM atividade GROUP BY 1, 2
+    """,
+    tags=("W9", "RETENTION", "EVENTS"),
+)
+def w9_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-activity date,
+    counted on each later day-offset they return — the triangle a
+    retention dashboard renders. Per-user first date is one groupBy;
+    the offset explode is a PK join back to events plus a distinct on
+    (user, offset); the final rollup is partial+final on
+    (cohort, offset). All keyed aggregations — no windows at all."""
+    e = load(spark, sf_dir, "events")
+    primeiro = e.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("coorte")
+    )
+    atividade = (
+        e.select("user_id", F.col("ts").cast("date").alias("dia"))
+        .join(primeiro, "user_id")
+        .select(
+            "user_id",
+            "coorte",
+            F.datediff("dia", "coorte").alias("dias_depois"),
+        )
+        .distinct()
+    )
+    return atividade.groupBy("coorte", "dias_depois").agg(
+        F.count(F.lit(1)).alias("n_usuarios")
+    )

@@ -662,3 +662,42 @@ def test_approx_distinct_within_bound(spark):
         ap = approx[flag]
         assert abs(ap["n_parts_aprox"] - ex["p"]) <= max(3, 0.06 * ex["p"])
         assert abs(ap["n_pedidos_aprox"] - ex["o"]) <= max(3, 0.06 * ex["o"])
+
+
+def test_funnel_is_monotone_nonincreasing(spark):
+    from agrobr_spark.queries import catalog as _cat
+    from tests.conftest import SF_ORACLE
+
+    rows = sorted(
+        (r["ordem"], r["n_usuarios"], r["conversao"])
+        for r in _cat()["w8_funnel"].fn(spark, SF_ORACLE).collect()
+    )
+    assert len(rows) == 3
+    assert rows[0][1] >= rows[1][1] >= rows[2][1] >= 0
+    assert rows[0][2] == 1.0
+    assert rows[2][1] > 0, "fixture must have complete funnels"
+
+
+def test_retention_day0_equals_cohort_size(spark):
+    import pyspark.sql.functions as F
+
+    from agrobr_spark.queries import catalog as _cat
+    from tests.conftest import SF_ORACLE
+
+    df = _cat()["w9_retention_cohorts"].fn(spark, SF_ORACLE).cache()
+    try:
+        assert df.filter(F.col("dias_depois") < 0).count() == 0
+        # every user's first day IS an activity day: sum of day-0
+        # counts == number of distinct users
+        d0 = df.filter(F.col("dias_depois") == 0).agg(
+            F.sum("n_usuarios")
+        ).first()[0]
+        from agrobr_spark.io import load
+
+        n_users = (
+            load(spark, SF_ORACLE, "events")
+            .select("user_id").distinct().count()
+        )
+        assert d0 == n_users
+    finally:
+        df.unpersist()
