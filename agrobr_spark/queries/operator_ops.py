@@ -652,3 +652,69 @@ def w9_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return atividade.groupBy("coorte", "dias_depois").agg(
         F.count(F.lit(1)).alias("n_usuarios")
     )
+
+
+@register(
+    "w10_rolling_7d",
+    oracle="""
+    WITH diario AS (
+      SELECT event_type, CAST(ts AS DATE) AS data,
+        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS soma,
+        count(*) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT event_type, data,
+      CAST(soma AS DOUBLE) AS soma_dia,
+      CAST(sum(soma) OVER w AS DOUBLE) AS soma_7d,
+      CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+      round(CAST(sum(soma) OVER w AS DOUBLE) / sum(n) OVER w, 6)
+        AS media_7d
+    FROM diario
+    WINDOW w AS (PARTITION BY event_type ORDER BY data
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    """,
+    tags=("W10", "ROLLING", "RANGE_FRAME"),
+)
+def w10_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day sum/mean per event_type over daily aggregates — a
+    RANGE-frame window (value-based bounds over the date axis), the
+    one window shape the catalog's lag/rank/rows entries don't cover.
+    A calendar gap therefore shrinks the window to the days that
+    exist, which a ROWS BETWEEN 6 PRECEDING frame would silently get
+    wrong.
+
+    Plan: the event stream collapses to ~|types|×|days| daily rows
+    FIRST (partial+final keyed agg), so the window runs over the tiny
+    aggregate, never the raw events; ordering is an integer day offset
+    (Spark's rangeBetween needs a numeric axis; DuckDB takes the
+    INTERVAL form directly — same frame semantics). Daily sums in
+    decimal, rolling mean rounded to 6dp — the repo's float rules."""
+    e = load(spark, sf_dir, "events")
+    diario = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("data")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("soma"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("dia_n", F.datediff("data", F.lit("1970-01-01")))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dia_n")
+        .rangeBetween(-6, 0)
+    )
+    return diario.select(
+        "event_type",
+        "data",
+        F.col("soma").cast("double").alias("soma_dia"),
+        F.sum("soma").over(w).cast("double").alias("soma_7d"),
+        F.sum("n").over(w).cast("bigint").alias("n_7d"),
+        F.round(
+            F.sum("soma").over(w).cast("double") / F.sum("n").over(w), 6
+        ).alias("media_7d"),
+    )

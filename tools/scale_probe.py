@@ -57,6 +57,11 @@ PROBE_QUERIES = [
     # read the ratio with that in mind) and the streaming dedup idiom
     "text_containment",
     "stream_dedup_exact",
+    # event analytics + corpus curation (round-6 close-out)
+    "w8_funnel",
+    "w9_retention_cohorts",
+    "corpus_overlap_matrix",
+    "text_tfidf_topk",
 ]
 
 # every table any probe query loads
