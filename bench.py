@@ -63,6 +63,12 @@ BENCH_QUERIES = [
     "sim_rp_lsh_ann",
     "stream_tumbling_daily",
     "stream_stateful_dod",
+    "stream_dedup_exact",
+    "pipeline_df_index_update",
+    "corpus_overlap_matrix",
+    "text_tfidf_topk",
+    "w8_funnel",
+    "w10_rolling_7d",
 ]
 
 
