@@ -937,13 +937,12 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: TF is one explode→groupBy on (doc, term); DF is a second
     groupBy on the TF table (never re-touches the corpus); the join
-    back is an equi-join on the term (document frequency table is
-    ~vocabulary-sized — broadcastable at any corpus size for natural-
-    language vocabularies); top-k is one row_number window KEYED by
-    doc_id. No global sort, no unkeyed window, and stop-words need no
-    list — their IDF → 0 demotes them arithmetically.""".format(
-        k=TFIDF_TOPK
-    )
+    back is an equi-join on the term — AQE broadcasts it at runtime
+    for natural-language vocabularies and keeps it a shuffled hash
+    join for web-scale term spaces; top-k is one row_number window
+    KEYED by doc_id. No global sort, no unkeyed window, and
+    stop-words need no list — their IDF → 0 demotes them
+    arithmetically.""".format(k=TFIDF_TOPK)
     d = load(spark, sf_dir, "documents")
     toks = d.filter(F.length(F.trim("text")) > 0).select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
@@ -958,8 +957,13 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pay a driver action per layer)
     n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_corpus"))
     df_tab = tf.groupBy("termo").agg(F.count(F.lit(1)).alias("df"))
+    # no broadcast hint on df_tab: it is a derived aggregate, and
+    # forcing a broadcast exchange re-executes the TF lineage as a
+    # separate job (the dedup_minhash_lsh lesson); AQE converts the
+    # join to broadcast at runtime when the vocabulary is small, and
+    # web-scale vocabularies (urls/typos) stay a shuffled equi-join
     pontuado = (
-        tf.join(F.broadcast(df_tab), "termo")
+        tf.join(df_tab, "termo")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
