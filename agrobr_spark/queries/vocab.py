@@ -141,3 +141,114 @@ def pipeline_df_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         delete_path(spark, store_dir)
+
+
+def tfidf_from_index(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    store_dir: str,
+    n_corpus: int,
+    top_k: int = 5,
+) -> DataFrame:
+    """Score a batch's documents against the PERSISTED DF table — the
+    daily operation once the index exists: no corpus rescan, the only
+    inputs are the batch and the (bucket-partitioned) vocab table.
+    ``n_corpus`` is the indexed document count (tracked by the caller's
+    admission metadata). Unseen terms get df=0 — maximal IDF, which is
+    what a novelty-sensitive scorer wants."""
+    toks = batch_docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", F.lower("tok").alias("termo"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idx = _df_store(spark, store_dir).read().select("termo", "df")
+    pontuado = tf.join(idx, "termo", "left").select(
+        "doc_id",
+        "termo",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.coalesce("df", F.lit(0)).cast("bigint").alias("df"),
+        F.round(
+            F.col("tf")
+            * F.log(
+                (F.lit(float(n_corpus)) + 1.0)
+                / (F.coalesce("df", F.lit(0)) + 1.0)
+            ),
+            6,
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "termo")
+    return pontuado.withColumn(
+        "posicao", F.row_number().over(w).cast("int")
+    ).filter(F.col("posicao") <= int(top_k))
+
+
+@register(
+    "pipeline_tfidf_incremental",
+    oracle=r"""
+    WITH lim AS (SELECT CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT)
+                 AS corte FROM documents),
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    dfx AS (
+      SELECT termo, count(*) AS df FROM (
+        SELECT DISTINCT tk.doc_id, lower(tok) AS termo
+        FROM toks tk, unnest(t) AS u(tok), lim
+        WHERE tk.doc_id < lim.corte)
+      GROUP BY termo),
+    n_idx AS (
+      SELECT count(*) AS n FROM documents, lim
+      WHERE doc_id < lim.corte AND length(trim(text)) > 0),
+    tf AS (
+      SELECT tk.doc_id, lower(tok) AS termo, count(*) AS tf
+      FROM toks tk, unnest(t) AS u(tok), lim
+      WHERE tk.doc_id >= lim.corte
+      GROUP BY 1, 2),
+    pontuado AS (
+      SELECT tf.doc_id, tf.termo, CAST(tf.tf AS BIGINT) AS tf,
+        CAST(coalesce(d.df, 0) AS BIGINT) AS df,
+        round(tf.tf * ln((n.n + 1.0) / (coalesce(d.df, 0) + 1.0)), 6)
+          AS tfidf
+      FROM tf LEFT JOIN dfx d USING (termo) CROSS JOIN n_idx n),
+    topo AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, termo) AS posicao
+      FROM pontuado)
+    SELECT doc_id, termo, tf, df, tfidf, CAST(posicao AS INTEGER) AS posicao
+    FROM topo WHERE posicao <= 5
+    """,
+    tags=("PIPELINE", "VOCAB", "TFIDF", "INCREMENTAL"),
+)
+def pipeline_tfidf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental TF-IDF end to end: build the DF index from the
+    corpus split, score the BATCH split's docs against the frozen
+    index only (no corpus rescan; unseen terms df=0 → maximal IDF).
+    The oracle recomputes the identical scoring in SQL — corpus-side
+    DF, batch-side TF, same log formula — so the index read-back path
+    is hash-verified, not just the build."""
+    import tempfile
+
+    from agrobr_spark.queries.admission import _split_params
+    from agrobr_spark.store.fs import delete_path
+
+    cut = _split_params(spark, sf_dir)[0]
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < cut)
+    store_dir = tempfile.mkdtemp(prefix="vocab_tfidf_")
+    try:
+        build_df_index(spark, corpus, store_dir)
+        n_corpus = corpus.filter(F.length(F.trim("text")) > 0).count()
+        out = tfidf_from_index(
+            spark,
+            docs.filter(F.col("doc_id") >= cut),
+            store_dir,
+            n_corpus,
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        delete_path(spark, store_dir)

@@ -53,3 +53,33 @@ def test_empty_batch_is_a_noop(spark, tmp_path):
     before = _table(spark, d)
     update_df_index(spark, docs.filter(F.col("doc_id") < 0), d)
     assert _table(spark, d) == before
+
+
+def test_tfidf_from_maintained_index_equals_one_shot(spark, tmp_path):
+    """Scoring a batch against an index built incrementally (build +
+    fold) must be row-identical to scoring against a one-shot build of
+    the same corpus — the read-back path must not care how the table
+    got there."""
+    from agrobr_spark.queries.vocab import tfidf_from_index
+
+    docs = load(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    n_corpus = corpus.filter(F.length(F.trim("text")) > 0).count()
+
+    one = str(tmp_path / "one")
+    build_df_index(spark, corpus, one)
+    inc = str(tmp_path / "inc")
+    build_df_index(spark, corpus.filter(F.col("doc_id") < 150), inc)
+    update_df_index(
+        spark, corpus.filter(F.col("doc_id") >= 150), inc
+    )
+
+    a = sorted(
+        map(tuple, tfidf_from_index(spark, batch, one, n_corpus).collect())
+    )
+    b = sorted(
+        map(tuple, tfidf_from_index(spark, batch, inc, n_corpus).collect())
+    )
+    assert a == b
+    assert a, "batch must produce scored keywords"
