@@ -377,14 +377,14 @@ _DOT_SQL = (
     tags=("DEDUP", "EMBEDDING", "COSINE"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold {thr}), computed by
+    """Embedding-cosine near-dup pairs (threshold 0.45), computed by
     the EXACT triangle block equi-join (operators/allpairs.py): same
     n²/2 comparisons as all-pairs, but as a hash-shuffled equi-join on
     block-pair keys — no BroadcastNestedLoopJoin (the round-1 plan was
-    the non-equi `vec_a < vec_b` nested loop, a scale-killer). 100%%
+    the non-equi `vec_a < vec_b` nested loop, a scale-killer). 100%
     recall, so the all-pairs DuckDB oracle still verifies it exactly.
     Rounded to 6 decimals for cross-engine float stability.
-    """.format(thr=_COS_THRESHOLD)
+    """
     from agrobr_spark.operators.allpairs import block_cosine_pairs
 
     e = load(spark, sf_dir, "embeddings")
@@ -665,7 +665,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-char keys per doc, the only corpus state touched); the new
     batch computes its own signatures, candidates come from one
     equi-join on (banda, chave), and candidates are verified with
-    exact shingle Jaccard ≥ {thr}. The corpus TEXT is never re-read,
+    exact shingle Jaccard ≥ 0.5. The corpus TEXT is never re-read,
     never reshuffled: at 100 TB the band-key index is ~1/1000th of
     the corpus and the join is batch-sized. Exact dups (jaccard 1.0)
     collide in every band and are always caught; near-dups follow the
@@ -674,7 +674,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_lote, doc_corpus, jaccard) — the batch docs that
     must be rejected as text duplicates of indexed corpus docs, with
     their match. Composes with pipeline_admit_batch's embedding gates
-    as an additional `duplicado_texto` reason.""".format(thr=_INC_JACCARD)
+    as an additional `duplicado_texto` reason."""
     from agrobr_spark.queries.admission import _split_params
 
     cut = _split_params(spark, sf_dir)[0]

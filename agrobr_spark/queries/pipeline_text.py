@@ -243,12 +243,13 @@ CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
 )
 def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (the training-pipeline
-    pre-tokenization split): {W}-token windows every {S} tokens.
+    pre-tokenization split): 50-token windows every 40 tokens (10-token
+    overlap; the CHUNK_TOKENS / CHUNK_STRIDE module constants).
 
     Pure Catalyst — sequence() generates chunk starts, explode fans
     out, slice() takes each window; no Python, no shuffle (narrow
     maps only), so chunking 100 TB of text is scan-bound.
-    """.format(W=CHUNK_TOKENS, S=CHUNK_STRIDE)
+    """
     d = load(spark, sf_dir, "documents")
     toks = _tokens()
     with_toks = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
@@ -928,7 +929,7 @@ TFIDF_TOPK = 5
     tags=("TEXT", "TFIDF", "KEYWORDS"),
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document top-{k} TF-IDF keywords — the corpus-analysis
+    """Per-document top-5 TF-IDF keywords — the corpus-analysis
     primitive behind keyword indexing, topic drift monitoring, and
     quality-by-vocabulary heuristics. ``tfidf = tf · ln((N+1)/(df+1))``
     rounded to 6 decimals (the repo's standard cross-engine float
@@ -942,7 +943,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     join for web-scale term spaces; top-k is one row_number window
     KEYED by doc_id. No global sort, no unkeyed window, and
     stop-words need no list — their IDF → 0 demotes them
-    arithmetically.""".format(k=TFIDF_TOPK)
+    arithmetically."""
     d = load(spark, sf_dir, "documents")
     toks = d.filter(F.length(F.trim("text")) > 0).select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("t")

@@ -826,7 +826,7 @@ _N_ORDER_SHARDS = 16
 def pipeline_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order permutation WITHOUT a global
     sort: every doc gets a content-addressed shuffle key
-    (md5(seed || doc_id)), a shard (hash mod {n}), and its rank WITHIN
+    (md5(seed || doc_id)), a shard (hash mod 16), and its rank WITHIN
     the shard. The training order is (shard, ordem_no_shard) — readers
     consume shards in id order, each internally hash-shuffled.
     Changing the seed literal re-permutes the whole corpus
@@ -834,11 +834,11 @@ def pipeline_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster size (no rand(), no partition-order dependence).
 
     Scale shape: the only wide operation is a row_number window
-    PARTITIONED BY shard — n/{n} rows per partition, never a single
+    PARTITIONED BY shard — n/16 rows per partition, never a single
     global ordering task (the naive global row_number is exactly the
     plan this avoids). At 100 TB raise the shard count; the layout
     matches write_training_shards so order assignment and physical
-    export share one shuffle.""".format(n=_N_ORDER_SHARDS)
+    export share one shuffle."""
     d = load(spark, sf_dir, "documents").select("doc_id")
     chave = F.md5(F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string")))
     shard = (
