@@ -656,9 +656,17 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits a pathological mega-span. Subset-of-spans is necessary for
     true substring containment (not sufficient at window boundaries) —
     the candidate set a downstream exact verifier consumes."""
-    toks = load(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_TOKS).alias("t")
-    )
+    return containment_candidates(load(spark, sf_dir, "documents"))
+
+
+def containment_candidates(docs: DataFrame) -> DataFrame:
+    """Library form of `text_containment` over any (doc_id, text)
+    frame — span-subset candidate pairs (id_contido, id_contem,
+    n_spans_contido, n_comum). Span-subset containment is transitive
+    over docs with full span inventories (A ⊆ B and B ⊆ C implies
+    A ⊆ C), which tests/test_training_prep.py property-checks on
+    constructed substring chains."""
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("t"))
     sh = (
         toks.select(
             "doc_id",

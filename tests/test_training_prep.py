@@ -323,3 +323,24 @@ def test_length_histogram_partitions_the_corpus(spark):
     for r in rows:
         if r["balde"] > 0:
             assert r["lo"] == 1 << (r["balde"] - 1)
+
+
+def test_containment_transitive_on_substring_chain(spark):
+    """Property on constructed docs: A a substring of B, B a substring
+    of C — the candidate set must contain (A,B), (B,C) AND the
+    transitive (A,C), and never a reverse pair of a strict chain."""
+    from agrobr_spark.queries.training_prep import containment_candidates
+
+    words = [f"w{i}" for i in range(40)]
+    a_txt = " ".join(words[:16])
+    b_txt = " ".join(words[:28])
+    c_txt = " ".join(words)
+    docs = spark.createDataFrame(
+        [(1, a_txt), (2, b_txt), (3, c_txt)], "doc_id long, text string"
+    )
+    pares = {
+        (r["id_contido"], r["id_contem"])
+        for r in containment_candidates(docs).collect()
+    }
+    assert {(1, 2), (2, 3), (1, 3)} <= pares
+    assert not ({(2, 1), (3, 2), (3, 1)} & pares)
