@@ -795,8 +795,26 @@ def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (it is exactly the work LSH exists to avoid): run the report on a
     deterministic hash-sample of docs (o5's sampler) and read
     recall/precision as estimates."""
-    sh = _shingles_df(spark, sf_dir)
-    bandas = minhash_band_keys(sh, N_HASHES, BAND_SIZE)
+    return lsh_quality(
+        _shingles_df(spark, sf_dir), N_HASHES, BAND_SIZE, _QR_JACC
+    )
+
+
+def lsh_quality(
+    sh: "DataFrame",
+    n_hashes: int,
+    band_size: int,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """Parameterized form of `dedup_lsh_quality_report` over any
+    (doc_id, shingle) frame: measure any (n_hashes, band_size)
+    operating point — e.g. the production width (128, 8), whose
+    S-curve midpoint sits at (1/16)^(1/8) ≈ 0.707 — against exact
+    Jaccard ground truth at ``jaccard_threshold``. The sharper a
+    curve relative to the threshold, the fewer candidates and the
+    higher the precision (tests/test_operators.py measures exactly
+    that shift on the fixture)."""
+    bandas = minhash_band_keys(sh, n_hashes, band_size)
     a = bandas.alias("a")
     b = bandas.alias("b")
     cand = (
@@ -829,7 +847,7 @@ def dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("n_comum").cast("double")
             / (F.col("na") + F.col("nb") - F.col("n_comum")).cast("double")
-            >= _QR_JACC
+            >= float(jaccard_threshold)
         )
         .select("doc_a", "doc_b")
     )

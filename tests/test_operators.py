@@ -701,3 +701,24 @@ def test_retention_day0_equals_cohort_size(spark):
         assert d0 == n_users
     finally:
         df.unpersist()
+
+
+def test_lsh_wide_signature_is_sharper(spark):
+    """Measured S-curve shift at the production signature width: at
+    (128 hashes, 8-row bands) the curve midpoint moves from ~0.5 to
+    ~0.707, so against the same Jaccard >= 0.5 ground truth the wide
+    configuration must emit no more candidates and no lower precision
+    than the pinned (8, 2) catalog point — the measured counterpart of
+    the analytic property test above."""
+    from agrobr_spark.queries.dedup import _shingles_df, lsh_quality
+    from tests.conftest import SF_ORACLE
+
+    sh = _shingles_df(spark, SF_ORACLE)
+    narrow = lsh_quality(sh, 8, 2, 0.5).first()
+    wide = lsh_quality(sh, 128, 8, 0.5).first()
+    assert narrow["n_verdadeiros"] == wide["n_verdadeiros"]  # same truth
+    assert wide["n_candidatos"] <= narrow["n_candidatos"]
+    assert (wide["precisao"] or 0) >= (narrow["precisao"] or 0)
+    # near-threshold mass may be lost by the sharper curve, but exact
+    # dups (J=1.0) collide in every band at ANY width
+    assert wide["n_recuperados"] > 0
