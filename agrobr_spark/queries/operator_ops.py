@@ -718,3 +718,103 @@ def w10_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("soma").over(w).cast("double") / F.sum("n").over(w), 6
         ).alias("media_7d"),
     )
+
+
+ATTR_WINDOW_S = 7 * 86400  # attribution lookback
+
+
+@register(
+    "w11_touch_attribution",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, event_id, event_type,
+             epoch_ns(ts) // 1000 AS us
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')),
+    marcado AS (
+      SELECT *,
+        last_value(CASE WHEN event_type IN ('view', 'click')
+                        THEN event_id END IGNORE NULLS)
+          OVER w AS toque_id,
+        last_value(CASE WHEN event_type IN ('view', 'click')
+                        THEN event_type END IGNORE NULLS)
+          OVER w AS toque_tipo,
+        last_value(CASE WHEN event_type IN ('view', 'click')
+                        THEN us END IGNORE NULLS)
+          OVER w AS toque_us
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT event_id AS compra_id, user_id, CAST(us AS BIGINT) AS compra_us,
+      CASE WHEN toque_us IS NOT NULL
+                AND us - toque_us <= {ATTR_WINDOW_S}::BIGINT * 1000000
+           THEN toque_id END AS toque_id,
+      CASE WHEN toque_us IS NOT NULL
+                AND us - toque_us <= {ATTR_WINDOW_S}::BIGINT * 1000000
+           THEN toque_tipo ELSE 'organico' END AS toque_tipo,
+      CASE WHEN toque_us IS NOT NULL
+                AND us - toque_us <= {ATTR_WINDOW_S}::BIGINT * 1000000
+           THEN CAST((us - toque_us) // 1000000 AS BIGINT) END AS idade_s
+    FROM marcado WHERE event_type = 'purchase'
+    """,
+    tags=("W11", "ATTRIBUTION", "EVENTS"),
+)
+def w11_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent PRECEDING view/click within a 7-day lookback, else
+    'organico' — the marketing-analytics join every event warehouse
+    runs, expressed as a `last_value(... IGNORE NULLS)` carry-forward
+    over ROWS UNBOUNDED PRECEDING..1 PRECEDING (the one window shape
+    the catalog's lag/rank/range entries don't cover; no self-join of
+    purchases against the touch stream, which would be a per-purchase
+    range probe).
+
+    Scale shape: one filtered scan (three event types — pushed down),
+    one keyed window per user, and the timestamp math is epoch-µs
+    integers on both engines (the w7 cross-engine rule)."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    from pyspark.sql import Window
+
+    base = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click"), F.col("event_id")
+    )
+    touch_t = F.when(
+        F.col("event_type").isin("view", "click"), F.col("event_type")
+    )
+    touch_us = F.when(
+        F.col("event_type").isin("view", "click"), F.col("us")
+    )
+    marcado = base.select(
+        "*",
+        F.last(touch, ignorenulls=True).over(w).alias("toque_id"),
+        F.last(touch_t, ignorenulls=True).over(w).alias("toque_tipo"),
+        F.last(touch_us, ignorenulls=True).over(w).alias("toque_us"),
+    )
+    dentro = F.col("toque_us").isNotNull() & (
+        F.col("us") - F.col("toque_us") <= ATTR_WINDOW_S * 1_000_000
+    )
+    return marcado.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("compra_id"),
+        "user_id",
+        F.col("us").cast("bigint").alias("compra_us"),
+        F.when(dentro, F.col("toque_id")).alias("toque_id"),
+        F.when(dentro, F.col("toque_tipo"))
+        .otherwise("organico")
+        .alias("toque_tipo"),
+        F.when(
+            dentro, ((F.col("us") - F.col("toque_us")) / 1_000_000).cast("bigint")
+        ).alias("idade_s"),
+    )

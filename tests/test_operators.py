@@ -722,3 +722,41 @@ def test_lsh_wide_signature_is_sharper(spark):
     # near-threshold mass may be lost by the sharper curve, but exact
     # dups (J=1.0) collide in every band at ANY width
     assert wide["n_recuperados"] > 0
+
+
+def test_touch_attribution_invariants(spark):
+    """Every purchase appears exactly once; an attributed row's touch
+    age is within [0, 7 days] and its touch precedes the purchase;
+    organic rows carry no touch id."""
+    import pyspark.sql.functions as F
+
+    from agrobr_spark.io import load
+    from agrobr_spark.queries import catalog as _cat
+    from agrobr_spark.queries.operator_ops import ATTR_WINDOW_S
+    from tests.conftest import SF_ORACLE
+
+    df = _cat()["w11_touch_attribution"].fn(spark, SF_ORACLE).cache()
+    try:
+        n_purchases = (
+            load(spark, SF_ORACLE, "events")
+            .filter(F.col("event_type") == "purchase")
+            .count()
+        )
+        assert df.count() == n_purchases
+        assert df.select("compra_id").distinct().count() == n_purchases
+        atribuidos = df.filter(F.col("toque_tipo") != "organico")
+        assert atribuidos.count() > 0, "fixture must attribute something"
+        bad = atribuidos.filter(
+            (F.col("idade_s") < 0)
+            | (F.col("idade_s") > ATTR_WINDOW_S)
+            | F.col("toque_id").isNull()
+        ).count()
+        assert bad == 0
+        assert (
+            df.filter(F.col("toque_tipo") == "organico")
+            .filter(F.col("toque_id").isNotNull())
+            .count()
+            == 0
+        )
+    finally:
+        df.unpersist()
