@@ -252,3 +252,62 @@ def pipeline_tfidf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         delete_path(spark, store_dir)
+
+
+STOPWORD_DF_FRAC = 0.30  # a term in >=30% of docs is a stopword candidate
+
+
+@register(
+    "text_stopword_discovery",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    n_docs AS (SELECT count(*) AS n FROM toks),
+    dfx AS (
+      SELECT termo, count(*) AS df FROM (
+        SELECT DISTINCT doc_id, lower(tok) AS termo
+        FROM toks, unnest(t) AS u(tok))
+      GROUP BY termo)
+    SELECT termo, CAST(df AS BIGINT) AS df,
+      round(CAST(df AS DOUBLE) / n.n, 6) AS frac_docs
+    FROM dfx, n_docs n
+    WHERE CAST(df AS DOUBLE) / n.n >= {STOPWORD_DF_FRAC}
+    """,
+    tags=("TEXT", "VOCAB", "STOPWORDS"),
+)
+def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-derived stopword candidates: terms present in >=30% of
+    documents, with their document frequency and fraction — the
+    data-driven replacement for a hand-curated stopword list (quality
+    scoring and TF-IDF both consume it; in TF-IDF the same terms are
+    already demoted arithmetically, this entry makes the list itself
+    inspectable). One DF aggregation (the same shape vocab.py
+    persists) against a lazy 1-row corpus count — scan-bound, and at
+    100 TB the DF side reads the maintained index instead of
+    recomputing (build_df_index/update_df_index)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    n_docs = toks.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    dfx = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .select("doc_id", F.lower("tok").alias("termo"))
+        .distinct()
+        .groupBy("termo")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        dfx.crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("df").cast("double") / F.col("n") >= STOPWORD_DF_FRAC
+        )
+        .select(
+            "termo",
+            F.col("df").cast("bigint").alias("df"),
+            F.round(F.col("df").cast("double") / F.col("n"), 6).alias(
+                "frac_docs"
+            ),
+        )
+    )
