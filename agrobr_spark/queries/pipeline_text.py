@@ -987,3 +987,45 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pontuado.withColumn("posicao", F.row_number().over(w).cast("int"))
         .filter(F.col("posicao") <= TFIDF_TOPK)
     )
+
+
+def _keep_set_report_oracle() -> str:
+    # the full keep-set query (its own WITH RECURSIVE) nested as a
+    # subquery, aggregated to one row per decision reason
+    return f"""
+    SELECT motivo, CAST(count(*) AS BIGINT) AS n_docs,
+      round(CAST(count(*) AS DOUBLE)
+            / sum(count(*)) OVER (), 6) AS frac
+    FROM ({_keep_set_oracle()}) d
+    GROUP BY motivo
+    """
+
+
+@register(
+    "pipeline_keep_set_report",
+    oracle=_keep_set_report_oracle(),
+    tags=("PIPELINE", "ADMISSION", "REPORT"),
+)
+def pipeline_keep_set_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The admission decision summarized to the dashboard row a
+    pipeline owner actually watches: documents per decision reason
+    (curto / contaminado / duplicado / mantido) with the corpus
+    fraction. Composition of the verified `pipeline_keep_set` plus one
+    tiny aggregation — at 100 TB the groupBy collapses map-side to
+    ~4 partial rows per task before one exchange, so the report costs
+    one scan of the decision frame."""
+    dec = pipeline_keep_set(spark, sf_dir)
+    counts = dec.groupBy("motivo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    total = counts.groupBy().agg(F.sum("n_docs").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "motivo",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("_total"), 6
+            ).alias("frac"),
+        )
+    )
