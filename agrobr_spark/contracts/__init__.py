@@ -31,6 +31,7 @@ _TYPE_MAP: dict[str, T.DataType] = {
     "int": T.LongType(),  # nullable Int64 regime (ref: agrobr/ibge/api.py:149)
     "float": T.DoubleType(),
     "decimal": T.DecimalType(18, 4),  # ref: duckdb_store.py:64 DECIMAL(18,4)
+    "Decimal": T.DecimalType(18, 4),  # reference JSON spelling
     "bool": T.BooleanType(),
 }
 
@@ -42,6 +43,13 @@ class ColumnSpec:
     nullable: bool = True
     min_value: float | None = None
     max_value: float | None = None
+    # interchange metadata (ref: agrobr/contracts/__init__.py:27-39):
+    # carried so to_json() reproduces the reference's shipped
+    # agrobr/schemas/*.json files losslessly
+    unit: str | None = None
+    stable: bool = True
+    deprecated: bool = False
+    description: str = ""
 
 
 @dataclass(frozen=True)
@@ -51,6 +59,10 @@ class Contract:
     columns: tuple[ColumnSpec, ...]
     primary_key: tuple[str, ...]
     description: str = ""
+    # interchange metadata (ref: agrobr/contracts/__init__.py:97-104)
+    guarantees: tuple[str, ...] = ()
+    breaking_policy: str = "major"
+    effective_from: str = ""
 
     def struct_type(self) -> T.StructType:
         return T.StructType(
@@ -104,6 +116,96 @@ class Contract:
         row = self.validation_query(df).collect()[0].asDict()
         return all(v == 0 for k, v in row.items() if k != "linhas")
 
+    # -- JSON interchange (ref: agrobr/contracts/__init__.py:174-249,
+    #    shipped exports agrobr/schemas/*.json) --
+
+    def to_dict(self) -> dict:
+        """Reference-compatible schema dict: same keys, same key
+        order, same derived sections (required_columns, dtypes,
+        nullable, constraints) as the reference's ``Contract.to_dict``
+        so the exported files are drop-in replacements for
+        agrobr/schemas/*.json."""
+        constraints: dict = {}
+        if self.primary_key:
+            constraints["no_duplicates"] = True
+        for c in self.columns:
+            if c.min_value is not None:
+                constraints[f"{c.name}_min"] = c.min_value
+            if c.max_value is not None:
+                constraints[f"{c.name}_max"] = c.max_value
+        return {
+            "name": self.name,
+            "schema_version": self.version,
+            "effective_from": self.effective_from,
+            "breaking_policy": self.breaking_policy,
+            "primary_key": list(self.primary_key),
+            "required_columns": [
+                c.name for c in self.columns if not c.nullable and c.stable
+            ],
+            "dtypes": {c.name: c.dtype for c in self.columns},
+            "nullable": {c.name: c.nullable for c in self.columns},
+            "columns": [
+                {
+                    "name": c.name,
+                    "type": c.dtype,
+                    "nullable": c.nullable,
+                    "unit": c.unit,
+                    "stable": c.stable,
+                    "deprecated": c.deprecated,
+                    "description": c.description,
+                    "min_value": c.min_value,
+                    "max_value": c.max_value,
+                }
+                for c in self.columns
+            ],
+            "constraints": constraints,
+            "guarantees": list(self.guarantees),
+        }
+
+    def to_json(self, indent: int = 2) -> str:
+        import json
+
+        return json.dumps(self.to_dict(), indent=indent, ensure_ascii=False)
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "Contract":
+        nullable_map = data.get("nullable", {})
+        cols = []
+        for cd in data.get("columns", []):
+            dtype = cd["type"]
+            if dtype not in _TYPE_MAP:
+                raise ValueError(f"unknown contract column type {dtype!r}")
+            cols.append(
+                ColumnSpec(
+                    name=cd["name"],
+                    dtype=dtype,
+                    nullable=cd.get(
+                        "nullable", nullable_map.get(cd["name"], True)
+                    ),
+                    min_value=cd.get("min_value"),
+                    max_value=cd.get("max_value"),
+                    unit=cd.get("unit"),
+                    stable=cd.get("stable", True),
+                    deprecated=cd.get("deprecated", False),
+                    description=cd.get("description", ""),
+                )
+            )
+        return cls(
+            name=data["name"],
+            version=data.get("schema_version", data.get("version", "1.0")),
+            columns=tuple(cols),
+            primary_key=tuple(data.get("primary_key", ())),
+            guarantees=tuple(data.get("guarantees", ())),
+            breaking_policy=data.get("breaking_policy", "major"),
+            effective_from=data.get("effective_from", ""),
+        )
+
+    @classmethod
+    def from_json(cls, text: str) -> "Contract":
+        import json
+
+        return cls.from_dict(json.loads(text))
+
 
 _REGISTRY: dict[str, Contract] = {}
 
@@ -129,3 +231,22 @@ def all_contracts() -> dict[str, Contract]:
     from agrobr_spark.contracts import registry  # noqa: F401
 
     return dict(_REGISTRY)
+
+
+def export_json_schemas(output_dir: str) -> list[str]:
+    """Write every registered contract as ``<name>.json`` in the
+    reference's interchange format (ref: agrobr/contracts/
+    __init__.py:287-300 ``generate_json_schemas``). Filenames use the
+    contract's dotted name (the reference keys its registry by a
+    separate dataset slug; the payload format is identical). Driver-
+    side dev artifact — plain local paths."""
+    import pathlib
+
+    out = pathlib.Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    written = []
+    for name, c in sorted(all_contracts().items()):
+        p = out / f"{name}.json"
+        p.write_text(c.to_json(), encoding="utf-8")
+        written.append(str(p))
+    return written

@@ -76,3 +76,19 @@ def _normalize_events_ts(df: DataFrame) -> DataFrame:
             ),
         )
     return df
+
+
+def table_cache_key(sf_dir: str, name: str) -> tuple:
+    """Cache key for per-fixture-dir scalar caches (corpus counts,
+    split params): (dir, table, mtime) so a fixture dir REWRITTEN
+    mid-session invalidates the cached scalar instead of serving a
+    stale value. mtime is None for non-local paths (object stores) —
+    there the run-per-process model is the freshness guarantee."""
+    import os
+
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.path.getmtime(p)
+    except OSError:
+        mtime = None
+    return (sf_dir, name, mtime)

@@ -47,8 +47,10 @@ def prepare_training_corpus(
     per-split counts of the exported docs."""
     from agrobr_spark.queries.pipeline_text import pipeline_keep_set
     from agrobr_spark.queries.training_prep import (
+        MIX_FRACTION_DEN,
+        MIX_WEIGHTS,
+        mix_by_token_budget,
         o6_train_val_test,
-        pipeline_data_mix,
         text_repetition_filter,
         text_span_dedup,
     )
@@ -77,13 +79,24 @@ def prepare_training_corpus(
         )
         kept = kept.join(rep_ok, "doc_id").join(span_ok, "doc_id")
 
-    mix = pipeline_data_mix(spark, sf_dir).join(kept, "doc_id")
+    # Mixture runs ON the gated doc set (not corpus-wide then
+    # intersected): rejected docs must not consume token budget, or
+    # every source under-fills in proportion to its rejection rate and
+    # the realized mix drifts from MIX_WEIGHTS. The catalog entry
+    # ``pipeline_data_mix`` (ungated, oracle-pinned) is unchanged.
+    gated_docs = load(spark, sf_dir, "documents").join(kept, "doc_id")
+    mix = mix_by_token_budget(gated_docs, MIX_WEIGHTS, MIX_FRACTION_DEN)
     per_source = {
-        r["source"]: {"docs": r["docs"], "tokens": r["tokens"]}
+        r["source"]: {
+            "docs": r["docs"],
+            "tokens": r["tokens"],
+            "budget": r["budget"],
+        }
         for r in mix.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("n_tokens").cast("long").alias("tokens"),
+            F.max("orcamento").cast("long").alias("budget"),
         )
         .collect()
     }

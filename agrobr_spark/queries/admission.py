@@ -67,12 +67,16 @@ _BENCH_DOCS = 10
 _CONTAM_HITS = 3
 
 # (cutoff, corpus embedding count) per fixture dir — two scalar jobs,
-# paid once per session like dedup._N_CACHE
-_SPLIT_CACHE: dict[str, tuple[int, int]] = {}
+# paid once per session like dedup._N_CACHE; mtime-keyed so a
+# rewritten fixture dir invalidates (r6 VERDICT nit #2)
+_SPLIT_CACHE: dict[tuple, tuple[int, int]] = {}
 
 
 def _split_params(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
-    if sf_dir not in _SPLIT_CACHE:
+    from agrobr_spark.io import table_cache_key
+
+    key = table_cache_key(sf_dir, "documents")
+    if key not in _SPLIT_CACHE:
         max_id = (
             load(spark, sf_dir, "documents").agg(F.max("doc_id")).collect()[0][0]
         )
@@ -82,8 +86,8 @@ def _split_params(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
             .filter(F.col("vec_id") < cut)
             .count()
         )
-        _SPLIT_CACHE[sf_dir] = (cut, n_corp)
-    return _SPLIT_CACHE[sf_dir]
+        _SPLIT_CACHE[key] = (cut, n_corp)
+    return _SPLIT_CACHE[key]
 
 
 def _vec_base(emb: DataFrame) -> DataFrame:
@@ -984,6 +988,39 @@ def build_lsh_admission_index(
     )
 
 
+#: survivors may exceed the frozen width's design load
+#: (TARGET_BUCKET * 2^p) by this factor before admit warns
+LSH_REBUILD_HEADROOM = 4
+
+
+def _lsh_occupancy_check(n_surv: int, n_planes: int) -> None:
+    """Occupancy guard for the frozen-width LSH index: the width p was
+    sized for the BUILD-time corpus, but merge_upsert grows the
+    survivor store every admit call — at fixed p the per-batch
+    candidate count grows linearly with survivor count (the same
+    bucket-occupancy blowup class the adaptive rule fixed at build
+    time, returning over the index's lifetime). Policy: once survivors
+    exceed TARGET_BUCKET * 2^p * LSH_REBUILD_HEADROOM, emit a
+    RuntimeWarning telling the operator to rebuild (re-running
+    build_lsh_admission_index re-derives p from the current corpus)."""
+    from agrobr_spark.queries.similarity import TARGET_BUCKET
+
+    design_load = TARGET_BUCKET * (1 << n_planes)
+    if n_surv > design_load * LSH_REBUILD_HEADROOM:
+        import warnings
+
+        warnings.warn(
+            f"admit_lsh_frame: survivor store holds {n_surv} vectors but "
+            f"the frozen LSH width p={n_planes} was sized for "
+            f"~{design_load} (headroom {LSH_REBUILD_HEADROOM}x exceeded); "
+            "per-batch candidate cost is now growing linearly with the "
+            "store — rebuild the index with build_lsh_admission_index "
+            "to re-derive the width",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def admit_lsh_frame(
     spark: SparkSession,
     docs_b: DataFrame,
@@ -993,7 +1030,12 @@ def admit_lsh_frame(
     """Gate a batch against the persisted survivor vectors only.
     Survivor buckets are recomputed by pure projection at read time
     (cheap expressions; at 100 TB persist the survivor table bucketed
-    by (tabela, balde) instead and the probe join partition-prunes)."""
+    by (tabela, balde) instead and the probe join partition-prunes).
+
+    Rebuild policy: the bucket width is frozen at index build, so a
+    store that has grown past TARGET_BUCKET * 2^p * 4 survivors emits
+    a RuntimeWarning — rebuild with ``build_lsh_admission_index`` to
+    re-derive the width before per-batch cost degrades linearly."""
     import json
 
     from agrobr_spark.store.fs import read_text
@@ -1009,6 +1051,8 @@ def admit_lsh_frame(
             "freezes the LSH bucket width"
         )
     n_planes = int(json.loads(meta)["n_planes"])
+
+    _lsh_occupancy_check(surv.count(), n_planes)
 
     contaminado = (
         _doc_shingles(docs_b)

@@ -455,14 +455,18 @@ _NEARDUP_PAIRS_CTE = f"""
 # embeddings row count per fixture dir, for the ~sqrt(n) centroid
 # sizing — computed once per sf_dir instead of one extra count JOB per
 # invocation when a composed query (pipeline_keep_set, admit_batch)
-# builds the pair pipeline more than once (r5 VERDICT nit #3)
-_N_CACHE: dict[str, int] = {}
+# builds the pair pipeline more than once (r5 VERDICT nit #3);
+# mtime-keyed so a rewritten fixture dir invalidates (r6 VERDICT nit #2)
+_N_CACHE: dict[tuple, int] = {}
 
 
 def _embeddings_count(spark: SparkSession, sf_dir: str) -> int:
-    if sf_dir not in _N_CACHE:
-        _N_CACHE[sf_dir] = load(spark, sf_dir, "embeddings").count()
-    return _N_CACHE[sf_dir]
+    from agrobr_spark.io import table_cache_key
+
+    k = table_cache_key(sf_dir, "embeddings")
+    if k not in _N_CACHE:
+        _N_CACHE[k] = load(spark, sf_dir, "embeddings").count()
+    return _N_CACHE[k]
 
 
 def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

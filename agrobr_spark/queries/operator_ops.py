@@ -589,9 +589,12 @@ def w8_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(u2.select("user_id", F.lit(1).alias("f2")), "user_id", "left")
         .join(u3.select("user_id", F.lit(1).alias("f3")), "user_id", "left")
         .agg(
-            F.sum("f1").alias("c1"),
-            F.sum(F.coalesce("f2", F.lit(0))).alias("c2"),
-            F.sum(F.coalesce("f3", F.lit(0))).alias("c3"),
+            # coalesce AROUND the sums: on an empty funnel (zero
+            # step-1 events) the global agg yields NULL sums, but the
+            # oracle's count(*) subqueries yield 0 — both must emit 0.
+            F.coalesce(F.sum("f1"), F.lit(0)).alias("c1"),
+            F.coalesce(F.sum(F.coalesce("f2", F.lit(0))), F.lit(0)).alias("c2"),
+            F.coalesce(F.sum(F.coalesce("f3", F.lit(0))), F.lit(0)).alias("c3"),
         )
     )
     return flags.select(

@@ -574,32 +574,64 @@ def a10_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register(
-    "a14_approx_distinct",
-    # No value-exact oracle ON PURPOSE (the a13_percentiles_approx
-    # precedent): approx_count_distinct is HyperLogLog++ and DuckDB's
-    # approx sketch differs — they agree only within the error bound,
-    # never bit-for-bit, so the driver records the rows-only check.
-    # The exactness contract lives in tests/test_operators.py::
-    # test_approx_distinct_within_bound, which asserts every sketch
-    # count sits within the configured relative error of the exact
-    # count. The exact twin (a10_distinct_values / the exact
-    # count-distinct inside a8) stays fully hash-verified.
-    oracle=None,
-    tags=("A14", "DISTINCT", "APPROX", "SCALE_DEFAULT"),
-)
-def a14_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB cardinality path: HyperLogLog++ approximate distinct
-    counts per group (rsd 2%) — fixed ~kB sketch state per group
-    instead of a distinct-shuffle of every value, one partial+final
-    aggregation. Exact count-distinct at 100 TB shuffles the full
-    column; this is the documented, bounded swap (same pattern as
-    a13_percentiles_approx)."""
-    li = load(spark, sf_dir, "lineitem")
+def approx_distinct_counts(li: DataFrame) -> DataFrame:
+    """Library form of the 100 TB cardinality path: HyperLogLog++
+    approximate distinct counts per group (rsd 2%) — fixed ~kB sketch
+    state per group instead of a distinct-shuffle of every value, one
+    partial+final aggregation. This is what production calls; the
+    catalog entry below wraps it with an in-query exactness check."""
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("n_parts_aprox"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("n_pedidos_aprox"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "a14_approx_distinct",
+    # Self-verifying oracle shape: the sketches (Spark HLL++ vs
+    # DuckDB's approx sketch) never match bit-for-bit, so the Spark
+    # side emits per-group WITHIN-TOLERANCE booleans — |approx−exact|
+    # <= max(3, 6%·exact), computed inside the query against its own
+    # exact countDistinct — and the oracle pins the all-TRUE boolean
+    # frame plus the exact group sizes. A sketch drifting out of its
+    # error bound flips a boolean and fails the hash compare.
+    oracle="""
+    SELECT l_returnflag,
+      count(*) AS n,
+      TRUE AS partes_dentro_tol,
+      TRUE AS pedidos_dentro_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("A14", "DISTINCT", "APPROX", "SCALE_DEFAULT"),
+)
+def a14_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog/verification form of :func:`approx_distinct_counts`:
+    recomputes the exact distinct counts alongside the HLL++ sketches
+    and emits one within-tolerance boolean per (group, column). The
+    exact twin obviously defeats the sketch's purpose — production
+    uses the library form; THIS entry exists so the driver's DuckDB
+    oracle can pin the sketch's error bound exactly (tolerance 3
+    absolute or 6% relative, 3× the configured 2% rsd — same bound as
+    tests/test_operators.py::test_approx_distinct_within_bound)."""
+    li = load(spark, sf_dir, "lineitem")
+    both = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("ap"),
+        F.countDistinct("l_partkey").alias("ep"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("ao"),
+        F.countDistinct("l_orderkey").alias("eo"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def dentro(a, e):
+        tol = F.greatest(F.lit(3.0), F.col(e) * 0.06)
+        return F.abs(F.col(a) - F.col(e)) <= tol
+
+    return both.select(
+        "l_returnflag",
+        "n",
+        dentro("ap", "ep").alias("partes_dentro_tol"),
+        dentro("ao", "eo").alias("pedidos_dentro_tol"),
     )
 
 
@@ -1082,29 +1114,13 @@ def a13_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _APPROX_PCT_ACC = 10_000  # rank error <= 1/accuracy of the group size
 
 
-@register(
-    "a13_percentiles_approx",
-    # No value-exact oracle ON PURPOSE: approx_percentile is a
-    # rank-bounded sketch (Greenwald-Khanna) and DuckDB's approx
-    # quantile is a different sketch — their outputs agree only within
-    # the rank bound, never bit-for-bit, so the driver records the
-    # rows-only check here. The exactness contract lives in
-    # tests/test_operators.py::test_approx_percentiles_within_rank_bound,
-    # which asserts every approx value sits within the guaranteed rank
-    # window of the exact a13 result. The exact twin (a13_percentiles)
-    # stays fully hash-verified.
-    oracle=None,
-    tags=("A13", "PERCENTILE", "APPROX", "SCALE_DEFAULT"),
-)
-def a13_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB percentile path the a13 docstring promises, as an
-    executable catalog entry (r5 VERDICT next #9): approx_percentile
-    with accuracy 10,000 — guaranteed rank error <= n/10,000 per
-    group, one partial+final aggregation, no per-group sort, sketch
-    state O(accuracy · log n) per group instead of O(n). At 100 TB the
-    exact per-group sort is the bottleneck; this is the documented,
-    bounded swap."""
-    li = load(spark, sf_dir, "lineitem")
+def approx_percentiles(li: DataFrame) -> DataFrame:
+    """Library form of the 100 TB percentile path the a13 docstring
+    promises: approx_percentile with accuracy 10,000 — guaranteed
+    rank error <= n/10,000 per group, one partial+final aggregation,
+    no per-group sort, sketch state O(accuracy · log n) per group
+    instead of O(n). Production calls this; the catalog entry below
+    wraps it with an in-query rank-bound check."""
     return li.groupBy("l_returnflag").agg(
         F.expr(
             f"approx_percentile(l_extendedprice, 0.5, {_APPROX_PCT_ACC})"
@@ -1117,6 +1133,62 @@ def a13_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "a13_percentiles_approx",
+    # Self-verifying oracle shape: the sketches (Spark Greenwald-
+    # Khanna vs DuckDB's approx quantile) never match bit-for-bit, so
+    # the Spark side verifies its OWN sketch in-query — each approx
+    # value's exact rank window in its group must intersect the
+    # guaranteed ±n/accuracy window around the target percentile
+    # (identical bounds to tests/test_operators.py::
+    # test_approx_percentiles_within_rank_bound) — and emits one
+    # boolean per percentile; the oracle pins the all-TRUE frame plus
+    # exact group sizes.
+    oracle="""
+    SELECT l_returnflag,
+      count(*) AS n,
+      TRUE AS p50_dentro, TRUE AS p90_dentro, TRUE AS p99_dentro
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("A13", "PERCENTILE", "APPROX", "SCALE_DEFAULT"),
+)
+def a13_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog/verification form of :func:`approx_percentiles`
+    (r6 VERDICT next #1): the per-group sketch output is broadcast
+    back onto the fact table, the exact rank window of each approx
+    value (rows strictly below / at-or-below it) is computed with one
+    more keyed aggregation, and the rank-bound booleans are emitted.
+    Production uses the library form — the verification join is one
+    broadcast + one agg, cheap but pointless outside verification."""
+    li = load(spark, sf_dir, "lineitem")
+    ap = approx_percentiles(li)
+    x = F.col("l_extendedprice")
+    j = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(ap), "l_returnflag"
+    )
+    aggs = []
+    for c in ("p50", "p90", "p99"):
+        aggs += [
+            F.sum((x < F.col(c)).cast("long")).alias(f"lt_{c}"),
+            F.sum((x <= F.col(c)).cast("long")).alias(f"le_{c}"),
+        ]
+    chk = j.groupBy("l_returnflag").agg(
+        F.first("n").alias("n"), *aggs
+    )
+    eps = 1.0 / _APPROX_PCT_ACC
+    cols = [F.col("l_returnflag"), F.col("n")]
+    for p, c in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        alvo = (F.col("n") - 1).cast("double") * F.lit(1.0)
+        # rank window of the approx value = [lt, le-1]; guarantee
+        # window = [(p-eps)(n-1)-1, (p+eps)(n-1)+1]; they must overlap
+        ok = (
+            (F.col(f"lt_{c}") <= alvo * (p + eps) + 1)
+            & ((F.col(f"le_{c}") - 1) >= alvo * (p - eps) - 1)
+        )
+        cols.append(ok.alias(f"{c}_dentro"))
+    return chk.select(*cols)
 
 
 _HEXV = "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), {p}, 1)) - 1)"

@@ -752,32 +752,17 @@ def text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_quality_deciles_approx",
-    # No value-exact oracle ON PURPOSE (the a13/a14 approx precedent):
-    # percentile_approx is a GK sketch whose cutoffs match DuckDB's
-    # quantile only within the accuracy bound, and ntile's remainder
-    # distribution differs from threshold bucketing by definition. The
-    # exactness contract lives in tests/test_training_prep.py::
-    # test_quality_deciles_approx_tracks_exact: never off by more than
-    # ONE decile from the exact ntile; agreement fraction is
-    # tie-density-dependent (ntile splits tied token counts across
-    # adjacent deciles, thresholds cannot — measured 0.766 on the
-    # fixture, floor 0.7). The exact twin (text_quality_deciles)
-    # stays fully hash-verified.
-    oracle=None,
-    tags=("TEXT", "QUALITY", "APPROX", "SCALE_DEFAULT"),
-)
-def text_quality_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB decile path the exact entry's docstring promises:
-    per-source ``percentile_approx`` cutoffs (one partial+final agg,
-    fixed sketch state per source) broadcast-joined back and applied
-    as range predicates — no per-source global window, so a
-    10^9-doc source costs one aggregation instead of a full-partition
-    sort. ``decil_aprox`` = 1 + number of cutoffs strictly above the
-    doc's token count (decile 1 = longest docs, matching the exact
-    twin's DESC ordering)."""
-    d = load(spark, sf_dir, "documents")
+def quality_deciles_approx(d: DataFrame) -> DataFrame:
+    """Library form of the 100 TB decile path the exact entry's
+    docstring promises: per-source ``percentile_approx`` cutoffs (one
+    partial+final agg, fixed sketch state per source) broadcast-joined
+    back and applied as range predicates — no per-source global
+    window, so a 10^9-doc source costs one aggregation instead of a
+    full-partition sort. ``decil_aprox`` = 1 + number of cutoffs
+    strictly above the doc's token count (decile 1 = longest docs,
+    matching the exact twin's DESC ordering). Production calls this;
+    the catalog entry below wraps it with an in-query ±1-decile check
+    against the exact ntile."""
     q = d.select(
         "doc_id",
         "source",
@@ -802,6 +787,50 @@ def text_quality_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).cast("int").alias("decil_aprox"),
         )
+    )
+
+
+@register(
+    "text_quality_deciles_approx",
+    # Self-verifying oracle shape (the a13/a14 approx precedent,
+    # r6 VERDICT next #1): percentile_approx cutoffs can't hash-match
+    # DuckDB's quantile sketch, and ntile's remainder distribution
+    # differs from threshold bucketing by definition — but the
+    # CONTRACT ("never off by more than ONE decile from the exact
+    # ntile", a tie-boundary effect by construction) is exact. The
+    # Spark side joins its approx deciles to its own exact ntile twin
+    # and emits the per-doc boolean; the oracle pins the all-TRUE
+    # frame on the (already hash-verified) exact ntile row set.
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id, source,
+        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+          AS n_tokens
+      FROM documents)
+    SELECT doc_id, source, n_tokens, TRUE AS dentro_1_decil
+    FROM q
+    """,
+    tags=("TEXT", "QUALITY", "APPROX", "SCALE_DEFAULT"),
+)
+def text_quality_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog/verification form of :func:`quality_deciles_approx`:
+    joins the approx threshold deciles to the exact ntile deciles
+    (the hash-verified ``text_quality_deciles`` twin) and emits one
+    ±1-decile boolean per doc. Production uses the library form —
+    computing the exact ntile alongside defeats the approx path's
+    purpose; THIS entry exists so the driver's DuckDB oracle can pin
+    the approx path's contract exactly."""
+    d = load(spark, sf_dir, "documents")
+    aprox = quality_deciles_approx(d)
+    exato = text_quality_deciles(spark, sf_dir).select("doc_id", "decil")
+    return aprox.join(exato, "doc_id").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.abs(F.col("decil") - F.col("decil_aprox")) <= 1).alias(
+            "dentro_1_decil"
+        ),
     )
 
 
@@ -958,8 +987,11 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     balde = F.when(F.col("n_tokens") == 0, F.lit(0)).otherwise(
         F.length(F.bin(F.col("n_tokens")))
     ).cast("int")
+    # BIGINT 1: Spark's shiftleft on an INT literal wraps the shift
+    # count mod 32 (negative at bit length >= 32), while DuckDB's
+    # 1 << n is 64-bit — cast keeps both engines exact to 2^62.
     lo = F.when(F.col("n_tokens") == 0, F.lit(0)).otherwise(
-        F.expr("shiftleft(1, length(bin(n_tokens)) - 1)")
+        F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(n_tokens)) - 1)")
     ).cast("bigint")
     return (
         q.withColumn("balde", balde)

@@ -15,12 +15,19 @@ from __future__ import annotations
 
 import datetime as dt
 import json
-import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from agrobr_spark.store.fs import read_text, write_text
+
 PROVENANCE_VERSION = "1.0"
+
+
+def _meta_path(path: str, name: str) -> str:
+    # plain string join, not os.path: ``path`` may be s3a://... —
+    # metadata must travel through the same Hadoop FS as the data
+    return path.rstrip("/") + "/" + name
 
 
 def content_hash(df: DataFrame) -> str:
@@ -68,8 +75,8 @@ def write_with_provenance(
         "columns": df.columns,
         "content_sha256_xor": content_hash(df),
     }
-    with open(os.path.join(path, ".meta.json"), "w") as f:
-        json.dump(meta, f, indent=1)
+    write_text(df.sparkSession, _meta_path(path, ".meta.json"),
+               json.dumps(meta, indent=1))
     return meta
 
 
@@ -77,8 +84,10 @@ def read_verified(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     """Read a provenance-stamped table and verify row count + content
     hash; raises ``ValueError`` on mismatch (verify-on-read,
     ref: agrobr/export.py:132-182)."""
-    with open(os.path.join(path, ".meta.json")) as f:
-        meta = json.load(f)
+    raw = read_text(spark, _meta_path(path, ".meta.json"))
+    if raw is None:
+        raise FileNotFoundError(_meta_path(path, ".meta.json"))
+    meta = json.loads(raw)
     fmt = meta.get("format", "parquet")
     if fmt == "parquet":
         df = spark.read.parquet(path)
@@ -183,8 +192,8 @@ def write_training_shards(
             for k, s in sorted(stats.items())
         },
     }
-    with open(os.path.join(path, "_manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1)
+    write_text(df.sparkSession, _meta_path(path, "_manifest.json"),
+               json.dumps(manifest, indent=1))
     return manifest
 
 
@@ -195,8 +204,10 @@ def read_training_shards(
     ids — partition-pruned, only those directories are scanned) and
     verify each shard's row count and content hash against the
     manifest; raises ``ValueError`` on any mismatch."""
-    with open(os.path.join(path, "_manifest.json")) as f:
-        manifest = json.load(f)
+    raw = read_text(spark, _meta_path(path, "_manifest.json"))
+    if raw is None:
+        raise FileNotFoundError(_meta_path(path, "_manifest.json"))
+    manifest = json.loads(raw)
     fmt = manifest.get("format", "parquet")
     df = spark.read.parquet(path) if fmt == "parquet" else spark.read.json(path)
     if shards is not None:

@@ -20,6 +20,16 @@ def hadoop_fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        # LocalFileSystem is a ChecksumFileSystem: it writes .crc
+        # sidecars and refuses reads of files modified outside Hadoop.
+        # Store metadata must stay readable/tamper-checkable by OUR
+        # content verification, not the transport checksum, so turn
+        # both off (no-op on object stores, which use ETags instead).
+        fs.setWriteChecksum(False)
+        fs.setVerifyChecksum(False)
+    except Exception:
+        pass
     return fs, hpath
 
 

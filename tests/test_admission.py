@@ -354,3 +354,26 @@ def test_lsh_index_freezes_bucket_width(spark, tmp_path):
     delete_path(spark, f"{d}/lsh_meta.json")
     with pytest.raises(ValueError, match="lsh_meta"):
         admit_lsh_frame(spark, docs_b.limit(5), emb_b.limit(5), d)
+
+
+def test_lsh_occupancy_guard_warns_past_headroom():
+    """A survivor store that outgrew its frozen width's design load
+    (TARGET_BUCKET * 2^p * headroom) must warn the operator to
+    rebuild; a store within the design load must stay silent."""
+    import warnings
+
+    import pytest
+
+    from agrobr_spark.queries.admission import (
+        LSH_REBUILD_HEADROOM,
+        _lsh_occupancy_check,
+    )
+    from agrobr_spark.queries.similarity import TARGET_BUCKET
+
+    p = 6
+    design = TARGET_BUCKET * (1 << p)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # silence == pass
+        _lsh_occupancy_check(design * LSH_REBUILD_HEADROOM, p)
+    with pytest.warns(RuntimeWarning, match="rebuild the index"):
+        _lsh_occupancy_check(design * LSH_REBUILD_HEADROOM + 1, p)

@@ -408,11 +408,14 @@ def test_approx_percentiles_within_rank_bound(spark):
     from agrobr_spark.io import load
     from agrobr_spark.queries.relational import (
         _APPROX_PCT_ACC,
-        a13_percentiles_approx,
+        approx_percentiles,
     )
 
     sf_dir = SF_SMOKE
-    approx = {r["l_returnflag"]: r for r in a13_percentiles_approx(spark, sf_dir).collect()}
+    approx = {
+        r["l_returnflag"]: r
+        for r in approx_percentiles(load(spark, sf_dir, "lineitem")).collect()
+    }
     vals: dict[str, list[float]] = {}
     for r in load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
@@ -641,11 +644,14 @@ def test_approx_distinct_within_bound(spark):
     import pyspark.sql.functions as F
 
     from agrobr_spark.io import load
-    from agrobr_spark.queries.relational import a14_approx_distinct
+    from agrobr_spark.queries.relational import approx_distinct_counts
 
     sf_dir = "/root/testdata/sf0.001"
     approx = {
-        r["l_returnflag"]: r for r in a14_approx_distinct(spark, sf_dir).collect()
+        r["l_returnflag"]: r
+        for r in approx_distinct_counts(
+            load(spark, sf_dir, "lineitem")
+        ).collect()
     }
     exact = {
         r["l_returnflag"]: r
@@ -676,6 +682,34 @@ def test_funnel_is_monotone_nonincreasing(spark):
     assert rows[0][1] >= rows[1][1] >= rows[2][1] >= 0
     assert rows[0][2] == 1.0
     assert rows[2][1] > 0, "fixture must have complete funnels"
+
+
+def test_funnel_empty_emits_zero_not_null(spark, tmp_path):
+    """Zero step-1 events: the funnel must report n_usuarios=0 for all
+    three stages (matching the oracle's count(*) = 0), not NULL from a
+    global agg over an empty frame."""
+    from agrobr_spark.queries import catalog as _cat
+
+    sf = str(tmp_path)
+    (
+        spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", 7, "click", 1.0, "{}")],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        )
+        .selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+            "event_type", "value", "props",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(sf + "/events.parquet")
+    )
+    rows = sorted(
+        (r["ordem"], r["n_usuarios"]) for r in
+        _cat()["w8_funnel"].fn(spark, sf).collect()
+    )
+    assert rows == [(1, 0), (2, 0), (3, 0)]
 
 
 def test_retention_day0_equals_cohort_size(spark):

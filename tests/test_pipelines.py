@@ -33,6 +33,46 @@ def test_prepare_training_corpus_accounting(spark, tmp_path):
     assert df.count() == total_docs
 
 
+def test_mix_budget_derived_from_gated_corpus(spark, tmp_path):
+    """The mixture budget must be computed over the GATED doc set:
+    rejected docs consume no token budget, so each source's budget is
+    its weight share of the surviving tokens — not of the raw corpus
+    (which would under-fill sources in proportion to their rejection
+    rate)."""
+    import pyspark.sql.functions as F
+
+    from agrobr_spark.io import load
+    from agrobr_spark.queries.pipeline_text import pipeline_keep_set
+    from agrobr_spark.queries.training_prep import (
+        _TOKS,
+        MIX_FRACTION_DEN,
+        MIX_WEIGHTS,
+        text_repetition_filter,
+        text_span_dedup,
+    )
+
+    s = prepare_training_corpus(spark, SF_SMOKE, str(tmp_path / "c"), n_shards=2)
+
+    kept = pipeline_keep_set(spark, SF_SMOKE).filter(F.col("mantido")).select("doc_id")
+    rep = text_repetition_filter(spark, SF_SMOKE).filter(~F.col("repetitivo")).select("doc_id")
+    span = text_span_dedup(spark, SF_SMOKE).filter(~F.col("duplicado")).select("doc_id")
+    gated = kept.join(rep, "doc_id").join(span, "doc_id")
+    gated_total = (
+        load(spark, SF_SMOKE, "documents")
+        .join(gated, "doc_id")
+        .select(F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n"))
+        .groupBy()
+        .agg(F.sum("n").alias("t"))
+        .collect()[0]["t"]
+    )
+    w_sum = sum(MIX_WEIGHTS.values())
+    for src, v in s["selected_per_source"].items():
+        w = MIX_WEIGHTS.get(src, 1)
+        expected = (w * (gated_total // MIX_FRACTION_DEN)) // w_sum
+        assert v["budget"] == expected, (src, v["budget"], expected)
+        assert v["tokens"] <= v["budget"]
+
+
 def test_prepare_training_corpus_no_quality_gates(spark, tmp_path):
     s_loose = prepare_training_corpus(
         spark, SF_SMOKE, str(tmp_path / "loose"), n_shards=2,

@@ -258,11 +258,17 @@ def test_quality_deciles_approx_tracks_exact(spark):
     construction). Agreement fraction is tie-density-dependent:
     measured 0.766 on the fixture (107/500 docs sit one decile later,
     10 one earlier, all on tie runs), floor asserted at 0.7."""
+    from agrobr_spark.io import load
+    from agrobr_spark.queries.training_prep import quality_deciles_approx
+
     exact = _CAT["text_quality_deciles"].fn(spark, SF_ORACLE)
-    approx = _CAT["text_quality_deciles_approx"].fn(spark, SF_ORACLE)
+    approx = quality_deciles_approx(load(spark, SF_ORACLE, "documents"))
     j = exact.select("doc_id", "decil").join(
         approx.select("doc_id", "decil_aprox"), "doc_id"
     )
+    # and the self-verifying catalog entry must be all-TRUE
+    cat = _CAT["text_quality_deciles_approx"].fn(spark, SF_ORACLE)
+    assert cat.filter(~F.col("dentro_1_decil")).count() == 0
     agg = j.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(

@@ -159,6 +159,47 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def stream_batch_counts(spark, sf_dir: str) -> dict[str, int]:
+    """Micro-batch count per streaming probe query — direct evidence
+    for (or against) the file-fragmentation hypothesis: a ratio driven
+    by file count shows up as batch count growing with K, a ratio
+    driven by data volume does not (r6 VERDICT next #3). AvailableNow
+    with no maxFilesPerTrigger takes every available file in ONE
+    batch, so this should print 1 at every K."""
+    from agrobr_spark.streaming.stateful import day_over_day_flags
+    from agrobr_spark.streaming.windows import (
+        read_events_stream,
+        tumbling_daily_agg,
+    )
+
+    shapes = {
+        "stream_tumbling_daily": lambda ev: (tumbling_daily_agg(ev), "complete"),
+        "stream_stateful_dod": lambda ev: (
+            day_over_day_flags(
+                ev.select("event_id", "ts", "event_type", "value")
+            ),
+            "append",
+        ),
+    }
+    out: dict[str, int] = {}
+    for name, build in shapes.items():
+        res, mode = build(read_events_stream(spark, sf_dir))
+        q = (
+            res.writeStream.format("memory")
+            .queryName(f"probe_mb_{name}")
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.isActive:
+            q.stop()
+        out[name] = sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
+    return out
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/agrobr_scale{k}"
@@ -178,6 +219,10 @@ def main() -> None:
                 "ratio": round(scaled[n] / base[n], 2) if base[n] else None,
             }
             for n in PROBE_QUERIES
+        },
+        "stream_batches": {
+            "base": stream_batch_counts(spark, BASE),
+            "scaled": stream_batch_counts(spark, out),
         },
     }
     print(json.dumps(report))
