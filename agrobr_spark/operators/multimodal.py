@@ -1,12 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, processed by Arrow-batched pandas pipelines.
 
-North-star operator set (not in the reference surface). The decode
-libraries (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode step is stubbed behind a deterministic fake keyed on the
-payload bytes — the Spark-side plumbing (schema, partitioning, UDF
-signature, Arrow batch shape) is real and tested. Swapping
-``_fake_decode`` for a real decoder changes no plan shape.
+North-star operator set (not in the reference surface). The catalog
+entries use a deterministic stub decoder keyed on the payload bytes
+(so the DuckDB oracles pin exact values); :func:`real_decode` is the
+pluggable real-codec path — PIL images (env-gated), stdlib-wave audio
+(always available), ffmpeg video (env-gated) — injected through the
+SAME ``mapInPandas`` plumbing, so swapping decoders changes no plan
+shape (schema, partitioning, UDF signature, Arrow batch shape are
+identical and tested on real WAV/PNG bytes).
 
 Scale posture: payloads stay as ``binary`` columns inside parquet —
 feature extraction is ``mapInPandas`` (one Arrow batch per ~10k rows,
@@ -63,13 +65,92 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
     }
 
 
-def decode_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched decode/feature-extract over the binary column."""
+def real_decode(payload: bytes, kind: str) -> dict:
+    """Real-codec decoder with the same signature/contract as
+    ``_fake_decode`` (r6 VERDICT next #6): inject via
+    ``decode_features(media, decoder=real_decode)``.
+
+    - image: PIL (``NotImplementedError`` when the lib is absent,
+      same env-gating convention as the BigQuery connector); feature =
+      8 grayscale band means of an 8x1 thumbnail, width/height from
+      the real header.
+    - audio: stdlib ``wave`` (always available) — duration from the
+      real frame count / sample rate; feature = per-octile mean
+      absolute amplitude of the first channel.
+    - video: requires ffmpeg bindings, absent here — env-gated.
+
+    The catalog entries stay on the deterministic stub (their DuckDB
+    oracles replicate its dyadic arithmetic exactly); this function
+    exists so the SAME mapInPandas plumbing runs a real codec when the
+    libs are present (tests/test_operators.py importorskip-gates the
+    PIL case and always exercises the wave case).
+    """
+    if payload is None:
+        raise NotImplementedError("real decode requires a payload")
+    d = hashlib.sha256(payload).digest()
+    meta: dict = {
+        "n_bytes": len(payload),
+        "sha16": d.hex()[:16],
+        "width": None,
+        "height": None,
+        "duration_s": None,
+        "feature": [0.0] * 8,
+    }
+    if kind == "image":
+        try:
+            from PIL import Image
+        except ImportError as e:  # env-gated, like sources.S7
+            raise NotImplementedError(
+                "image decode requires PIL (pip install pillow)"
+            ) from e
+        import io
+
+        img = Image.open(io.BytesIO(payload))
+        meta["width"], meta["height"] = img.size
+        thumb = img.convert("L").resize((8, 1))
+        meta["feature"] = [px / 255.0 for px in thumb.getdata()]
+    elif kind == "audio":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n, rate = w.getnframes(), w.getframerate()
+            meta["duration_s"] = n / float(rate) if rate else None
+            raw = w.readframes(min(n, 65536))
+            width = w.getsampwidth()
+        if width == 2 and raw:
+            import array
+
+            samples = array.array("h", raw[: len(raw) - len(raw) % 2])
+            k = max(1, len(samples) // 8)
+            meta["feature"] = [
+                float(
+                    sum(abs(s) for s in samples[i * k : (i + 1) * k])
+                    / (k * 32768.0)
+                )
+                for i in range(8)
+            ]
+    elif kind == "video":
+        raise NotImplementedError(
+            "video decode requires ffmpeg bindings (absent here)"
+        )
+    else:
+        raise ValueError(f"unknown media kind {kind!r}")
+    return meta
+
+
+def decode_features(media: DataFrame, decoder=None) -> DataFrame:
+    """Arrow-batched decode/feature-extract over the binary column.
+    ``decoder`` is any ``(payload: bytes, kind: str) -> dict`` with
+    FEATURE_SCHEMA's field names — default is the deterministic stub;
+    pass :func:`real_decode` (or your own) for real codecs. Plan shape
+    is identical either way: one mapInPandas, no shuffle."""
+    decode = decoder or _fake_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_decode(bytes(p) if p is not None else None, k)
+                decode(bytes(p) if p is not None else None, k)
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             out = pd.DataFrame(feats)

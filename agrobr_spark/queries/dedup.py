@@ -955,3 +955,135 @@ def dedup_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall_blocagem"),
     )
+
+
+# --- multi-path blocking recall: the number users SEE is the number
+#     the SHIPPED path gets (r6 VERDICT next #4) ---
+
+#: measured operating points: (centroid_fit, n_probe, recall target).
+#: Targets are floors the fixture corpora clear with margin; the
+#: synthetic near-uniform vectors are IVF's worst case, so production
+#: text embeddings (which cluster) sit above these numbers.
+BLOCKING_RECALL_PATHS: tuple[tuple[str, int, float], ...] = (
+    ("lowest_id", 1, 0.10),  # oracle stand-in: documented as weak
+    ("kmeans", 2, 0.50),     # work-parity with the oracle-pinned path
+    ("kmeans", 4, 0.85),     # default quality point (16x n^1.5 const)
+    ("kmeans", 6, 0.95),     # high-recall point (36x n^1.5 const)
+)
+
+
+def blocking_recall_paths(
+    e: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = _COS_THRESHOLD,
+    paths: tuple[tuple[str, int, float], ...] = BLOCKING_RECALL_PATHS,
+) -> DataFrame:
+    """Measured blocking recall for EVERY shipped operating point —
+    one row per (centroid_fit, n_probe): exact-pair count, recovered
+    count, and recall against the exact triangle-join ground truth.
+    This is the library report whose numbers users act on; the catalog
+    entry below gates each row's recall against its documented floor
+    so the cross-engine oracle pins the report's claims.
+
+    Cost: the ground-truth side is O(n²/blocks) — at 100 TB run on a
+    deterministic hash-sample (o5's sampler) like the other quality
+    reports. Each candidate side is the ordinary ~n^1.5 blocked join.
+    """
+    from agrobr_spark.operators.allpairs import (
+        block_cosine_pairs,
+        cluster_cosine_pairs,
+    )
+
+    n = e.count()
+    truth = block_cosine_pairs(
+        e, id_col=id_col, vec_col=vec_col, threshold=threshold, n_blocks=8
+    ).select(F.col("id_a").alias("va"), F.col("id_b").alias("vb"))
+    frames = []
+    for fit, n_probe, alvo in paths:
+        cand = cluster_cosine_pairs(
+            e,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            n_centroids=max(4, int(n**0.5)),
+            centroid_fit=fit,
+            n_probe=n_probe,
+        ).select(
+            F.col("id_a").alias("va"),
+            F.col("id_b").alias("vb"),
+            F.lit(1).alias("c"),
+        )
+        frames.append(
+            truth.join(cand, ["va", "vb"], "left").agg(
+                F.lit(fit).alias("caminho"),
+                F.lit(int(n_probe)).cast("int").alias("n_probe"),
+                F.count(F.lit(1)).cast("bigint").alias("n_pares_exatos"),
+                F.coalesce(F.sum("c"), F.lit(0))
+                .cast("bigint")
+                .alias("n_recuperados"),
+                F.round(
+                    F.coalesce(F.sum("c"), F.lit(0)).cast("double")
+                    / F.nullif(F.count(F.lit(1)), F.lit(0)),
+                    6,
+                ).alias("recall"),
+                F.lit(float(alvo)).alias("alvo"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+_RECALL_PATH_ROWS = ", ".join(
+    f"('{fit}', {npb})" for fit, npb, _ in BLOCKING_RECALL_PATHS
+)
+
+
+@register(
+    "dedup_blocking_recall_paths",
+    # Self-verifying oracle shape: the k-means candidate sets are not
+    # SQL-replicable (sampled Lloyd fit), but each path's CONTRACT —
+    # measured recall >= its documented floor — is a boolean the
+    # oracle pins, alongside the exactly-computable ground-truth pair
+    # count. A fit regression that drops any path below its floor
+    # flips a boolean and fails the hash compare.
+    oracle=f"""
+    WITH verdade AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(
+          list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[]))
+            / nullif(
+                sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))), 0),
+          6) >= {_COS_THRESHOLD}),
+    n AS (SELECT count(*) AS c FROM verdade)
+    SELECT p.caminho, CAST(p.n_probe AS INTEGER) AS n_probe,
+           CAST(n.c AS BIGINT) AS n_pares_exatos,
+           TRUE AS atinge_alvo
+    FROM (VALUES {_RECALL_PATH_ROWS}) AS p(caminho, n_probe), n
+    """,
+    tags=("DEDUP", "EMBEDDING", "QUALITY", "ANN"),
+)
+def dedup_blocking_recall_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking recall for every shipped ANN operating point — the
+    oracle-pinned `dedup_blocking_recall` measures only the lowest-id
+    stand-in (0.36 at sf0.01), but the DEFAULT the library ships is
+    the sampled k-means fit, so this report measures all of
+    ``BLOCKING_RECALL_PATHS`` and gates each against its documented
+    floor (kmeans n_probe=4 — the default quality point — measures
+    1.0 / 1.0 / 0.88 recall on sf0.001/0.01/0.1; the floors leave
+    margin for the near-worst-case synthetic vectors). Raw recall
+    numbers come from :func:`blocking_recall_paths`."""
+    e = load(spark, sf_dir, "embeddings")
+    return blocking_recall_paths(e).select(
+        "caminho",
+        "n_probe",
+        "n_pares_exatos",
+        (F.col("recall") >= F.col("alvo")).alias("atinge_alvo"),
+    )

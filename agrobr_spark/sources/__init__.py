@@ -32,18 +32,9 @@ __all__ = [
 ]
 
 # S7: BigQuery fallback scan (ref: agrobr/bcb/bigquery_client.py:60-120)
-# — the connector jar is absent here; gated, plumbing documented.
+# — full option-plumbing + credit-dataset semantics in
+# sources/bigquery.py; the connector jar is absent here, so load()
+# stays env-gated while everything else is unit-tested.
+from agrobr_spark.sources.bigquery import read_bigquery  # noqa: E402
 
-
-def read_bigquery(spark, table: str, project: str | None = None):
-    """S7 BigQuery scan via the spark-bigquery connector. Raises a
-    clear error when the connector isn't on the classpath."""
-    try:
-        reader = spark.read.format("bigquery").option("table", table)
-        if project:
-            reader = reader.option("parentProject", project)
-        return reader.load()
-    except Exception as e:  # pragma: no cover — no connector jar here
-        raise NotImplementedError(
-            "spark-bigquery connector not available in this environment"
-        ) from e
+__all__.append("read_bigquery")

@@ -794,3 +794,110 @@ def test_touch_attribution_invariants(spark):
         )
     finally:
         df.unpersist()
+
+
+def test_blocking_recall_paths_floors_and_ordering(spark):
+    """The multi-path recall report (r6 VERDICT next #4): every
+    shipped operating point clears its documented floor, recall is
+    monotone in n_probe for the kmeans family, and the catalog
+    entry's gate booleans are all TRUE."""
+    from agrobr_spark.io import load
+    from agrobr_spark.queries import catalog as _cat
+    from agrobr_spark.queries.dedup import blocking_recall_paths
+    from tests.conftest import SF_ORACLE
+
+    rows = blocking_recall_paths(
+        load(spark, SF_ORACLE, "embeddings")
+    ).collect()
+    by_path = {(r["caminho"], r["n_probe"]): r for r in rows}
+    assert len(by_path) == 4
+    for r in rows:
+        assert r["recall"] >= r["alvo"], (r["caminho"], r["n_probe"], r["recall"])
+        assert r["n_recuperados"] <= r["n_pares_exatos"]
+    km = [r["recall"] for _, r in sorted(by_path.items()) if r["caminho"] == "kmeans"]
+    assert km == sorted(km), "kmeans recall must not drop as n_probe grows"
+
+    gated = _cat()["dedup_blocking_recall_paths"].fn(spark, SF_ORACLE).collect()
+    assert all(r["atinge_alvo"] for r in gated)
+
+
+def _wav_bytes(seconds=2.0, rate=8000, freq=440.0):
+    """Real RIFF/WAVE bytes via stdlib wave — a genuine codec path
+    that needs no external library."""
+    import array
+    import io
+    import math
+    import wave
+
+    n = int(seconds * rate)
+    samples = array.array(
+        "h",
+        (
+            int(12000 * math.sin(2 * math.pi * freq * i / rate))
+            for i in range(n)
+        ),
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def test_real_decode_audio_wav(spark):
+    """The injectable real-codec decoder must extract the TRUE
+    duration from real WAV bytes through the same mapInPandas plumbing
+    as the stub (r6 VERDICT next #6) — stdlib wave, runs everywhere."""
+    from agrobr_spark.operators.multimodal import decode_features, real_decode
+
+    wav = _wav_bytes(seconds=2.0, rate=8000)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), "audio/wav")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    row = decode_features(df, decoder=real_decode).collect()[0]
+    assert row["duration_s"] == 2.0  # n_frames / rate, exact
+    assert row["n_bytes"] == len(wav)
+    assert len(row["feature"]) == 8
+    # a 440 Hz sine has real amplitude mass in every octile
+    assert all(f > 0.0 for f in row["feature"])
+    assert row["width"] is None and row["height"] is None
+
+
+def test_real_decode_image_png(spark):
+    """PIL-backed image decode (skipped when pillow is absent): true
+    pixel dimensions from real PNG bytes."""
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from agrobr_spark.operators.multimodal import decode_features, real_decode
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (37, 21), (200, 10, 10)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()), "image/png")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    row = decode_features(df, decoder=real_decode).collect()[0]
+    assert (row["width"], row["height"]) == (37, 21)
+    assert len(row["feature"]) == 8
+
+
+def test_real_decode_env_gates():
+    """Video (no ffmpeg) always gates; image gates exactly when PIL is
+    absent — the same NotImplementedError convention as S7."""
+    import pytest
+
+    from agrobr_spark.operators.multimodal import real_decode
+
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        real_decode(b"fake", "video")
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            real_decode(b"fake-png", "image")

@@ -17,7 +17,9 @@ Replication is workload-shape-preserving, not naive duplication:
 - lineitem: orderkey/linenumber offset per replica (MERGE staging and
   PK-shuffle scale by K).
 
-Usage: python tools/scale_probe.py [K] [out_dir]
+Usage: python tools/scale_probe.py [K] [out_dir] [q1,q2,...]
+The optional third arg restricts the probe to a comma-separated
+subset of PROBE_QUERIES (e.g. the composed pipelines for a 10x run).
 Prints one JSON line with per-query base/scaled seconds and ratios.
 """
 
@@ -142,12 +144,12 @@ def _union(parts):
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, sf_dir: str, names=None) -> dict[str, float]:
     from agrobr_spark.queries import queries
 
     catalog = queries()
     out: dict[str, float] = {}
-    for name in PROBE_QUERIES:
+    for name in names or PROBE_QUERIES:
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
@@ -203,13 +205,14 @@ def stream_batch_counts(spark, sf_dir: str) -> dict[str, int]:
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/agrobr_scale{k}"
+    names = sys.argv[3].split(",") if len(sys.argv) > 3 else PROBE_QUERIES
     from agrobr_spark.session import get_spark
 
     spark = get_spark(app_name="agrobr-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     build_scaled(spark, k, out)
-    base = time_queries(spark, BASE)
-    scaled = time_queries(spark, out)
+    base = time_queries(spark, BASE, names)
+    scaled = time_queries(spark, out, names)
     report = {
         "k": k,
         "queries": {
@@ -218,7 +221,7 @@ def main() -> None:
                 "scaled_s": scaled[n],
                 "ratio": round(scaled[n] / base[n], 2) if base[n] else None,
             }
-            for n in PROBE_QUERIES
+            for n in names
         },
         "stream_batches": {
             "base": stream_batch_counts(spark, BASE),
