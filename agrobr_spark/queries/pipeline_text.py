@@ -1029,3 +1029,132 @@ def pipeline_keep_set_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frac"),
         )
     )
+
+
+# -- unigram surprise: the cheap LM-quality proxy --
+
+
+@register(
+    "text_unigram_surprise",
+    oracle=r"""
+    WITH toks AS (
+      SELECT d.doc_id, lower(u.tok) AS termo
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0) d,
+           unnest(d.t) AS u(tok)),
+    freq AS (SELECT termo, count(*) AS c FROM toks GROUP BY termo),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
+    pontos AS (
+      SELECT t.doc_id,
+        CAST(round(-ln(f.c / tot.total), 6) AS DECIMAL(18,6)) AS p
+      FROM toks t JOIN freq f USING (termo), tot)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS surpresa
+    FROM pontos GROUP BY doc_id
+    """,
+    tags=("TEXT", "QUALITY", "LM", "SCALE_DEFAULT"),
+)
+def text_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprise (negative log corpus
+    probability per token) — the cheapest language-model quality
+    proxy: boilerplate and repeated high-frequency junk score LOW,
+    rare-token gibberish scores HIGH, and curation reads both tails
+    (the signal perplexity-based filters use, computed from corpus
+    statistics alone — no model).
+
+    Determinism across engines: each token's -ln(c/total) is rounded
+    to 6dp and cast to DECIMAL before the per-doc sum, so the
+    aggregation is exact integer-scaled arithmetic in ANY summation
+    order — float addition is not associative, and a naive avg(ln)
+    would hash-differently per partitioning (the money-sum lesson
+    applied to logs). Only the final per-doc division is float.
+
+    Scale shape: one explode, one vocab aggregation, one equi-join on
+    the term (broadcast when the vocab fits, AQE otherwise; salting
+    only matters if one TERM dominates the corpus), one keyed agg.
+    All linear in token count."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = d.select(
+        "doc_id", F.explode(_tokens()).alias("tok")
+    ).select("doc_id", F.lower("tok").alias("termo"))
+    freq = toks.groupBy("termo").agg(F.count(F.lit(1)).alias("c"))
+    # total token count folded FROM the vocab aggregate — the tot
+    # branch shares freq's exchange (AQE reuses identical exchanges at
+    # runtime), so no third independent tokenization of the corpus
+    tot = freq.groupBy().agg(F.sum("c").cast("double").alias("total"))
+    pontos = (
+        toks.join(freq, "termo")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(-F.log(F.col("c") / F.col("total")), 6)
+            .cast("decimal(18,6)")
+            .alias("p"),
+        )
+    )
+    return pontos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum("p").cast("double") / F.count(F.lit(1)), 6
+        ).alias("surpresa"),
+    )
+
+
+@register(
+    "text_perplexity_buckets",
+    oracle=r"""
+    WITH toks AS (
+      SELECT d.doc_id, lower(u.tok) AS termo
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0) d,
+           unnest(d.t) AS u(tok)),
+    freq AS (SELECT termo, count(*) AS c FROM toks GROUP BY termo),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
+    pontos AS (
+      SELECT t.doc_id,
+        CAST(round(-ln(f.c / tot.total), 6) AS DECIMAL(18,6)) AS p
+      FROM toks t JOIN freq f USING (termo), tot),
+    surpresa AS (
+      SELECT doc_id, round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS s
+      FROM pontos GROUP BY doc_id)
+    SELECT s.doc_id, d.lang, s.s AS surpresa,
+      CASE ntile(3) OVER (PARTITION BY d.lang ORDER BY s.s, s.doc_id)
+        WHEN 1 THEN 'cabeca' WHEN 2 THEN 'meio' ELSE 'cauda' END
+        AS balde
+    FROM surpresa s JOIN documents d USING (doc_id)
+    """,
+    tags=("TEXT", "QUALITY", "LM", "CCNET"),
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail partitioning (Wenzek et al. 2020
+    §4.3): per language, documents are ordered by unigram surprise
+    (the model-free perplexity proxy from ``text_unigram_surprise``)
+    and split into terciles — 'cabeca' (lowest surprise, cleanest),
+    'meio', 'cauda' (noisiest). Curation then keeps head+middle, or
+    down-weights the tail, per language.
+
+    Scale note: ntile needs its partition's total count — a per-lang
+    window, same hazard class as ``text_quality_deciles``; at 10^9
+    docs per language swap to approx_percentile tercile cutoffs
+    joined back as range predicates (the documented decile swap
+    applies verbatim here)."""
+    surp = text_unigram_surprise(spark, sf_dir).select(
+        "doc_id", F.col("surpresa")
+    )
+    langs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("surpresa", "doc_id")
+    tercil = F.ntile(3).over(w)
+    return (
+        surp.join(langs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "surpresa",
+            F.when(tercil == 1, "cabeca")
+            .when(tercil == 2, "meio")
+            .otherwise("cauda")
+            .alias("balde"),
+        )
+    )

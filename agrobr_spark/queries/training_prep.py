@@ -1002,3 +1002,84 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+# -- sliding-window chunking with overlap (RAG / long-context prep) --
+
+CHUNK_STRIDE = 384  # window start step; overlap = CHUNK_TOKENS - stride
+
+
+@register(
+    "pipeline_chunk_overlap",
+    oracle=rf"""
+    WITH q AS (
+      SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+        AS n
+      FROM documents),
+    spans AS (
+      SELECT doc_id, n, CAST(u.i AS BIGINT) AS chunk_idx,
+             CAST(u.i * {CHUNK_STRIDE} AS BIGINT) AS inicio,
+             CAST(least(u.i * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n) AS BIGINT)
+               AS fim
+      FROM q, unnest(range(0, (n - 1) // {CHUNK_STRIDE} + 1)) AS u(i)
+      WHERE n > 0)
+    SELECT doc_id, chunk_idx, inicio, fim,
+           fim - inicio AS n_toks,
+           (fim = n) AS ultimo
+    FROM spans
+    WHERE chunk_idx = 0 OR inicio - {CHUNK_STRIDE} + {CHUNK_TOKENS} < n
+    """,
+    tags=("PIPELINE", "CHUNK", "RAG", "SCALE_DEFAULT"),
+)
+def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document sliding-window chunking with overlap — the RAG
+    / long-context layout (windows of CHUNK_TOKENS starting every
+    CHUNK_STRIDE tokens, adjacent windows sharing the difference),
+    complementing ``pipeline_pack_chunks``' cross-document packing.
+    A trailing window fully covered by its predecessor (start -
+    stride + size already reaches the end) is dropped, so every
+    emitted chunk contributes new tokens and chunk indices stay dense.
+
+    Integer-only arithmetic end to end (starts, ends, counts), so the
+    oracle pins it exactly. Scale shape: one narrow projection and one
+    explode of ~n/stride spans per doc — embarrassingly parallel, no
+    shuffle at all, and the explode factor is bounded by token count /
+    stride (the same growth as the data itself)."""
+    q = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    spans = q.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                ((F.col("n") - 1) / CHUNK_STRIDE).cast("bigint"),
+            )
+        ).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        "n",
+        "chunk_idx",
+        (F.col("chunk_idx") * CHUNK_STRIDE).alias("inicio"),
+        F.least(
+            F.col("chunk_idx") * CHUNK_STRIDE + CHUNK_TOKENS, F.col("n")
+        ).alias("fim"),
+    )
+    return spans.filter(
+        (F.col("chunk_idx") == 0)
+        | (F.col("inicio") - CHUNK_STRIDE + CHUNK_TOKENS < F.col("n"))
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        "inicio",
+        "fim",
+        (F.col("fim") - F.col("inicio")).alias("n_toks"),
+        (F.col("fim") == F.col("n")).alias("ultimo"),
+    )

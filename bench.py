@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "text_tfidf_topk",
     "w8_funnel",
     "w10_rolling_7d",
+    "text_unigram_surprise",
+    "text_perplexity_buckets",
+    "pipeline_chunk_overlap",
 ]
 
 

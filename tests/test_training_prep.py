@@ -350,3 +350,97 @@ def test_containment_transitive_on_substring_chain(spark):
     }
     assert {(1, 2), (2, 3), (1, 3)} <= pares
     assert not ({(2, 1), (3, 2), (3, 1)} & pares)
+
+
+def test_chunk_overlap_covers_and_overlaps(spark, tmp_path):
+    """Sliding-window chunks: dense indices, exact stride/size
+    geometry, full coverage of [0, n), correct overlap with the
+    previous chunk, and no redundant trailing window."""
+    from agrobr_spark.queries.training_prep import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    sf = str(tmp_path)
+    # docs engineered around the boundaries: shorter than one window,
+    # exactly one window, mid-second-window, exact multiple of stride,
+    # and one ending inside the zone where the trailing window would
+    # be fully covered by its predecessor (must be dropped)
+    lengths = [5, CHUNK_TOKENS, CHUNK_TOKENS + 100, 3 * CHUNK_STRIDE,
+               CHUNK_STRIDE + CHUNK_TOKENS - 1, 2000]
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(n)), "en", "srcX", n)
+        for i, n in enumerate(lengths)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(sf + "/documents.parquet")
+
+    out = _CAT["pipeline_chunk_overlap"].fn(spark, sf).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(len(lengths)))
+    for doc_id, n in enumerate(lengths):
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        assert chunks[0]["inicio"] == 0
+        assert chunks[-1]["fim"] == n and chunks[-1]["ultimo"]
+        for prev, cur in zip(chunks, chunks[1:]):
+            assert cur["inicio"] == prev["inicio"] + CHUNK_STRIDE
+            assert cur["inicio"] < prev["fim"]  # genuine overlap
+            assert cur["fim"] > prev["fim"]  # contributes new tokens
+        for c in chunks:
+            assert c["n_toks"] == c["fim"] - c["inicio"] <= CHUNK_TOKENS
+
+
+def test_unigram_surprise_orders_rare_above_common(spark, tmp_path):
+    """A doc of one endlessly repeated common token must score LOWER
+    surprise than a doc of corpus-unique tokens; scores are positive
+    and n_tokens is the real token count."""
+    sf = str(tmp_path)
+    rows = [
+        (0, " ".join(["the"] * 50), "en", "s", 50),
+        (1, " ".join(f"unico{j}" for j in range(50)), "en", "s", 50),
+        (2, "the " * 25 + " ".join(f"raro{j}" for j in range(25)), "en", "s", 50),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(sf + "/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in _CAT["text_unigram_surprise"].fn(spark, sf).collect()
+    }
+    assert got[0]["n_tokens"] == 50 and got[1]["n_tokens"] == 50
+    assert all(r["surpresa"] > 0 for r in got.values())
+    assert got[0]["surpresa"] < got[2]["surpresa"] < got[1]["surpresa"]
+
+
+def test_perplexity_buckets_are_lang_terciles(spark):
+    """CCNet head/middle/tail: per lang the three buckets are within
+    one of equal size, and every head doc scores <= every tail doc."""
+    df = _CAT["text_perplexity_buckets"].fn(spark, SF_ORACLE).cache()
+    try:
+        per = {
+            (r["lang"], r["balde"]): r["n"]
+            for r in df.groupBy("lang", "balde")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        langs = {k[0] for k in per}
+        for lang in langs:
+            sizes = [per.get((lang, b), 0) for b in ("cabeca", "meio", "cauda")]
+            assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        bounds = {
+            (r["lang"], r["balde"]): (r["mn"], r["mx"])
+            for r in df.groupBy("lang", "balde")
+            .agg(F.min("surpresa").alias("mn"), F.max("surpresa").alias("mx"))
+            .collect()
+        }
+        for lang in langs:
+            assert bounds[(lang, "cabeca")][1] <= bounds[(lang, "meio")][0] or \
+                abs(bounds[(lang, "cabeca")][1] - bounds[(lang, "meio")][0]) < 1e-9
+            assert bounds[(lang, "meio")][1] <= bounds[(lang, "cauda")][0] or \
+                abs(bounds[(lang, "meio")][1] - bounds[(lang, "cauda")][0]) < 1e-9
+    finally:
+        df.unpersist()
