@@ -44,6 +44,17 @@ def cmd_contracts(_args) -> int:
     return 0
 
 
+def cmd_schemas(args) -> int:
+    """Export every registered contract as reference-format JSON
+    (ref: the `agrobr` package ships agrobr/schemas/*.json generated
+    by generate_json_schemas)."""
+    from agrobr_spark.contracts import export_json_schemas
+
+    for path in export_json_schemas(args.out):
+        print(path)
+    return 0
+
+
 def cmd_queries(args) -> int:
     from agrobr_spark.queries import catalog
 
@@ -145,6 +156,8 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     sub.add_parser("datasets")
     sub.add_parser("contracts")
+    sc = sub.add_parser("schemas")
+    sc.add_argument("out")
     sub.add_parser("connectors")
     q = sub.add_parser("queries")
     q.add_argument("--tag")
@@ -171,6 +184,7 @@ def main(argv: list[str] | None = None) -> int:
     return {
         "datasets": cmd_datasets,
         "contracts": cmd_contracts,
+        "schemas": cmd_schemas,
         "connectors": cmd_connectors,
         "queries": cmd_queries,
         "run": cmd_run,

