@@ -64,6 +64,11 @@ PROBE_QUERIES = [
     "w9_retention_cohorts",
     "corpus_overlap_matrix",
     "text_tfidf_topk",
+    # round-7 additions: corpus-LM scoring (per-term join), CCNet
+    # terciles (per-lang window), overlap chunking (shuffle-free)
+    "text_unigram_surprise",
+    "text_perplexity_buckets",
+    "pipeline_chunk_overlap",
 ]
 
 # every table any probe query loads
