@@ -1107,7 +1107,13 @@ def admit_lsh_frame(
     return dec
 
 
-def _lsh_oracle() -> str:
+def _lsh_oracle(final_select: str | None = None) -> str:
+    """The full one-shot LSH admission in DuckDB SQL. ``final_select``
+    swaps the tail projection: default = the batch decision frame
+    (pipeline_admit_lsh's oracle); the survivor-set form below is the
+    streaming variant's oracle (corpus mantido ∪ batch mantido, both
+    vector-bearing — the exact content of the post-stream survivor
+    store)."""
     from agrobr_spark.queries.similarity import (
         MAX_PLANES,
         N_TABLES,
@@ -1233,8 +1239,18 @@ def _lsh_oracle() -> str:
                THEN 'duplicado_lote'
              ELSE 'mantido' END AS motivo
       FROM toks tk, lim WHERE tk.doc_id >= lim.corte)
-    SELECT doc_id, motivo, motivo = 'mantido' AS mantido FROM dec_b
+    {final_select or "SELECT doc_id, motivo, motivo = 'mantido' AS mantido FROM dec_b"}
     """
+
+
+_LSH_SURVIVOR_SELECT = """
+    SELECT m.doc_id, d.n_chars
+    FROM (SELECT doc_id FROM dec_c WHERE motivo = 'mantido'
+          UNION ALL
+          SELECT doc_id FROM dec_b WHERE motivo = 'mantido') m
+    JOIN documents d ON d.doc_id = m.doc_id
+    JOIN base v ON v.vec_id = m.doc_id
+"""
 
 
 @register(

@@ -431,6 +431,119 @@ def stream_admit_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ingest, ignore_errors=True)
 
 
+def _stream_admit_lsh_oracle() -> str:
+    from agrobr_spark.queries.admission import (
+        _LSH_SURVIVOR_SELECT,
+        _lsh_oracle,
+    )
+
+    return _lsh_oracle(_LSH_SURVIVOR_SELECT)
+
+
+@register(
+    "stream_admit_lsh",
+    oracle=_stream_admit_lsh_oracle(),
+    tags=("STREAM", "ADMISSION", "FOREACHBATCH", "LSH", "INCREMENTAL"),
+)
+def stream_admit_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fit-free LSH admission pipeline as a STREAM — the streaming
+    twin of ``pipeline_admit_lsh``, completing the streaming admission
+    family (the centroid path streams via ``stream_admit_batch``).
+    Batch documents land as id-ranged ingest files, a file stream
+    feeds them one file per micro-batch into foreachBatch, and every
+    micro-batch runs ``admit_lsh_frame`` against the persisted index:
+    hyperplane buckets recomputed by projection at the width FROZEN in
+    ``lsh_meta.json`` (batch and index can never hash at different
+    widths), contamination vs the broadcast benchmark shingles,
+    survivor-vs-batch LSH candidates + exact-cosine verify, within-
+    micro-batch components, MERGE-back of accepted docs.
+
+    Because blocking is data-independent (no fitted state) admission
+    is split-independent, and with id-ranged oldest-first files the
+    min-id member of every duplicate cluster arrives first — so the
+    final survivor store equals the one-shot admission, which is what
+    the oracle pins: corpus survivors ∪ admitted batch docs from pure
+    SQL over corpus ∪ batch (recursive-CTE components fixpoints, the
+    same hyperplane constants)."""
+    import os
+    import shutil
+    import tempfile
+
+    from agrobr_spark.io import load
+    from agrobr_spark.queries.admission import (
+        _split_params,
+        admit_lsh_frame,
+        build_lsh_admission_index,
+    )
+    from agrobr_spark.store.fs import delete_path
+    from agrobr_spark.store.table import ParquetStore, compact
+
+    _COUNTER[0] += 1
+    store_dir = tempfile.mkdtemp(prefix="stream_lsh_idx_")
+    ingest = tempfile.mkdtemp(prefix="stream_lsh_in_")
+    try:
+        build_lsh_admission_index(spark, sf_dir, store_dir)
+        cut = _split_params(spark, sf_dir)[0]
+        docs_b = load(spark, sf_dir, "documents").filter(F.col("doc_id") >= cut)
+        emb_b = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= cut)
+        staged = docs_b.join(
+            emb_b.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+            "left",
+        )
+        max_id = staged.agg(F.max("doc_id")).collect()[0][0] or cut
+        n_files = 3
+        span = max(1, (int(max_id) - cut + n_files) // n_files)
+        t0 = 1_000_000_000  # fixed epoch base: mtime order == id order
+        for i in range(n_files):
+            lo, hi = cut + i * span, cut + (i + 1) * span
+            chunk = staged.filter(
+                (F.col("doc_id") >= lo)
+                & (F.col("doc_id") < (hi if i < n_files - 1 else 1 << 62))
+            )
+            tmp = f"{ingest}/.stage{i}"
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = f"{ingest}/chunk{i:05d}.parquet"
+            shutil.move(f"{tmp}/{part}", dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+
+        stream = (
+            spark.readStream.schema(staged.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ingest)
+        )
+
+        def handle(batch: DataFrame, batch_id: int) -> None:
+            admit_lsh_frame(
+                spark,
+                batch.drop("embedding"),
+                batch.filter(F.col("embedding").isNotNull()).select(
+                    F.col("doc_id").alias("vec_id"), "embedding"
+                ),
+                store_dir,
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+        store = ParquetStore(spark, f"{store_dir}/survivors", ("doc_id",))
+        compact(store)
+        out = store.read().select("doc_id", "n_chars")
+        return out.localCheckpoint(eager=True)
+    finally:
+        delete_path(spark, store_dir)
+        shutil.rmtree(ingest, ignore_errors=True)
+
+
 @register(
     "stream_dedup_exact",
     oracle="""

@@ -1083,3 +1083,77 @@ def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("fim") - F.col("inicio")).alias("n_toks"),
         (F.col("fim") == F.col("n")).alias("ultimo"),
     )
+
+
+# -- temperature mixing: sqrt-upweighting of small sources --
+
+
+@register(
+    "pipeline_data_mix_temperature",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, source,
+        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+          AS n_tokens,
+        md5(CAST(doc_id AS VARCHAR)) AS k
+      FROM documents),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM tok),
+    pesos AS (
+      SELECT source,
+        greatest(1, CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE)))
+                         AS BIGINT)) AS w
+      FROM tok GROUP BY source),
+    soma_w AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM pesos),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+        CAST(row_number() OVER
+          (PARTITION BY source ORDER BY k, doc_id) AS BIGINT) AS mix_rank,
+        CAST(sum(n_tokens) OVER
+          (PARTITION BY source ORDER BY k, doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM tok)
+    SELECT c.doc_id, c.source, c.n_tokens, c.mix_rank, c.cum_tokens,
+      (p.w * (t.total // {MIX_FRACTION_DEN})) // s.sw AS orcamento
+    FROM cum c
+    JOIN pesos p USING (source), tot t, soma_w s
+    WHERE c.cum_tokens <= (p.w * (t.total // {MIX_FRACTION_DEN})) // s.sw
+    """,
+    tags=("PIPELINE", "MIX", "TEMPERATURE", "SAMPLING", "SCALE_DEFAULT"),
+)
+def pipeline_data_mix_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-balanced mixture at α = 1/2: per-source weight ∝
+    √(source token mass) instead of a hand-pinned table — the
+    upweighting of small sources used for multilingual/multi-domain
+    balance (XLM-R-style temperature sampling; α = 1 is proportional,
+    α → 0 is uniform, √ is the classic middle). Everything after the
+    weights is exactly ``pipeline_data_mix``'s machinery: integer
+    budgets, deterministic content-hash admission order, bucketed
+    prefix sums.
+
+    Determinism: weights are floor(sqrt(tokens_s)) — IEEE sqrt of a
+    BIGINT-valued double is correctly rounded, so both engines (and
+    the driver-side float computation) derive the SAME integer weight
+    table; every subsequent step is integer arithmetic. Scale shape:
+    one per-source aggregation (a handful of rows → driver weight
+    table) + the verified mix pipeline. Other α via
+    :func:`mix_by_token_budget` with caller-derived weights."""
+    import math
+
+    d = load(spark, sf_dir, "documents")
+    totals = (
+        d.select(
+            "source",
+            F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("t"))
+        .collect()
+    )
+    weights = {
+        r["source"]: max(1, int(math.floor(math.sqrt(float(r["t"])))))
+        for r in totals
+    }
+    return mix_by_token_budget(d, weights, MIX_FRACTION_DEN)

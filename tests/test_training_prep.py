@@ -491,3 +491,37 @@ def test_learn_bpe_merges_deterministic(spark):
     one = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
     many = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
     assert learn_bpe_merges(one, 10) == learn_bpe_merges(many, 10)
+
+
+def test_temperature_mix_flattens_the_distribution(spark):
+    """α=1/2 temperature weights must give small sources a LARGER
+    budget share than their token share (and large sources a smaller
+    one) — the balancing property the operator exists for — while
+    budgets stay within the overall tokens//4 envelope."""
+    import pyspark.sql.functions as F2
+
+    from agrobr_spark.io import load
+    from agrobr_spark.queries.training_prep import _TOKS
+
+    out = _CAT["pipeline_data_mix_temperature"].fn(spark, SF_ORACLE)
+    budgets = {
+        r["source"]: r["orcamento"]
+        for r in out.select("source", "orcamento").distinct().collect()
+    }
+    totals = {
+        r["source"]: r["t"]
+        for r in load(spark, SF_ORACLE, "documents")
+        .select("source", F2.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n"))
+        .groupBy("source")
+        .agg(F2.sum("n").alias("t"))
+        .collect()
+    }
+    grand = sum(totals.values())
+    assert sum(budgets.values()) <= grand // 4
+    # budget share vs token share: smallest source gains, largest loses
+    small = min(totals, key=totals.get)
+    big = max(totals, key=totals.get)
+    bsum = sum(budgets.values())
+    if small in budgets and big in budgets:
+        assert budgets[small] / bsum > totals[small] / grand
+        assert budgets[big] / bsum < totals[big] / grand
