@@ -545,6 +545,118 @@ def stream_admit_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_export_shards",
+    oracle=r"""
+    WITH lim AS (SELECT CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT)
+                 AS corte FROM documents)
+    SELECT doc_id, source,
+      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+        AS n_tokens
+    FROM documents, lim WHERE doc_id >= corte
+    """,
+    tags=("STREAM", "EXPORT", "SHARDS", "FOREACHBATCH"),
+)
+def stream_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming training-shard export: batch documents arrive as
+    id-ranged ingest files, and every micro-batch is APPENDED to the
+    shard store via ``append_training_shards`` — content-addressed
+    shard assignment means a doc lands where the one-shot export
+    would put it, and the manifest's row/token/xor-digest accounting
+    merges associatively per batch. The final read goes through
+    ``read_training_shards``' verify-on-read, so the returned frame
+    has passed the per-shard hash check AFTER the streamed append
+    sequence; the oracle then pins its content against the batch
+    split computed in pure SQL. At 100 TB this is the always-on
+    ingest→trainer handoff: per-batch cost is one shuffle on the
+    shard id plus one accounting aggregation, independent of store
+    size."""
+    import os
+    import shutil
+    import tempfile
+
+    from agrobr_spark.io import load
+    from agrobr_spark.queries.admission import _split_params
+    from agrobr_spark.sources.sinks import (
+        append_training_shards,
+        read_training_shards,
+        write_training_shards,
+    )
+    from agrobr_spark.store.fs import path_exists
+
+    _COUNTER[0] += 1
+    out_dir = tempfile.mkdtemp(prefix="stream_shards_out_") + "/shards"
+    ingest = tempfile.mkdtemp(prefix="stream_shards_in_")
+    try:
+        cut = _split_params(spark, sf_dir)[0]
+        staged = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") >= cut)
+            .select(
+                "doc_id",
+                "source",
+                F.expr(
+                    "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+                    r"ELSE size(split(trim(text), '\\s+')) END AS BIGINT)"
+                ).alias("n_tokens"),
+            )
+        )
+        max_id = staged.agg(F.max("doc_id")).collect()[0][0] or cut
+        n_files = 3
+        span = max(1, (int(max_id) - cut + n_files) // n_files)
+        t0 = 1_000_000_000
+        for i in range(n_files):
+            lo, hi = cut + i * span, cut + (i + 1) * span
+            chunk = staged.filter(
+                (F.col("doc_id") >= lo)
+                & (F.col("doc_id") < (hi if i < n_files - 1 else 1 << 62))
+            )
+            tmp = f"{ingest}/.stage{i}"
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = f"{ingest}/chunk{i:05d}.parquet"
+            shutil.move(f"{tmp}/{part}", dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+
+        stream = (
+            spark.readStream.schema(staged.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ingest)
+        )
+
+        def handle(batch: DataFrame, batch_id: int) -> None:
+            if path_exists(spark, out_dir + "/_manifest.json"):
+                append_training_shards(batch, out_dir)
+            else:
+                write_training_shards(
+                    batch,
+                    out_dir,
+                    key_col="doc_id",
+                    n_shards=4,
+                    token_col="n_tokens",
+                )
+
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+        verified, _ = read_training_shards(spark, out_dir)
+        return verified.select(
+            "doc_id", "source", "n_tokens"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(os.path.dirname(out_dir), ignore_errors=True)
+        shutil.rmtree(ingest, ignore_errors=True)
+
+
+@register(
     "stream_dedup_exact",
     oracle="""
     SELECT DISTINCT user_id, event_type,

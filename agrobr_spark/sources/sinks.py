@@ -105,6 +105,49 @@ def read_verified(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     return df, meta
 
 
+def _shard_stats(df, key_col, n_shards, token_col):
+    """(stamped frame, per-shard stats) — the shared accounting agg of
+    the one-shot writer and the incremental appender: row count,
+    optional token sum, and the 4×60-bit xor-folded content words."""
+    shard = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
+    stamped = df.withColumn("shard", shard)
+    canon = F.sha2(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns]), 256
+    )
+    words = [
+        F.bit_xor(F.conv(F.substring(canon, 1 + 15 * i, 15), 16, 10).cast("bigint"))
+        for i in range(4)
+    ]
+    aggs = [F.count(F.lit(1)).alias("rows")] + [
+        w.alias(f"w{i}") for i, w in enumerate(words)
+    ]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).cast("long").alias("tokens"))
+    stats = {
+        int(r["shard"]): r.asDict()
+        for r in stamped.groupBy("shard").agg(*aggs).collect()
+    }
+    return stamped, stats
+
+
+def _words_hex(stats_row) -> str:
+    return "".join(
+        format(int(stats_row[f"w{i}"] or 0) & (2**60 - 1), "015x")
+        for i in range(4)
+    )
+
+
+def _xor_hex(a: str, b: str) -> str:
+    """Word-wise xor of two 4×15-hex content digests — xor-folding is
+    associative and commutative, so an appended batch's digest merges
+    into the stored one without rereading old data."""
+    return "".join(
+        format(int(a[15 * i : 15 * (i + 1)], 16)
+               ^ int(b[15 * i : 15 * (i + 1)], 16), "015x")
+        for i in range(4)
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -136,25 +179,7 @@ def write_training_shards(
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    shard = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
-    stamped = df.withColumn("shard", shard)
-
-    canon = F.sha2(
-        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns]), 256
-    )
-    words = [
-        F.bit_xor(F.conv(F.substring(canon, 1 + 15 * i, 15), 16, 10).cast("bigint"))
-        for i in range(4)
-    ]
-    aggs = [F.count(F.lit(1)).alias("rows")] + [
-        w.alias(f"w{i}") for i, w in enumerate(words)
-    ]
-    if token_col is not None:
-        aggs.append(F.sum(token_col).cast("long").alias("tokens"))
-    stats = {
-        int(r["shard"]): r.asDict()
-        for r in stamped.groupBy("shard").agg(*aggs).collect()
-    }
+    stamped, stats = _shard_stats(df, key_col, n_shards, token_col)
 
     writer = stamped.repartition(n_shards, "shard").write.mode("overwrite")
     if max_records_per_file:
@@ -184,14 +209,95 @@ def write_training_shards(
             str(k): {
                 "rows": s["rows"],
                 **({"tokens": s["tokens"]} if token_col is not None else {}),
-                "content_sha256_xor": "".join(
-                    format(int(s[f"w{i}"] or 0) & (2**60 - 1), "015x")
-                    for i in range(4)
-                ),
+                "content_sha256_xor": _words_hex(s),
             }
             for k, s in sorted(stats.items())
         },
     }
+    write_text(df.sparkSession, _meta_path(path, "_manifest.json"),
+               json.dumps(manifest, indent=1))
+    return manifest
+
+
+def append_training_shards(
+    df: DataFrame,
+    path: str,
+) -> dict:
+    """Append a batch to an EXISTING shard export and merge its
+    accounting into the manifest — the incremental form of
+    ``write_training_shards`` (streaming micro-batches, daily admitted
+    batches). Shard assignment is content-addressed, so an appended
+    doc lands in the same shard a one-shot export would give it; row
+    counts and token sums ADD, and the xor-folded content digests
+    MERGE word-wise (xor is associative + commutative), so after any
+    sequence of appends the manifest equals the one-shot manifest of
+    the union — verified by ``read_training_shards``'s hash check and
+    by tests.
+
+    Accounting-exactness requires batch keys disjoint from what's
+    already exported (dedup belongs upstream, in admission — an
+    at-least-once feed should be gated by ``stream_dedup_exact`` or
+    the admission MERGE before export). The batch must carry exactly
+    the manifest's columns."""
+    raw = read_text(df.sparkSession, _meta_path(path, "_manifest.json"))
+    if raw is None:
+        raise FileNotFoundError(
+            f"{path}: no _manifest.json — append requires an existing "
+            "export (write_training_shards first)"
+        )
+    manifest = json.loads(raw)
+    if list(df.columns) != list(manifest["columns"]):
+        raise ValueError(
+            f"append columns {df.columns} != manifest {manifest['columns']}"
+        )
+    fmt = manifest.get("format", "parquet")
+    n_shards = int(manifest["n_shards"])
+    token_col = None
+    if any("tokens" in s for s in manifest["shards"].values()):
+        token_col = "n_tokens" if "n_tokens" in df.columns else None
+        if token_col is None:
+            raise ValueError(
+                "manifest tracks tokens but batch has no n_tokens column"
+            )
+    stamped, stats = _shard_stats(df, manifest["key_col"], n_shards, token_col)
+
+    writer = stamped.repartition(n_shards, "shard").write.mode("append")
+    writer = writer.partitionBy("shard")
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        raise ValueError(f"unsupported shard format {fmt!r}")
+
+    for k, batch in stats.items():
+        key = str(k)
+        prev = manifest["shards"].get(key)
+        if prev is None:
+            entry = {
+                "rows": batch["rows"],
+                **({"tokens": batch["tokens"]} if token_col else {}),
+                "content_sha256_xor": _words_hex(batch),
+            }
+        else:
+            entry = {
+                "rows": prev["rows"] + batch["rows"],
+                **(
+                    {"tokens": prev.get("tokens", 0) + batch["tokens"]}
+                    if token_col
+                    else {}
+                ),
+                "content_sha256_xor": _xor_hex(
+                    prev["content_sha256_xor"], _words_hex(batch)
+                ),
+            }
+        manifest["shards"][key] = entry
+    manifest["shards"] = {
+        k: manifest["shards"][k]
+        for k in sorted(manifest["shards"], key=int)
+    }
+    manifest["row_count"] = sum(s["rows"] for s in manifest["shards"].values())
+    manifest["written_at"] = dt.datetime.now(dt.timezone.utc).isoformat()
     write_text(df.sparkSession, _meta_path(path, "_manifest.json"),
                json.dumps(manifest, indent=1))
     return manifest

@@ -448,3 +448,66 @@ def test_bigquery_credit_aggregate_mocked_source(spark):
     assert mt["qtd_contratos"] == 2 and isinstance(mt["qtd_contratos"], int)
     assert mt["produto"] == "SOJA" and mt["finalidade"] == "CUSTEIO"
     assert mt["cd_municipio"] == "5103403"
+
+
+def test_append_shards_equals_one_shot(spark, tmp_path):
+    """Any sequence of disjoint appends must land on the SAME manifest
+    as the one-shot export of the union — row counts and token sums
+    add, the xor-folded digests merge associatively — and the
+    appended export passes verify-on-read."""
+    import pyspark.sql.functions as F
+
+    from agrobr_spark.sources.sinks import (
+        append_training_shards,
+        read_training_shards,
+        write_training_shards,
+    )
+
+    rows = [(i, f"doc {i} text body", i % 3 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_tokens long")
+
+    one = str(tmp_path / "oneshot")
+    m_one = write_training_shards(
+        df, one, key_col="doc_id", n_shards=4, token_col="n_tokens"
+    )
+
+    inc = str(tmp_path / "incremental")
+    write_training_shards(
+        df.filter(F.col("doc_id") < 100), inc,
+        key_col="doc_id", n_shards=4, token_col="n_tokens",
+    )
+    append_training_shards(
+        df.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 180)), inc
+    )
+    m_inc = append_training_shards(df.filter(F.col("doc_id") >= 180), inc)
+
+    assert m_inc["row_count"] == m_one["row_count"] == 300
+    for k, s_one in m_one["shards"].items():
+        s_inc = m_inc["shards"][k]
+        assert s_inc["rows"] == s_one["rows"], k
+        assert s_inc["tokens"] == s_one["tokens"], k
+        assert s_inc["content_sha256_xor"] == s_one["content_sha256_xor"], k
+
+    back, _ = read_training_shards(spark, inc)  # verify-on-read passes
+    assert back.count() == 300
+
+
+def test_append_shards_guards(spark, tmp_path):
+    """Append refuses a missing manifest and a column mismatch."""
+    import pytest
+
+    from agrobr_spark.sources.sinks import (
+        append_training_shards,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1)], "doc_id long, text string, n_tokens long"
+    )
+    with pytest.raises(FileNotFoundError):
+        append_training_shards(df, str(tmp_path / "nowhere"))
+
+    p = str(tmp_path / "x")
+    write_training_shards(df, p, key_col="doc_id", n_shards=2, token_col="n_tokens")
+    with pytest.raises(ValueError, match="columns"):
+        append_training_shards(df.select("doc_id", "text"), p)
