@@ -1227,3 +1227,56 @@ def o5_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", balde.alias("balde"))
         .filter(F.col("balde") < limite)
     )
+
+
+# -- single-pass column profiling (Deequ-class data profiling) --
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "a15_profile_columns",
+    oracle="""
+    """ + "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS coluna,
+      count(*) AS n,
+      CAST(count(*) - count({c}) AS BIGINT) AS nulos,
+      CAST(min({c}) AS DOUBLE) AS minimo,
+      CAST(max({c}) AS DOUBLE) AS maximo,
+      CAST(sum(CAST({c} AS DECIMAL(18,4))) AS DOUBLE) AS soma,
+      CAST(count(DISTINCT {c}) AS BIGINT) AS n_distintos
+    FROM lineitem"""
+        for c in _PROFILE_COLS
+    ) + """
+    """,
+    tags=("A15", "PROFILE", "SCALE_DEFAULT"),
+)
+def a15_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (the Deequ/Glue-profiling shape): per numeric
+    column — row count, null count, min, max, decimal-exact sum,
+    distinct count — emitted long-form, one row per column, the frame
+    a data-quality dashboard or anomaly detector consumes before
+    trusting a table.
+
+    Plan: ONE scan. All per-column aggregates compute in a single
+    partial+final aggregation over the unpivoted (column, value)
+    stream — n columns multiply the aggregation input, not the scans
+    — and the distinct counts ride the same shuffle keyed by
+    (column, value). At 100 TB this is the difference between one
+    pass and n passes; for columns where exact distinct is too hot,
+    a14's HLL swap applies per column."""
+    li = load(spark, sf_dir, "lineitem")
+    stack = ", ".join(f"'{c}', {c}" for c in _PROFILE_COLS)
+    longo = li.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS (coluna, valor)"
+        )
+    )
+    return longo.groupBy("coluna").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count("valor")).cast("bigint").alias("nulos"),
+        F.min("valor").cast("double").alias("minimo"),
+        F.max("valor").cast("double").alias("maximo"),
+        F.sum(F.col("valor").cast("decimal(18,4)")).cast("double").alias("soma"),
+        F.countDistinct("valor").cast("bigint").alias("n_distintos"),
+    )

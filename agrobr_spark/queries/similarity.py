@@ -416,3 +416,84 @@ def sim_rp_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("posicao") <= TOP_K)
         .select("query_id", "vec_id", "label", "posicao", "cosseno")
     )
+
+
+# -- hard-negative mining for contrastive training --
+
+HARD_NEG_CEILING = 0.45  # near-dup cutoff: candidates at/above are positives
+HARD_NEG_K = 10
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH consultas AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {N_QUERIES}),
+    pares AS (
+      SELECT q.query_id, e.vec_id, e.label,
+        round(
+          list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+            / nullif(
+                sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[]))), 0),
+          6) AS cosseno
+      FROM consultas q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.query_id),
+    rk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosseno DESC, vec_id) AS posicao
+      FROM pares WHERE cosseno < {HARD_NEG_CEILING})
+    SELECT query_id, vec_id, label, posicao, cosseno
+    FROM rk WHERE posicao <= {HARD_NEG_K}
+    """,
+    tags=("SIM", "HARD_NEGATIVES", "CONTRASTIVE"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (DPR/Contriever
+    recipe): per query, the MOST similar corpus vectors that are still
+    below the near-dup ceiling — similar enough to be hard, dissimilar
+    enough to be true negatives (candidates at/above the ceiling are
+    potential positives/duplicates and must not be labeled negative).
+    The ceiling matches the dedup family's cosine threshold, so "not a
+    negative" and "duplicate" are the same boundary by construction.
+
+    Plan shape is ``sim_cosine_topk`` with one extra predicate BEFORE
+    the ranking window: broadcast query set, corpus stays partitioned,
+    per-query top-k window. At 100 TB swap the scan side for the IVF
+    path exactly as the topk docstring describes — the ceiling filter
+    composes unchanged."""
+    e = load(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    pares = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(
+                F.expr(_DOT.format(a="qv", b="embedding"))
+                / F.nullif(
+                    F.expr(_NORM.format(a="qv"))
+                    * F.expr(_NORM.format(a="embedding")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("cosseno"),
+        )
+        .filter(F.col("cosseno") < HARD_NEG_CEILING)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosseno").desc(), "vec_id")
+    return (
+        pares.withColumn("posicao", F.row_number().over(w))
+        .filter(F.col("posicao") <= HARD_NEG_K)
+        .select("query_id", "vec_id", "label", "posicao", "cosseno")
+    )

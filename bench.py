@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "j7_asof_join",
     "j8_range_join",
     "a11_grouping_sets",
+    "a15_profile_columns",
     "p4_date_range",
     "w1_pct_change",
     "w4_latest_per_key",
@@ -61,6 +62,7 @@ BENCH_QUERIES = [
     "sim_cosine_topk",
     "sim_ivf_ann",
     "sim_rp_lsh_ann",
+    "sim_hard_negatives",
     "stream_tumbling_daily",
     "stream_stateful_dod",
     "stream_dedup_exact",

@@ -901,3 +901,48 @@ def test_real_decode_env_gates():
     except ImportError:
         with pytest.raises(NotImplementedError, match="PIL"):
             real_decode(b"fake-png", "image")
+
+
+def test_hard_negatives_exclude_near_dups(spark):
+    """Mined negatives must all sit strictly below the near-dup
+    ceiling, be the TOP candidates under it (no skipped better
+    negative), and never include the query itself."""
+    from agrobr_spark.queries import catalog as _cat
+    from agrobr_spark.queries.similarity import (
+        HARD_NEG_CEILING,
+        HARD_NEG_K,
+    )
+    from agrobr_spark.queries.similarity import sim_cosine_topk
+
+    sf = "/root/testdata/sf0.001"
+    negs = _cat()["sim_hard_negatives"].fn(spark, sf).collect()
+    assert negs
+    per_q: dict[int, list] = {}
+    for r in negs:
+        assert r["cosseno"] < HARD_NEG_CEILING
+        assert r["vec_id"] != r["query_id"]
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in per_q.items():
+        assert len(rows) <= HARD_NEG_K
+        rows.sort(key=lambda r: r["posicao"])
+        cos = [r["cosseno"] for r in rows]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_profile_columns_one_scan(spark):
+    """The profiler's whole point is one pass: exactly one parquet
+    scan in the plan, pruned to the profiled columns."""
+    from agrobr_spark.queries import catalog as _cat
+
+    df = _cat()["a15_profile_columns"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re
+
+    # formatted mode lists each node once in the tree and once in the
+    # detail section — count detail entries ("(n) Scan parquet")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:200]
