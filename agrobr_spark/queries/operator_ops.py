@@ -821,3 +821,88 @@ def w11_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             dentro, ((F.col("us") - F.col("toque_us")) / 1_000_000).cast("bigint")
         ).alias("idade_s"),
     )
+
+
+# -- w12: robust daily-anomaly flags (median/MAD, not mean/stddev) --
+
+MAD_K = 3.0  # flag when |x - median| > 3 * MAD
+
+
+@register(
+    "w12_mad_anomalies",
+    oracle=f"""
+    WITH diario AS (
+      SELECT event_type, CAST(ts AS DATE) AS data,
+        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS soma
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2),
+    med AS (
+      SELECT event_type, quantile_cont(soma, 0.5) AS mediana
+      FROM diario GROUP BY event_type),
+    desv AS (
+      SELECT d.event_type,
+        quantile_cont(abs(d.soma - m.mediana), 0.5) AS mad
+      FROM diario d JOIN med m USING (event_type)
+      GROUP BY d.event_type)
+    SELECT d.event_type, d.data, round(d.soma, 6) AS soma,
+      round(m.mediana, 6) AS mediana, round(v.mad, 6) AS mad,
+      (abs(d.soma - m.mediana) > {MAD_K} * v.mad) AS anomalo
+    FROM diario d
+    JOIN med m USING (event_type)
+    JOIN desv v USING (event_type)
+    """,
+    tags=("W12", "ANOMALY", "ROBUST", "EVENTS"),
+)
+def w12_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily anomaly flags per event_type: a day is anomalous
+    when its total deviates from the series MEDIAN by more than
+    3 × MAD (median absolute deviation) — the robust twin of the
+    z-score rule, immune to the anomalies themselves inflating the
+    baseline (one huge day wrecks mean/stddev; median/MAD barely
+    move). This is the detector a pipeline-health monitor runs over
+    ingest volumes.
+
+    Determinism: both engines share the SQL-standard linear-
+    interpolation median (a13 precedent), sums are decimal-exact
+    before the float median, and outputs round at 6dp. Plan: the
+    daily rollup is one partial+final agg; the two percentile passes
+    aggregate the (tiny) per-type daily series — at 100 TB the daily
+    frame is ~types × days rows, negligible next to the scan, and
+    `approx_percentile` swaps in per a13 if types × days ever isn't."""
+    e = load(spark, sf_dir, "events")
+    diario = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("data"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("soma")
+        )
+    )
+    med = diario.groupBy("event_type").agg(
+        F.expr("percentile(soma, 0.5)").alias("mediana")
+    )
+    desv = (
+        diario.join(med, "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("soma") - F.col("mediana")).alias("dev"),
+        )
+        .groupBy("event_type")
+        .agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    )
+    return (
+        diario.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(desv), "event_type")
+        .select(
+            "event_type",
+            "data",
+            F.round("soma", 6).alias("soma"),
+            F.round("mediana", 6).alias("mediana"),
+            F.round("mad", 6).alias("mad"),
+            (
+                F.abs(F.col("soma") - F.col("mediana"))
+                > MAD_K * F.col("mad")
+            ).alias("anomalo"),
+        )
+    )

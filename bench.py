@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "text_tfidf_topk",
     "w8_funnel",
     "w10_rolling_7d",
+    "w12_mad_anomalies",
     "text_unigram_surprise",
     "text_perplexity_buckets",
     "pipeline_chunk_overlap",

@@ -946,3 +946,37 @@ def test_profile_columns_one_scan(spark):
     # detail section — count detail entries ("(n) Scan parquet")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "l_orderkey" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_mad_anomalies_robust_to_planted_spike(spark, tmp_path):
+    """One huge day must be flagged, and must NOT drag the baseline:
+    the median/MAD of the series with the spike stays at the clean
+    series' level (the property mean/stddev lacks)."""
+    import datetime as dt2
+
+    from agrobr_spark.queries import catalog as _cat
+
+    sf = str(tmp_path)
+    rows = []
+    eid = 0
+    for day in range(1, 21):
+        v = 100.0 + (day % 5)  # stable baseline
+        if day == 10:
+            v = 10_000.0  # the spike
+        rows.append(
+            (eid, dt2.datetime(2024, 1, day, 12, 0, 0), 1, "compra", v, "{}")
+        )
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(sf + "/events.parquet")
+
+    out = {r["data"]: r for r in _cat()["w12_mad_anomalies"].fn(spark, sf).collect()}
+    assert len(out) == 20
+    spike = out[dt2.date(2024, 1, 10)]
+    assert spike["anomalo"]
+    assert spike["mediana"] < 110  # baseline unmoved by the spike
+    normals = [r for d, r in out.items() if d != dt2.date(2024, 1, 10)]
+    assert sum(1 for r in normals if r["anomalo"]) == 0
