@@ -69,6 +69,12 @@ PROBE_QUERIES = [
     "text_unigram_surprise",
     "text_perplexity_buckets",
     "pipeline_chunk_overlap",
+    "pipeline_data_mix_temperature",
+    "sim_hard_negatives",
+    "a15_profile_columns",
+    "w12_mad_anomalies",
+    "stream_export_shards",
+    "stream_admit_lsh",
 ]
 
 # every table any probe query loads
