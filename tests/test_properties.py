@@ -337,3 +337,73 @@ class TestBpeMergesFile:
         p.write_text("#only comments\n")
         with pytest.raises(ValueError, match="no merge rules"):
             load_bpe_merges(str(p))
+
+
+class TestShardManifestMerge:
+    """append_training_shards' accounting claim, property-tested: for
+    ANY doc set and ANY partition of it into ordered batches, the
+    incrementally-merged manifest equals the one-shot manifest — xor
+    digest merge is associative+commutative, sums add."""
+
+    @SETTINGS
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10_000),
+                st.text(
+                    alphabet=st.characters(
+                        min_codepoint=32, max_codepoint=126
+                    ),
+                    max_size=20,
+                ),
+            ),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda t: t[0],
+        ),
+        st.integers(min_value=1, max_value=4),
+        st.randoms(use_true_random=False),
+    )
+    def test_any_split_equals_one_shot(self, spark, tmp_path_factory, rows, k, rng):
+        from agrobr_spark.sources.sinks import (
+            append_training_shards,
+            write_training_shards,
+        )
+
+        base = tmp_path_factory.mktemp("shards")
+        data = [(i, t, len(t.split()) if t.strip() else 0) for i, t in rows]
+        df = spark.createDataFrame(
+            data, "doc_id long, text string, n_tokens long"
+        )
+
+        one = str(base / "one")
+        m_one = write_training_shards(
+            df, one, key_col="doc_id", n_shards=3, token_col="n_tokens"
+        )
+
+        ids = [i for i, _ in rows]
+        rng.shuffle(ids)
+        cuts = sorted(rng.sample(range(1, len(ids)), min(k - 1, len(ids) - 1))) if len(ids) > 1 else []
+        batches = []
+        prev = 0
+        for c in cuts + [len(ids)]:
+            batches.append(set(ids[prev:c]))
+            prev = c
+
+        inc = str(base / "inc")
+        first = df.filter(F.col("doc_id").isin(list(batches[0])))
+        m_inc = write_training_shards(
+            first, inc, key_col="doc_id", n_shards=3, token_col="n_tokens"
+        )
+        for b in batches[1:]:
+            m_inc = append_training_shards(
+                df.filter(F.col("doc_id").isin(list(b))), inc
+            )
+
+        assert m_inc["row_count"] == m_one["row_count"]
+        assert set(m_inc["shards"]) == set(m_one["shards"])
+        for sk, s_one in m_one["shards"].items():
+            s_inc = m_inc["shards"][sk]
+            assert s_inc["rows"] == s_one["rows"]
+            assert s_inc["tokens"] == s_one["tokens"]
+            assert s_inc["content_sha256_xor"] == s_one["content_sha256_xor"]
