@@ -11,7 +11,8 @@ correctness story is inherited:
 2. quality gates       — ``text_repetition_filter`` (within-doc) and
    ``text_span_dedup`` (cross-doc span sharing) flags;
 3. mixture sampling    — ``pipeline_data_mix`` per-source token
-   budgets, restricted to the docs that survived 1-2;
+   budgets (or ``pipeline_data_mix_temperature``'s α=1/2 rule via
+   ``mix="temperature"``), computed OVER the docs that survived 1-2;
 4. split assignment    — ``o6_train_val_test`` content-addressed;
 5. sharded export      — ``sources.sinks.write_training_shards`` with
    per-shard manifest accounting.
@@ -40,11 +41,17 @@ def prepare_training_corpus(
     *,
     n_shards: int = 8,
     apply_quality_gates: bool = True,
+    mix: str = "weights",
 ) -> dict:
     """Run the full preparation chain and export shards to
     ``out_dir``. Returns a summary dict: per-reason decision counts,
     selected doc/token totals per source, the shard manifest, and the
-    per-split counts of the exported docs."""
+    per-split counts of the exported docs.
+
+    ``mix`` picks the domain-reweighting rule: ``"weights"`` uses the
+    pinned MIX_WEIGHTS table; ``"temperature"`` derives α=1/2 weights
+    from the GATED corpus's per-source token mass (small sources gain
+    share — see ``pipeline_data_mix_temperature``)."""
     from agrobr_spark.queries.pipeline_text import pipeline_keep_set
     from agrobr_spark.queries.training_prep import (
         MIX_FRACTION_DEN,
@@ -85,14 +92,34 @@ def prepare_training_corpus(
     # the realized mix drifts from MIX_WEIGHTS. The catalog entry
     # ``pipeline_data_mix`` (ungated, oracle-pinned) is unchanged.
     gated_docs = load(spark, sf_dir, "documents").join(kept, "doc_id")
-    mix = mix_by_token_budget(gated_docs, MIX_WEIGHTS, MIX_FRACTION_DEN)
+    if mix == "weights":
+        weights = MIX_WEIGHTS
+    elif mix == "temperature":
+        import math
+
+        weights = {
+            r["source"]: max(1, int(math.floor(math.sqrt(float(r["t"])))))
+            for r in gated_docs.select(
+                "source",
+                F.expr(
+                    "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+                    r"ELSE size(split(trim(text), '\\s+')) END AS BIGINT)"
+                ).alias("n"),
+            )
+            .groupBy("source")
+            .agg(F.sum("n").alias("t"))
+            .collect()
+        }
+    else:
+        raise ValueError(f"unknown mix rule {mix!r}")
+    mixed = mix_by_token_budget(gated_docs, weights, MIX_FRACTION_DEN)
     per_source = {
         r["source"]: {
             "docs": r["docs"],
             "tokens": r["tokens"],
             "budget": r["budget"],
         }
-        for r in mix.groupBy("source")
+        for r in mixed.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("n_tokens").cast("long").alias("tokens"),
@@ -104,7 +131,7 @@ def prepare_training_corpus(
     split = o6_train_val_test(spark, sf_dir).select("doc_id", "split")
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
     final = (
-        mix.select("doc_id", "n_tokens")
+        mixed.select("doc_id", "n_tokens")
         .join(docs, "doc_id")
         .join(split, "doc_id")
     )

@@ -100,3 +100,52 @@ def test_overlap_matrix_fractions_and_canonical_pairs(spark):
         assert r["fonte_a"] < r["fonte_b"]
         assert 0 < r["frac_a"] <= 1 and 0 < r["frac_b"] <= 1
         assert r["n_comum"] <= min(r["n_a"], r["n_b"])
+
+
+def test_prepare_corpus_temperature_mix_flattens(spark, tmp_path):
+    """mix="temperature" derives α=1/2 weights from the gated corpus:
+    budgets are floor(sqrt(gated per-source tokens))-proportional, so
+    the smallest source's budget share exceeds its token share."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    s = prepare_training_corpus(
+        spark, SF_SMOKE, str(tmp_path / "t"), n_shards=2, mix="temperature"
+    )
+    per = s["selected_per_source"]
+    assert per, "temperature mix must still select documents"
+    budgets = {src: v["budget"] for src, v in per.items()}
+    # budgets proportional to sqrt weights: check ratio consistency
+    # against independently recomputed gated totals
+    from agrobr_spark.io import load
+    from agrobr_spark.queries.pipeline_text import pipeline_keep_set
+    from agrobr_spark.queries.training_prep import (
+        _TOKS,
+        MIX_FRACTION_DEN,
+        text_repetition_filter,
+        text_span_dedup,
+    )
+
+    kept = pipeline_keep_set(spark, SF_SMOKE).filter(F.col("mantido")).select("doc_id")
+    rep = text_repetition_filter(spark, SF_SMOKE).filter(~F.col("repetitivo")).select("doc_id")
+    span = text_span_dedup(spark, SF_SMOKE).filter(~F.col("duplicado")).select("doc_id")
+    gated = (
+        load(spark, SF_SMOKE, "documents")
+        .join(kept.join(rep, "doc_id").join(span, "doc_id"), "doc_id")
+        .select("source", F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("t"))
+        .collect()
+    )
+    totals = {r["source"]: r["t"] for r in gated}
+    w = {src: max(1, int(math.floor(math.sqrt(float(t))))) for src, t in totals.items()}
+    sw = sum(w.values())
+    grand = sum(totals.values())
+    for src, b in budgets.items():
+        assert b == (w[src] * (grand // MIX_FRACTION_DEN)) // sw, src
+
+    with __import__("pytest").raises(ValueError, match="mix rule"):
+        prepare_training_corpus(
+            spark, SF_SMOKE, str(tmp_path / "bad"), mix="nope"
+        )
