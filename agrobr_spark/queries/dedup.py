@@ -1022,10 +1022,16 @@ def blocking_recall_paths(
                 F.coalesce(F.sum("c"), F.lit(0))
                 .cast("bigint")
                 .alias("n_recuperados"),
-                F.round(
-                    F.coalesce(F.sum("c"), F.lit(0)).cast("double")
-                    / F.nullif(F.count(F.lit(1)), F.lit(0)),
-                    6,
+                # a pair-free fixture has nothing to miss: recall is
+                # 1.0 by definition (not NULL), matching the oracle's
+                # unconditional atinge_alvo = TRUE
+                F.coalesce(
+                    F.round(
+                        F.coalesce(F.sum("c"), F.lit(0)).cast("double")
+                        / F.nullif(F.count(F.lit(1)), F.lit(0)),
+                        6,
+                    ),
+                    F.lit(1.0),
                 ).alias("recall"),
                 F.lit(float(alvo)).alias("alvo"),
             )

@@ -628,8 +628,13 @@ def stream_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def handle(batch: DataFrame, batch_id: int) -> None:
+            # batch_id is recorded in the manifest's applied_batch_ids,
+            # so a foreachBatch replay of an already-applied epoch is a
+            # no-op instead of double-counting rows/digests; the
+            # empty-first-batch case is safe because the manifest tracks
+            # token_col at the top level, independent of shard entries
             if path_exists(spark, out_dir + "/_manifest.json"):
-                append_training_shards(batch, out_dir)
+                append_training_shards(batch, out_dir, batch_id=batch_id)
             else:
                 write_training_shards(
                     batch,
@@ -637,6 +642,7 @@ def stream_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                     key_col="doc_id",
                     n_shards=4,
                     token_col="n_tokens",
+                    batch_id=batch_id,
                 )
 
         q = (

@@ -67,14 +67,21 @@ def credito_rural_filter(
     server-side ``filter`` option — BigQuery evaluates it at the
     storage layer, so only matching rows cross the wire (the pushdown
     the reference gets by embedding the WHERE in its SQL string)."""
+    def q(s: str) -> str:
+        # the filter is interpolated into the connector's server-side
+        # WHERE string: double any single quote so a quoted argument
+        # can neither break the predicate nor smuggle in extra
+        # conditions (safra_ano is hardened via int() below)
+        return s.replace("'", "''")
+
     nome = _FINALIDADE_MAP.get(finalidade.lower(), finalidade.upper())
-    conditions = [f"nome_finalidade = '{nome}'"]
+    conditions = [f"nome_finalidade = '{q(nome)}'"]
     if produto:
-        conditions.append(f"UPPER(nome_produto) LIKE '%{produto.upper()}%'")
+        conditions.append(f"UPPER(nome_produto) LIKE '%{q(produto.upper())}%'")
     if safra_ano:
         conditions.append(f"ano = {int(safra_ano)}")
     if uf:
-        conditions.append(f"sigla_uf = '{uf.upper()}'")
+        conditions.append(f"sigla_uf = '{q(uf.upper())}'")
     return " AND ".join(conditions)
 
 

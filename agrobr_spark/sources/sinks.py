@@ -158,6 +158,7 @@ def write_training_shards(
     token_col: str | None = None,
     max_records_per_file: int | None = None,
     compression: str | None = None,
+    batch_id: int | None = None,
 ) -> dict:
     """Export a prepared corpus as deterministic hash shards — the
     layout a trainer's data loader consumes (fixed shard count, stable
@@ -203,6 +204,8 @@ def write_training_shards(
         "format": fmt,
         "key_col": key_col,
         "n_shards": n_shards,
+        "token_col": token_col,
+        "applied_batch_ids": [] if batch_id is None else [int(batch_id)],
         "columns": df.columns,
         "row_count": sum(s["rows"] for s in stats.values()),
         "shards": {
@@ -222,6 +225,8 @@ def write_training_shards(
 def append_training_shards(
     df: DataFrame,
     path: str,
+    *,
+    batch_id: int | None = None,
 ) -> dict:
     """Append a batch to an EXISTING shard export and merge its
     accounting into the manifest — the incremental form of
@@ -238,7 +243,17 @@ def append_training_shards(
     already exported (dedup belongs upstream, in admission — an
     at-least-once feed should be gated by ``stream_dedup_exact`` or
     the admission MERGE before export). The batch must carry exactly
-    the manifest's columns."""
+    the manifest's columns.
+
+    Replay guard: pass ``batch_id`` (the ``foreachBatch`` epoch id)
+    and an id already recorded in the manifest's
+    ``applied_batch_ids`` becomes a NO-OP — a replayed micro-batch
+    neither rewrites data nor double-counts accounting. The one
+    window this cannot cover is a crash AFTER the data append but
+    BEFORE the manifest write; a replay then re-appends the data and
+    the manifest counts it once — ``read_training_shards``'s
+    verify-on-read catches exactly that (row-count + digest
+    mismatch) instead of silently serving duplicated rows."""
     raw = read_text(df.sparkSession, _meta_path(path, "_manifest.json"))
     if raw is None:
         raise FileNotFoundError(
@@ -246,19 +261,31 @@ def append_training_shards(
             "export (write_training_shards first)"
         )
     manifest = json.loads(raw)
+    applied = [int(b) for b in manifest.get("applied_batch_ids", [])]
+    if batch_id is not None and int(batch_id) in applied:
+        return manifest
     if list(df.columns) != list(manifest["columns"]):
         raise ValueError(
             f"append columns {df.columns} != manifest {manifest['columns']}"
         )
     fmt = manifest.get("format", "parquet")
     n_shards = int(manifest["n_shards"])
-    token_col = None
-    if any("tokens" in s for s in manifest["shards"].values()):
-        token_col = "n_tokens" if "n_tokens" in df.columns else None
-        if token_col is None:
-            raise ValueError(
-                "manifest tracks tokens but batch has no n_tokens column"
-            )
+    # the writer records its token_col at the manifest top level, so the
+    # appender tracks the SAME column the export was created with — even
+    # when the manifest has zero shard entries yet (an empty first
+    # batch). Pre-token_col manifests (legacy) fall back to inferring
+    # from the shard entries, which can only guess 'n_tokens'.
+    if "token_col" in manifest:
+        token_col = manifest["token_col"]
+    elif any("tokens" in s for s in manifest["shards"].values()):
+        token_col = "n_tokens"
+    else:
+        token_col = None
+    if token_col is not None and token_col not in df.columns:
+        raise ValueError(
+            f"manifest tracks tokens via {token_col!r} but the batch "
+            f"has no such column (batch columns: {df.columns})"
+        )
     stamped, stats = _shard_stats(df, manifest["key_col"], n_shards, token_col)
 
     writer = stamped.repartition(n_shards, "shard").write.mode("append")
@@ -297,6 +324,8 @@ def append_training_shards(
         for k in sorted(manifest["shards"], key=int)
     }
     manifest["row_count"] = sum(s["rows"] for s in manifest["shards"].values())
+    if batch_id is not None:
+        manifest["applied_batch_ids"] = applied + [int(batch_id)]
     manifest["written_at"] = dt.datetime.now(dt.timezone.utc).isoformat()
     write_text(df.sparkSession, _meta_path(path, "_manifest.json"),
                json.dumps(manifest, indent=1))

@@ -821,6 +821,23 @@ def test_blocking_recall_paths_floors_and_ordering(spark):
     assert all(r["atinge_alvo"] for r in gated)
 
 
+def test_blocking_recall_pair_free_fixture_is_one(spark):
+    """A fixture with NO exact near-dup pairs has nothing to miss:
+    recall is defined as 1.0 (not NULL), so the gate booleans stay
+    TRUE and match the oracle's unconditional verdict (ADVICE r7)."""
+    from agrobr_spark.queries.dedup import blocking_recall_paths
+
+    # mutually orthogonal unit vectors: every pairwise cosine is 0
+    dim = 16
+    rows = [
+        (i, [1.0 if j == i else 0.0 for j in range(dim)]) for i in range(dim)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for r in blocking_recall_paths(e).collect():
+        assert r["n_pares_exatos"] == 0
+        assert r["recall"] == 1.0, (r["caminho"], r["n_probe"])
+
+
 def _wav_bytes(seconds=2.0, rate=8000, freq=440.0):
     """Real RIFF/WAVE bytes via stdlib wave — a genuine codec path
     that needs no external library."""

@@ -420,6 +420,16 @@ def test_bigquery_option_plumbing():
     # unknown purpose passes through upper-cased, like the reference
     assert credito_rural_filter("giro") == "nome_finalidade = 'GIRO'"
 
+    # single quotes are doubled before interpolation into the pushed
+    # WHERE string — a quoted argument cannot break the predicate or
+    # inject extra conditions
+    f = credito_rural_filter(produto="d'agua", uf="m'")
+    assert "LIKE '%D''AGUA%'" in f
+    assert "sigla_uf = 'M'''" in f
+    assert credito_rural_filter("x' OR '1'='1") == (
+        "nome_finalidade = 'X'' OR ''1''=''1'"
+    )
+
 
 def test_bigquery_credit_aggregate_mocked_source(spark):
     """The credit-operations aggregation over a local frame standing
@@ -511,3 +521,93 @@ def test_append_shards_guards(spark, tmp_path):
     write_training_shards(df, p, key_col="doc_id", n_shards=2, token_col="n_tokens")
     with pytest.raises(ValueError, match="columns"):
         append_training_shards(df.select("doc_id", "text"), p)
+
+
+def test_append_shards_custom_token_col(spark, tmp_path):
+    """The manifest records WHICH column carries the token counts, so
+    appends to an export created with a non-default token column sum
+    the right column — even when a decoy ``n_tokens`` column exists
+    with different values."""
+    import pyspark.sql.functions as F
+
+    from agrobr_spark.sources.sinks import (
+        append_training_shards,
+        write_training_shards,
+    )
+
+    rows = [(i, f"doc {i}", i % 5 + 1, 999) for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, tok_ct long, n_tokens long"
+    )
+    p = str(tmp_path / "custom")
+    m0 = write_training_shards(
+        df.filter(F.col("doc_id") < 60), p,
+        key_col="doc_id", n_shards=2, token_col="tok_ct",
+    )
+    assert m0["token_col"] == "tok_ct"
+    m1 = append_training_shards(df.filter(F.col("doc_id") >= 60), p)
+    want = sum(i % 5 + 1 for i in range(100))
+    assert sum(s["tokens"] for s in m1["shards"].values()) == want
+
+
+def test_append_shards_empty_first_batch(spark, tmp_path):
+    """An export whose FIRST batch is empty (sparse/clustered ids in a
+    streaming chunking) still tracks tokens for every later append:
+    token_col lives at the manifest top level, not in the (empty)
+    shard entries."""
+    import pyspark.sql.functions as F
+
+    from agrobr_spark.sources.sinks import (
+        append_training_shards,
+        read_training_shards,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", i + 1) for i in range(50)],
+        "doc_id long, text string, n_tokens long",
+    )
+    p = str(tmp_path / "emptyfirst")
+    m0 = write_training_shards(
+        df.filter(F.lit(False)), p,
+        key_col="doc_id", n_shards=2, token_col="n_tokens",
+    )
+    assert m0["row_count"] == 0 and m0["shards"] == {}
+    m1 = append_training_shards(df, p)
+    assert m1["row_count"] == 50
+    assert sum(s["tokens"] for s in m1["shards"].values()) == sum(
+        i + 1 for i in range(50)
+    )
+    back, _ = read_training_shards(spark, p)
+    assert back.count() == 50
+
+
+def test_append_shards_batch_id_replay_is_noop(spark, tmp_path):
+    """A replayed foreachBatch epoch (same batch_id) must not rewrite
+    data or double-count accounting: the second append with an
+    already-applied batch_id is a no-op and verify-on-read still
+    passes."""
+    import pyspark.sql.functions as F
+
+    from agrobr_spark.sources.sinks import (
+        append_training_shards,
+        read_training_shards,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", 1) for i in range(80)],
+        "doc_id long, text string, n_tokens long",
+    )
+    p = str(tmp_path / "replay")
+    write_training_shards(
+        df.filter(F.col("doc_id") < 40), p,
+        key_col="doc_id", n_shards=2, token_col="n_tokens", batch_id=0,
+    )
+    batch = df.filter(F.col("doc_id") >= 40)
+    m1 = append_training_shards(batch, p, batch_id=1)
+    m2 = append_training_shards(batch, p, batch_id=1)  # replay
+    assert m1["row_count"] == m2["row_count"] == 80
+    assert m2["applied_batch_ids"] == [0, 1]
+    back, _ = read_training_shards(spark, p)
+    assert back.count() == 80
