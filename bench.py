@@ -1,17 +1,28 @@
 #!/usr/bin/env python
 """Headline benchmark: run the engine's flagship queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+``local[$SPARK_GRAFT_CPUS]`` and print ONE compact JSON line::
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "n_queries": K, "steal_total_s": S,
+     "detail": "BENCH_DETAIL.json"}
+
+The printed line stays well under 1 KB so the round driver's capture
+parses it whole (BENCH_r06/r07 recorded ``parsed: null`` because the
+full 43-query line overflowed the capture): the ``queries`` dict on
+the line carries only the BASELINE.md-comparable classes, and the
+COMPLETE per-query record — every timing, per-query steal seconds,
+attempt counts — is written to ``BENCH_DETAIL.json`` next to this
+script (committed per round as ``BENCH_DETAIL_r{N}.json``).
 
 Query picks mirror BASELINE.md's operation classes re-expressed on
 Spark: MERGE-upsert throughput (m1), filtered scan + sort (p4),
 group-by rollups (a1/a5/a6), fact<-dim broadcast join (j1), window
 latest-per-key (w4), text pipeline + dedup + similarity (the
-training-data extensions). Each query is fully materialized via a
-count-ish action so the JVM does real work; timings are per-query
-wall seconds on a warmed session.
+training-data extensions). Per-query timing and materialization go
+through :func:`agrobr_spark.benchmark.benchmark_query` (the public
+harness), one measured iteration per attempt so the steal-aware
+retry policy here stays in control of attempt count.
 """
 
 from __future__ import annotations
@@ -19,7 +30,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 import pandas as pd  # module-level: pandas_udf type hints resolve here
 
@@ -77,6 +87,20 @@ BENCH_QUERIES = [
     "pipeline_chunk_overlap",
 ]
 
+# the BASELINE.md-comparable classes surfaced on the compact headline
+# line (MERGE upsert, filtered scan+sort, group-by agg, dim join,
+# window, plus one representative per LLM-pipeline family)
+HEADLINE_QUERIES = [
+    "m1_merge_upsert",
+    "p4_date_range",
+    "a1_rollup_sum",
+    "j1_fact_dim_enrich",
+    "w4_latest_per_key",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "stream_tumbling_daily",
+]
+
 
 def _steal_jiffies() -> int | None:
     """Aggregate steal-time jiffies from /proc/stat (host-wide, all
@@ -96,6 +120,7 @@ def _steal_jiffies() -> int | None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from agrobr_spark.benchmark import benchmark_query
     from agrobr_spark.queries import queries
     from agrobr_spark.session import get_spark
 
@@ -119,25 +144,31 @@ def main() -> None:
     steal0 = _steal_jiffies()
     timings: dict[str, float] = {}
     steals: dict[str, float] = {}
+    attempts_by_q: dict[str, int] = {}
     for name in BENCH_QUERIES:
         fn = catalog.get(name)
         if fn is None:
             continue
+
+        def one_run(fn=fn) -> float:
+            """One measured end-to-end run via the library harness
+            (build plan, count, clear cache), in seconds."""
+            r = benchmark_query(
+                name, lambda: fn(spark, sf_dir), iterations=1, warmup=0
+            )
+            return r.min_time_ms / 1000.0
+
         # best-of-N: the shared host shows heavy CPU steal at times; min
         # over repeated runs reports the engine's cost, not the noise.
         # Two runs normally; queries still over a second after two runs
         # get a third — exactly the ones a noisy window distorts most.
         best = None
+        attempts = 0
         s_before = _steal_jiffies()
         for attempt in range(3):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            dt = time.perf_counter() - t0
+            dt = one_run()
+            attempts += 1
             best = dt if best is None else min(best, dt)
-            assert n >= 0
-            # each run is timed self-contained: drop any caches it left
-            spark.catalog.clearCache()
             if attempt == 1 and best <= 1.0:
                 break
         s_after = _steal_jiffies()
@@ -150,15 +181,14 @@ def main() -> None:
             # the host stole more CPU time than the best wall clock —
             # the number is noise; one extra attempt in (hopefully) a
             # calmer window
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-            spark.catalog.clearCache()
+            best = min(best, one_run())
+            attempts += 1
             s2 = _steal_jiffies()
             if s2 is not None and s_before is not None:
                 steal_s = (s2 - s_before) / hz
         timings[name] = round(best, 4)
         steals[name] = round(steal_s, 3)
+        attempts_by_q[name] = attempts
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -167,21 +197,46 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     steal1 = _steal_jiffies()
+    steal_total = (
+        round((steal1 - steal0) / hz, 3)
+        if steal0 is not None and steal1 is not None
+        else None
+    )
+
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "queries": timings,
+        "steal": {"total_s": steal_total, "queries": steals},
+        "attempts": attempts_by_q,
+    }
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+    # ONE compact line for the driver (headline queries only — the
+    # full per-query record is in BENCH_DETAIL.json)
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {
+            q: timings[q] for q in HEADLINE_QUERIES if q in timings
+        },
         "sf": sf_val,
+        "n_queries": len(timings),
+        "steal_total_s": steal_total,
+        "detail": "BENCH_DETAIL.json",
     }
-    if steal0 is not None and steal1 is not None:
-        # host-wide steal jiffies over the bench, in seconds — a large
-        # value labels the wall clocks above as noise-inflated
-        out["steal"] = {
-            "total_s": round((steal1 - steal0) / hz, 3),
-            "queries": steals,
-        }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    assert len(line) < 1024, f"headline line must stay <1KB, got {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,110 @@
+"""agrobr_spark.benchmark — the public benchmark harness
+(ref: agrobr/benchmark/__init__.py:79-270; surface parity is the
+point, so these tests pin field names, dict shapes and the summary
+line format alongside behavior)."""
+
+from __future__ import annotations
+
+import pytest
+
+from agrobr_spark.benchmark import (
+    BenchmarkResult,
+    BenchmarkSuite,
+    benchmark_query,
+    benchmark_sync,
+    run_contract_benchmarks,
+    run_query_benchmarks,
+    run_semantic_benchmarks,
+)
+from tests.conftest import SF_ORACLE
+
+
+def test_benchmark_sync_stats_and_warmup():
+    calls = []
+
+    def work(x=1):
+        calls.append(x)
+        return x
+
+    r = benchmark_sync("work", work, iterations=5, warmup=2, x=7)
+    assert calls == [7] * 7  # 2 warmup + 5 measured
+    assert r.name == "work"
+    assert r.iterations == 5
+    assert len(r.times_ms) == 5
+    assert r.min_time_ms <= r.median_time_ms <= r.max_time_ms
+    assert r.total_time_ms == pytest.approx(sum(r.times_ms))
+    assert r.metadata["warmup"] == 2
+
+    d = r.to_dict()
+    # reference-compatible dict keys (agrobr/benchmark/__init__.py:31-43)
+    assert set(d) == {
+        "name", "iterations", "total_time_ms", "mean_time_ms",
+        "median_time_ms", "min_time_ms", "max_time_ms", "std_dev_ms",
+        "timestamp", "metadata",
+    }
+    assert "mean=" in r.summary() and "(5 iterations)" in r.summary()
+
+
+def test_benchmark_sync_single_iteration_stdev_zero():
+    r = benchmark_sync("one", lambda: None, iterations=1, warmup=0)
+    assert r.std_dev_ms == 0
+    with pytest.raises(ValueError):
+        benchmark_sync("bad", lambda: None, iterations=0)
+
+
+def test_benchmark_suite_shape():
+    s = BenchmarkSuite(name="suite")
+    s.add_result(
+        BenchmarkResult(
+            name="a", iterations=1, total_time_ms=1.0, mean_time_ms=1.0,
+            median_time_ms=1.0, min_time_ms=1.0, max_time_ms=1.0,
+            std_dev_ms=0.0,
+        )
+    )
+    d = s.to_dict()
+    assert d["name"] == "suite" and len(d["results"]) == 1
+    assert s.summary().startswith("Benchmark Suite: suite")
+
+
+def test_benchmark_query_materializes(spark):
+    """Each iteration must EXECUTE the plan (not just build it): a
+    factory that plants a side effect inside the action proves the
+    count ran warmup + iterations times."""
+    import pyspark.sql.functions as F
+
+    runs = []
+
+    def factory():
+        runs.append(1)
+        return spark.range(100).select((F.col("id") * 2).alias("x"))
+
+    r = benchmark_query("q", factory, iterations=3, warmup=1)
+    assert len(runs) == 4
+    assert r.iterations == 3
+    assert r.metadata["action"] == "count"
+
+
+def test_run_query_benchmarks_skips_unknown(spark):
+    suite = run_query_benchmarks(
+        spark, SF_ORACLE,
+        names=["p1_project_rename", "no_such_query"],
+        iterations=1, warmup=0,
+    )
+    assert [r.name for r in suite.results] == ["p1_project_rename"]
+
+
+def test_run_contract_benchmarks(spark):
+    """The reference's two fixture sizes, each executing the full
+    validation plan (ref: agrobr/benchmark/__init__.py:191-240)."""
+    suite = run_contract_benchmarks(spark, iterations=1, warmup=0)
+    names = [r.name for r in suite.results]
+    assert names == ["contract.validate(10 rows)", "contract.validate(1000 rows)"]
+    assert suite.name == "contract_validation_benchmarks"
+    assert all(r.min_time_ms > 0 for r in suite.results)
+
+
+def test_run_semantic_benchmarks(spark):
+    suite = run_semantic_benchmarks(spark, iterations=1, warmup=0)
+    assert [r.name for r in suite.results] == ["validate_semantic(100 rows)"]
+    assert suite.name == "semantic_validation_benchmarks"
+    assert suite.results[0].min_time_ms > 0
