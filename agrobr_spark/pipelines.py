@@ -58,6 +58,7 @@ def prepare_training_corpus(
         MIX_WEIGHTS,
         mix_by_token_budget,
         o6_train_val_test,
+        temperature_weights,
         text_repetition_filter,
         text_span_dedup,
     )
@@ -95,21 +96,9 @@ def prepare_training_corpus(
     if mix == "weights":
         weights = MIX_WEIGHTS
     elif mix == "temperature":
-        import math
-
-        weights = {
-            r["source"]: max(1, int(math.floor(math.sqrt(float(r["t"])))))
-            for r in gated_docs.select(
-                "source",
-                F.expr(
-                    "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
-                    r"ELSE size(split(trim(text), '\\s+')) END AS BIGINT)"
-                ).alias("n"),
-            )
-            .groupBy("source")
-            .agg(F.sum("n").alias("t"))
-            .collect()
-        }
+        # the shared α=1/2 rule over the gated docs — same canonical
+        # tokenizer expression as the catalog's temperature entry
+        weights = temperature_weights(gated_docs)
     else:
         raise ValueError(f"unknown mix rule {mix!r}")
     mixed = mix_by_token_budget(gated_docs, weights, MIX_FRACTION_DEN)

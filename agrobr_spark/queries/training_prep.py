@@ -45,6 +45,11 @@ _TOKS_DUCK = (
     "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
     r"ELSE string_split_regex(trim(text), '\s+') END"
 )
+# THE canonical whitespace token count — every consumer (catalog
+# entries, the end-to-end pipeline in pipelines.py) must build token
+# counts from this one expression so a tokenizer change can never
+# silently de-sync mixture weights from the catalog's
+N_TOKENS_EXPR = f"CAST(size({_TOKS}) AS BIGINT)"
 
 # -- within-doc repetition (Gopher §A1.1: duplicate mass / top n-gram) --
 
@@ -1140,20 +1145,27 @@ def pipeline_data_mix_temperature(
     one per-source aggregation (a handful of rows → driver weight
     table) + the verified mix pipeline. Other α via
     :func:`mix_by_token_budget` with caller-derived weights."""
+    d = load(spark, sf_dir, "documents")
+    return mix_by_token_budget(d, temperature_weights(d), MIX_FRACTION_DEN)
+
+
+def temperature_weights(docs: DataFrame) -> dict[str, int]:
+    """α = 1/2 weight table for any documents-shaped frame:
+    ``max(1, floor(sqrt(per-source token mass)))`` with the canonical
+    ``N_TOKENS_EXPR`` count — the ONE definition both the catalog
+    entry above and the end-to-end pipeline
+    (:func:`agrobr_spark.pipelines.prepare_training_corpus`) use, so
+    their weight tables cannot drift apart. Cost: one per-source
+    aggregation collapsed to a handful of driver rows."""
     import math
 
-    d = load(spark, sf_dir, "documents")
     totals = (
-        d.select(
-            "source",
-            F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n"),
-        )
+        docs.select("source", F.expr(N_TOKENS_EXPR).alias("n"))
         .groupBy("source")
         .agg(F.sum("n").alias("t"))
         .collect()
     )
-    weights = {
+    return {
         r["source"]: max(1, int(math.floor(math.sqrt(float(r["t"])))))
         for r in totals
     }
-    return mix_by_token_budget(d, weights, MIX_FRACTION_DEN)

@@ -149,3 +149,28 @@ def test_prepare_corpus_temperature_mix_flattens(spark, tmp_path):
         prepare_training_corpus(
             spark, SF_SMOKE, str(tmp_path / "bad"), mix="nope"
         )
+
+
+def test_temperature_weights_parity_with_catalog_entry(spark):
+    """ONE tokenizer/weight definition (r7 VERDICT next #7): the
+    shared ``temperature_weights`` helper applied to the same fixture
+    must reproduce ``pipeline_data_mix_temperature``'s admitted set
+    exactly — a drift between the end-to-end chain's weights and the
+    catalog entry's would surface here as a row-set difference."""
+    from agrobr_spark.io import load
+    from agrobr_spark.queries.training_prep import (
+        MIX_FRACTION_DEN,
+        mix_by_token_budget,
+        pipeline_data_mix_temperature,
+        temperature_weights,
+    )
+
+    d = load(spark, SF_SMOKE, "documents")
+    via_helper = mix_by_token_budget(
+        d, temperature_weights(d), MIX_FRACTION_DEN
+    )
+    via_entry = pipeline_data_mix_temperature(spark, SF_SMOKE)
+    assert sorted(via_entry.columns) == sorted(via_helper.columns)
+    a = {tuple(r) for r in via_helper.select(*sorted(via_helper.columns)).collect()}
+    b = {tuple(r) for r in via_entry.select(*sorted(via_entry.columns)).collect()}
+    assert a == b
