@@ -65,6 +65,70 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
     }
 
 
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Iterate ISO-BMFF boxes in ``buf[start:end]`` as
+    ``(type, payload_start, payload_end)``. Handles the 64-bit
+    ``size == 1`` largesize form and the ``size == 0``
+    rest-of-container form; stops (rather than raises) on a
+    malformed header so a truncated file degrades to 'no metadata',
+    not an executor exception."""
+    off = start
+    while off + 8 <= end:
+        size = int.from_bytes(buf[off : off + 4], "big")
+        btype = bytes(buf[off + 4 : off + 8])
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                return
+            size = int.from_bytes(buf[off + 8 : off + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            return
+        yield btype, off + hdr, off + size
+        off += size
+
+
+def mp4_metadata(payload: bytes) -> dict:
+    """Stdlib MP4/MOV metadata: duration from ``moov/mvhd``
+    (duration ÷ timescale) and pixel dimensions from the first
+    ``trak/tkhd`` with a non-zero size (width/height are the box's
+    trailing 16.16 fixed-point pair in both tkhd versions) — the
+    video analog of the stdlib-``wave`` audio path, so header
+    metadata needs no ffmpeg. Returns
+    ``{"duration_s", "width", "height"}`` with ``None`` for anything
+    the container doesn't carry; raises ``ValueError`` when the
+    payload has no ``moov`` box at all (not an MP4)."""
+    dur = w = h = None
+    saw_moov = False
+    stack = [(0, len(payload))]
+    while stack:
+        s, e = stack.pop()
+        for btype, bs, be in _mp4_boxes(payload, s, e):
+            if btype in (b"moov", b"trak"):
+                saw_moov = saw_moov or btype == b"moov"
+                stack.append((bs, be))
+            elif btype == b"mvhd" and be - bs >= 20:
+                ver = payload[bs]
+                if ver == 1 and be - bs >= 32:
+                    ts = int.from_bytes(payload[bs + 20 : bs + 24], "big")
+                    d = int.from_bytes(payload[bs + 24 : bs + 32], "big")
+                else:
+                    ts = int.from_bytes(payload[bs + 12 : bs + 16], "big")
+                    d = int.from_bytes(payload[bs + 16 : bs + 20], "big")
+                if ts:
+                    dur = d / ts
+            elif btype == b"tkhd" and be - bs >= 8 and w is None:
+                w1616 = int.from_bytes(payload[be - 8 : be - 4], "big")
+                h1616 = int.from_bytes(payload[be - 4 : be], "big")
+                if w1616 and h1616:
+                    w, h = w1616 >> 16, h1616 >> 16
+    if not saw_moov:
+        raise ValueError("no moov box: not an MP4/MOV payload")
+    return {"duration_s": dur, "width": w, "height": h}
+
+
 def real_decode(payload: bytes, kind: str) -> dict:
     """Real-codec decoder with the same signature/contract as
     ``_fake_decode`` (r6 VERDICT next #6): inject via
@@ -77,7 +141,11 @@ def real_decode(payload: bytes, kind: str) -> dict:
     - audio: stdlib ``wave`` (always available) — duration from the
       real frame count / sample rate; feature = per-octile mean
       absolute amplitude of the first channel.
-    - video: requires ffmpeg bindings, absent here — env-gated.
+    - video: stdlib MP4 box parse (always available) — duration from
+      ``moov/mvhd``, dimensions from ``trak/tkhd`` via
+      :func:`mp4_metadata`; FRAME extraction (the feature vector)
+      still requires ffmpeg and stays env-gated, so the feature is
+      the zero vector until that upgrade.
 
     The catalog entries stay on the deterministic stub (their DuckDB
     oracles replicate its dyadic arithmetic exactly); this function
@@ -131,9 +199,10 @@ def real_decode(payload: bytes, kind: str) -> dict:
                 for i in range(8)
             ]
     elif kind == "video":
-        raise NotImplementedError(
-            "video decode requires ffmpeg bindings (absent here)"
-        )
+        # header metadata is pure stdlib (see mp4_metadata); only
+        # FRAME extraction — which would fill the feature vector —
+        # needs ffmpeg and stays env-gated in extract_video_frames
+        meta.update(mp4_metadata(payload))
     else:
         raise ValueError(f"unknown media kind {kind!r}")
     return meta
@@ -176,6 +245,33 @@ def frame_sample(media: DataFrame, every_s: float = 1.0) -> DataFrame:
             )
         ).alias("frame_idx"),
     ).withColumn("frame_ts_s", F.col("frame_idx") * every_s)
+
+
+def extract_video_frames(payload: bytes, every_s: float = 1.0) -> list[bytes]:
+    """Full video decode — one raw frame per ``every_s`` seconds.
+    This is the ONE remaining ffmpeg gate in the modality surface
+    (header metadata is stdlib via :func:`mp4_metadata`); with
+    bindings present it plugs into :func:`frame_sample`'s plumbing to
+    emit real frame bytes instead of timestamps."""
+    try:
+        import av  # type: ignore[import-not-found]
+    except ImportError as e:  # env-gated, like sources.S7
+        raise NotImplementedError(
+            "video frame extraction requires ffmpeg bindings "
+            "(pip install av)"
+        ) from e
+    import io
+
+    frames: list[bytes] = []
+    with av.open(io.BytesIO(payload)) as container:
+        stream = container.streams.video[0]
+        next_t = 0.0
+        for frame in container.decode(stream):
+            t = float(frame.time or 0.0)
+            if t + 1e-9 >= next_t:
+                frames.append(frame.to_ndarray(format="rgb24").tobytes())
+                next_t += every_s
+    return frames
 
 
 def binary_metadata(media: DataFrame) -> DataFrame:

@@ -1232,6 +1232,76 @@ def o5_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- single-pass column profiling (Deequ-class data profiling) --
 
 _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+PROFILE_HIST_BUCKETS = 8
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: tuple[str, ...],
+    *,
+    approx_distinct: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Library form of ``a15_profile_columns``: per column — row
+    count, null count, min, max, decimal-exact sum, distinct count,
+    and Shannon entropy of the value distribution (Deequ's
+    ``Entropy`` analyzer) — long-form, one row per column.
+
+    Plan: ONE scan. The unpivoted (column, value) stream aggregates
+    to per-value frequencies (the exact shuffle key Spark's
+    count-distinct expansion uses anyway), and the per-column roll-up
+    runs over that frequency frame — so entropy costs nothing extra:
+    it reads the SAME per-value counts via the identity
+    ``H = log2(nn) − (Σ c·log2 c)/nn``, which needs no second pass
+    to learn ``nn`` first. Each ``c·log2 c`` term is rounded to 6
+    decimals and summed as decimal so the float aggregation is
+    cross-engine-exact (the decimal-summed-rounded-logs pattern).
+
+    ``approx_distinct=True`` is the documented HLL swap for hot
+    columns: ``approx_count_distinct`` (HyperLogLog++, relative
+    error ``rsd``) replaces the exact count over the frequency
+    frame's value stream — at 100 TB the exact variant's shuffle
+    carries every distinct value, the sketch carries a fixed few KB
+    per column."""
+    stack = ", ".join(f"'{c}', {c}" for c in cols)
+    longo = df.select(
+        F.expr(f"stack({len(cols)}, {stack}) AS (coluna, valor)")
+    )
+    freq = longo.groupBy("coluna", "valor").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nn = F.sum(F.when(F.col("valor").isNotNull(), F.col("c")).otherwise(F.lit(0)))
+    termo = F.when(
+        F.col("valor").isNotNull(),
+        F.round(F.col("c") * F.log2(F.col("c")), 6).cast("decimal(28,6)"),
+    ).otherwise(F.lit(0).cast("decimal(28,6)"))
+    distinct_expr = (
+        F.approx_count_distinct("valor", rsd)
+        if approx_distinct
+        else F.count(F.when(F.col("valor").isNotNull(), F.lit(1)))
+    )
+    return freq.groupBy("coluna").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("valor").isNull(), F.col("c")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("nulos"),
+        F.min("valor").cast("double").alias("minimo"),
+        F.max("valor").cast("double").alias("maximo"),
+        F.sum(F.col("valor").cast("decimal(18,4)") * F.col("c"))
+        .cast("double")
+        .alias("soma"),
+        distinct_expr.cast("bigint").alias("n_distintos"),
+        F.when(
+            nn > 0,
+            F.round(
+                F.log2(nn.cast("double"))
+                - F.sum(termo).cast("double") / nn.cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("entropia"),
+    )
 
 
 @register(
@@ -1239,13 +1309,25 @@ _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     oracle="""
     """ + "\nUNION ALL\n".join(
         f"""SELECT '{c}' AS coluna,
-      count(*) AS n,
-      CAST(count(*) - count({c}) AS BIGINT) AS nulos,
-      CAST(min({c}) AS DOUBLE) AS minimo,
-      CAST(max({c}) AS DOUBLE) AS maximo,
-      CAST(sum(CAST({c} AS DECIMAL(18,4))) AS DOUBLE) AS soma,
-      CAST(count(DISTINCT {c}) AS BIGINT) AS n_distintos
-    FROM lineitem"""
+      CAST(sum(cnt) AS BIGINT) AS n,
+      CAST(sum(CASE WHEN valor IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+        AS nulos,
+      CAST(min(valor) AS DOUBLE) AS minimo,
+      CAST(max(valor) AS DOUBLE) AS maximo,
+      CAST(sum(CAST(valor AS DECIMAL(18,4)) * cnt) AS DOUBLE) AS soma,
+      CAST(count(valor) AS BIGINT) AS n_distintos,
+      CASE WHEN sum(CASE WHEN valor IS NOT NULL THEN cnt ELSE 0 END) > 0
+        THEN round(
+          log2(CAST(sum(CASE WHEN valor IS NOT NULL THEN cnt ELSE 0 END)
+                    AS DOUBLE))
+          - CAST(sum(CASE WHEN valor IS NOT NULL
+                     THEN CAST(round(cnt * log2(cnt), 6) AS DECIMAL(28,6))
+                     ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+            / CAST(sum(CASE WHEN valor IS NOT NULL THEN cnt ELSE 0 END)
+                   AS DOUBLE),
+          6)
+        ELSE 0.0 END AS entropia
+    FROM (SELECT {c} AS valor, count(*) AS cnt FROM lineitem GROUP BY 1)"""
         for c in _PROFILE_COLS
     ) + """
     """,
@@ -1254,29 +1336,84 @@ _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 def a15_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiler (the Deequ/Glue-profiling shape): per numeric
     column — row count, null count, min, max, decimal-exact sum,
-    distinct count — emitted long-form, one row per column, the frame
-    a data-quality dashboard or anomaly detector consumes before
-    trusting a table.
+    exact distinct count, Shannon entropy — one row per column, the
+    frame a data-quality dashboard or anomaly detector consumes
+    before trusting a table. Implementation and the 100 TB argument
+    (one scan, frequency-frame roll-up, HLL swap for hot columns):
+    :func:`profile_columns`."""
+    return profile_columns(load(spark, sf_dir, "lineitem"), _PROFILE_COLS)
 
-    Plan: ONE scan. All per-column aggregates compute in a single
-    partial+final aggregation over the unpivoted (column, value)
-    stream — n columns multiply the aggregation input, not the scans
-    — and the distinct counts ride the same shuffle keyed by
-    (column, value). At 100 TB this is the difference between one
-    pass and n passes; for columns where exact distinct is too hot,
-    a14's HLL swap applies per column."""
+
+@register(
+    "a16_profile_histogram",
+    oracle="""
+    """ + "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS coluna, balde,
+      CAST(count(*) AS BIGINT) AS contagem
+    FROM (
+      SELECT CASE WHEN b.mx = b.mn THEN CAST(0 AS BIGINT)
+        ELSE CAST(least({PROFILE_HIST_BUCKETS - 1},
+          floor((CAST({c} AS DOUBLE) - b.mn)
+                / ((b.mx - b.mn) / {PROFILE_HIST_BUCKETS}.0))) AS BIGINT)
+        END AS balde
+      FROM lineitem,
+           (SELECT CAST(min({c}) AS DOUBLE) AS mn,
+                   CAST(max({c}) AS DOUBLE) AS mx FROM lineitem) b
+      WHERE {c} IS NOT NULL)
+    GROUP BY 1, 2"""
+        for c in _PROFILE_COLS
+    ) + """
+    """,
+    tags=("A16", "PROFILE", "HISTOGRAM"),
+)
+def a16_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per profiled column (Deequ's
+    ``Histogram`` analyzer for continuous columns): 8 equal-width
+    buckets over the column's [min, max], long-form
+    (coluna, balde, contagem).
+
+    Two column-pruned passes by construction — bucket boundaries
+    need min/max before any row can be bucketed: pass 1 is a
+    scan-local min/max aggregate collapsed to ONE driver row (at
+    100 TB these bounds come free from parquet footer statistics /
+    table metadata instead), whose values are inlined as literals so
+    pass 2 is a pure map + one aggregation keyed (coluna, balde) —
+    ≤ 8·n_cols groups, no skew, no join. Bucketing arithmetic is
+    plain IEEE double ops on exactly-agreed bounds, so bucket
+    assignment is bit-identical cross-engine."""
     li = load(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        *[
+            f
+            for c in _PROFILE_COLS
+            for f in (
+                F.min(c).cast("double").alias(f"mn_{c}"),
+                F.max(c).cast("double").alias(f"mx_{c}"),
+            )
+        ]
+    ).collect()[0]
+    k = PROFILE_HIST_BUCKETS
     stack = ", ".join(f"'{c}', {c}" for c in _PROFILE_COLS)
     longo = li.select(
-        F.expr(
-            f"stack({len(_PROFILE_COLS)}, {stack}) AS (coluna, valor)"
-        )
-    )
-    return longo.groupBy("coluna").agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.count(F.lit(1)) - F.count("valor")).cast("bigint").alias("nulos"),
-        F.min("valor").cast("double").alias("minimo"),
-        F.max("valor").cast("double").alias("maximo"),
-        F.sum(F.col("valor").cast("decimal(18,4)")).cast("double").alias("soma"),
-        F.countDistinct("valor").cast("bigint").alias("n_distintos"),
-    )
+        F.expr(f"stack({len(_PROFILE_COLS)}, {stack}) AS (coluna, valor)")
+    ).filter(F.col("valor").isNotNull())
+    # per-column bounds inlined as literals, dispatched on the stack's
+    # column label — pass 2 stays ONE scan
+    balde = None
+    for c in _PROFILE_COLS:
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        if mx == mn or mn is None:
+            expr = F.lit(0).cast("bigint")
+        else:
+            largura = (mx - mn) / float(k)
+            expr = F.least(
+                F.lit(k - 1).cast("bigint"),
+                F.floor(
+                    (F.col("valor").cast("double") - F.lit(mn)) / F.lit(largura)
+                ),
+            ).cast("bigint")
+        cond = F.col("coluna") == c
+        balde = F.when(cond, expr) if balde is None else balde.when(cond, expr)
+    return longo.groupBy(
+        "coluna", balde.alias("balde")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("contagem"))

@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "j8_range_join",
     "a11_grouping_sets",
     "a15_profile_columns",
+    "a16_profile_histogram",
     "p4_date_range",
     "w1_pct_change",
     "w4_latest_per_key",

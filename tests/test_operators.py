@@ -821,6 +821,22 @@ def test_blocking_recall_paths_floors_and_ordering(spark):
     assert all(r["atinge_alvo"] for r in gated)
 
 
+def test_blocking_recall_margin_at_sf01(spark):
+    """Floor hardening (r7 VERDICT next #5): at the LARGEST fixture —
+    the near-worst case for the sampled k-means blocking — every
+    published operating point clears its documented floor with at
+    least 0.05 of margin, so no single fixture tweak can flip an
+    oracle row red."""
+    from agrobr_spark.io import load
+    from agrobr_spark.queries.dedup import blocking_recall_paths
+
+    e = load(spark, "/root/testdata/sf0.1", "embeddings")
+    for r in blocking_recall_paths(e).collect():
+        assert r["recall"] >= r["alvo"] + 0.05, (
+            r["caminho"], r["n_probe"], r["recall"], r["alvo"],
+        )
+
+
 def test_blocking_recall_pair_free_fixture_is_one(spark):
     """A fixture with NO exact near-dup pairs has nothing to miss:
     recall is defined as 1.0 (not NULL), so the gate booleans stay
@@ -904,15 +920,106 @@ def test_real_decode_image_png(spark):
     assert len(row["feature"]) == 8
 
 
-def test_real_decode_env_gates():
-    """Video (no ffmpeg) always gates; image gates exactly when PIL is
-    absent — the same NotImplementedError convention as S7."""
+def _mp4_bytes(duration_s=7.5, timescale=1000, width=320, height=180,
+               mvhd_version=0, largesize=False):
+    """Minimal valid ISO-BMFF bytes: ftyp + moov(mvhd, trak(tkhd)) —
+    the real container layout, built field by field."""
+    import struct
+
+    def box(btype: bytes, payload: bytes, force_large=False) -> bytes:
+        if force_large:
+            return struct.pack(">I", 1) + btype + struct.pack(
+                ">Q", 16 + len(payload)
+            ) + payload
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    dur = int(duration_s * timescale)
+    if mvhd_version == 1:
+        mvhd = (
+            b"\x01\x00\x00\x00"
+            + struct.pack(">QQIQ", 0, 0, timescale, dur)
+            + b"\x00" * 80
+        )
+    else:
+        mvhd = (
+            b"\x00\x00\x00\x00"
+            + struct.pack(">IIII", 0, 0, timescale, dur)
+            + b"\x00" * 80
+        )
+    tkhd = (
+        b"\x00\x00\x00\x07"
+        + struct.pack(">IIIII", 0, 0, 1, 0, dur)
+        + b"\x00" * 52  # reserved/layer/volume/matrix
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)),
+               force_large=largesize)
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def test_mp4_metadata_stdlib():
+    """The stdlib MP4 box parser (r7 VERDICT next #4) reads true
+    duration and dimensions from real container bytes — both mvhd
+    versions, the 64-bit largesize form, and truncation/garbage
+    degradation."""
     import pytest
 
-    from agrobr_spark.operators.multimodal import real_decode
+    from agrobr_spark.operators.multimodal import mp4_metadata
+
+    m = mp4_metadata(_mp4_bytes(duration_s=7.5, width=320, height=180))
+    assert m == {"duration_s": 7.5, "width": 320, "height": 180}
+
+    m = mp4_metadata(_mp4_bytes(duration_s=2.25, mvhd_version=1,
+                                width=64, height=48))
+    assert m == {"duration_s": 2.25, "width": 64, "height": 48}
+
+    m = mp4_metadata(_mp4_bytes(largesize=True))
+    assert m["duration_s"] == 7.5 and m["width"] == 320
+
+    with pytest.raises(ValueError, match="moov"):
+        mp4_metadata(b"not an mp4 at all, just text bytes")
+    # truncated mid-moov: no crash, partial/empty metadata
+    full = _mp4_bytes()
+    trunc = full[: len(full) - 30]
+    try:
+        m = mp4_metadata(trunc)
+        assert set(m) == {"duration_s", "width", "height"}
+    except ValueError:
+        pass  # acceptable: truncation consumed the whole moov
+
+
+def test_real_decode_video_mp4(spark):
+    """real_decode handles video WITHOUT ffmpeg now: true duration and
+    dimensions from the MP4 header through the same mapInPandas
+    plumbing; only frame extraction remains env-gated."""
+    from agrobr_spark.operators.multimodal import decode_features, real_decode
+
+    mp4 = _mp4_bytes(duration_s=3.5, width=640, height=360)
+    df = spark.createDataFrame(
+        [(9, "video", bytearray(mp4), "video/mp4")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    row = decode_features(df, decoder=real_decode).collect()[0]
+    assert row["duration_s"] == 3.5
+    assert (row["width"], row["height"]) == (640, 360)
+    assert row["n_bytes"] == len(mp4)
+
+
+def test_real_decode_env_gates():
+    """Frame extraction (no ffmpeg) gates; image gates exactly when
+    PIL is absent — the same NotImplementedError convention as S7.
+    Header-metadata video decode no longer gates (stdlib parser)."""
+    import pytest
+
+    from agrobr_spark.operators.multimodal import (
+        extract_video_frames,
+        real_decode,
+    )
 
     with pytest.raises(NotImplementedError, match="ffmpeg"):
-        real_decode(b"fake", "video")
+        extract_video_frames(b"fake")
+    with pytest.raises(ValueError, match="moov"):
+        real_decode(b"fake", "video")  # bad bytes, not a lib gate
     try:
         import PIL  # noqa: F401
     except ImportError:
@@ -963,6 +1070,90 @@ def test_profile_columns_one_scan(spark):
     # detail section — count detail entries ("(n) Scan parquet")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "l_orderkey" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_profile_entropy_known_values(spark):
+    """Entropy on frames with known distributions: a constant column
+    has H=0, a uniform k-valued column has H=log2(k), and a 75/25
+    split has H = -(0.75·log2 0.75 + 0.25·log2 0.25)."""
+    import math
+
+    import pytest
+
+    from agrobr_spark.queries.relational import profile_columns
+
+    rows = [(float(i % 4), 1.0, float(i % 2 == 0) * 3.0 or 1.0) for i in range(64)]
+    df = spark.createDataFrame(rows, "uniforme double, constante double, dois double")
+    out = {r["coluna"]: r for r in profile_columns(
+        df, ("uniforme", "constante", "dois")
+    ).collect()}
+    assert out["uniforme"]["entropia"] == pytest.approx(2.0, abs=1e-5)
+    assert out["constante"]["entropia"] == pytest.approx(0.0, abs=1e-9)
+    assert out["dois"]["entropia"] == pytest.approx(1.0, abs=1e-5)
+    # 75/25 split
+    df2 = spark.createDataFrame(
+        [(1.0,)] * 3 + [(2.0,)], "x double"
+    )
+    h = profile_columns(df2, ("x",)).collect()[0]["entropia"]
+    want = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert h == pytest.approx(want, abs=1e-5)
+    # nulls are excluded from entropy but counted in nulos
+    df3 = spark.createDataFrame([(1.0,), (1.0,), (None,)], "x double")
+    r = profile_columns(df3, ("x",)).collect()[0]
+    assert r["nulos"] == 1 and r["entropia"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_profile_hll_swap_within_tolerance(spark):
+    """The documented HLL swap for hot columns: approx_distinct=True
+    replaces the exact distinct count with HyperLogLog++ and lands
+    within the configured relative error on every profiled column."""
+    from agrobr_spark.io import load
+    from agrobr_spark.queries.relational import _PROFILE_COLS, profile_columns
+
+    li = load(spark, SF_SMOKE, "lineitem")
+    exact = {
+        r["coluna"]: r["n_distintos"]
+        for r in profile_columns(li, _PROFILE_COLS).collect()
+    }
+    approx = {
+        r["coluna"]: r["n_distintos"]
+        for r in profile_columns(
+            li, _PROFILE_COLS, approx_distinct=True, rsd=0.05
+        ).collect()
+    }
+    for c in _PROFILE_COLS:
+        assert abs(approx[c] - exact[c]) <= max(2, 0.15 * exact[c]), (
+            c, exact[c], approx[c],
+        )
+
+
+def test_profile_histogram_one_scan_and_totals(spark):
+    """a16's pass 2 must be ONE scan (bounds were a separate driver
+    action), bucket ids must stay inside [0, 8), and per-column bucket
+    counts must total the column's non-null rows."""
+    import re
+
+    from agrobr_spark.io import load
+    from agrobr_spark.queries import catalog as _cat
+    from agrobr_spark.queries.relational import _PROFILE_COLS
+
+    df = _cat()["a16_profile_histogram"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+    rows = df.collect()
+    li = load(spark, SF_SMOKE, "lineitem")
+    for c in _PROFILE_COLS:
+        got = sum(r["contagem"] for r in rows if r["coluna"] == c)
+        want = li.filter(F.col(c).isNotNull()).count()
+        assert got == want, c
+    assert all(0 <= r["balde"] < 8 for r in rows)
+    # the max bucket is populated (max value lands in bucket k-1 via least)
+    assert any(r["balde"] == 7 for r in rows)
 
 
 def test_mad_anomalies_robust_to_planted_spike(spark, tmp_path):

@@ -17,9 +17,18 @@ Replication is workload-shape-preserving, not naive duplication:
 - lineitem: orderkey/linenumber offset per replica (MERGE staging and
   PK-shuffle scale by K).
 
-Usage: python tools/scale_probe.py [K] [out_dir] [q1,q2,...]
+Usage: python tools/scale_probe.py [K] [out_dir] [q1,q2,...] [mode]
 The optional third arg restricts the probe to a comma-separated
 subset of PROBE_QUERIES (e.g. the composed pipelines for a 10x run).
+The optional fourth arg ``control`` switches document replication to
+the NON-COLLIDING control fixture: every token gets a per-replica
+prefix, so replicas share NO shingles/bands at all — within-replica
+duplicate structure (the planted dups) is preserved verbatim, but
+cross-replica candidate pairs cannot form. Pair-stage queries whose
+standard-fixture ratio is driven by true duplicate mass (replicas
+being near-dups of the planted dups at the band level) drop to
+~linear on this fixture; a query still superlinear HERE has a real
+algorithmic term (r7 VERDICT next #6).
 Prints one JSON line with per-query base/scaled seconds and ratios.
 """
 
@@ -75,6 +84,9 @@ PROBE_QUERIES = [
     "w12_mad_anomalies",
     "stream_export_shards",
     "stream_admit_lsh",
+    # round-8 addition: histogram profiler (bounds pass + one
+    # bucketing scan)
+    "a16_profile_histogram",
 ]
 
 # every table any probe query loads
@@ -82,7 +94,7 @@ NEEDED = ("documents", "embeddings", "events", "lineitem", "orders",
           "region", "nation", "customer", "supplier", "part")
 
 
-def build_scaled(spark, k: int, out: str) -> None:
+def build_scaled(spark, k: int, out: str, mode: str = "collide") -> None:
     import pyspark.sql.functions as F
 
     from agrobr_spark.io import load
@@ -94,7 +106,19 @@ def build_scaled(spark, k: int, out: str) -> None:
     parts = []
     for r in range(k):
         p = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * (max_doc + 1)))
-        if r:
+        if r and mode == "control":
+            # non-colliding control: rename EVERY token per replica —
+            # shingle sets across replicas become disjoint (no band
+            # collisions, no cross-replica containment), while the
+            # within-replica duplicate structure is preserved exactly
+            p = p.withColumn(
+                "text",
+                F.expr(
+                    f"array_join(transform(split(text, ' '), "
+                    f"x -> concat('r{r}_', x)), ' ')"
+                ),
+            )
+        elif r:
             p = p.withColumn(
                 "text", F.concat(F.col("text"), F.lit(f" replica{r}"))
             )
@@ -217,15 +241,17 @@ def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/agrobr_scale{k}"
     names = sys.argv[3].split(",") if len(sys.argv) > 3 else PROBE_QUERIES
+    mode = sys.argv[4] if len(sys.argv) > 4 else "collide"
     from agrobr_spark.session import get_spark
 
     spark = get_spark(app_name="agrobr-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    build_scaled(spark, k, out)
+    build_scaled(spark, k, out, mode)
     base = time_queries(spark, BASE, names)
     scaled = time_queries(spark, out, names)
     report = {
         "k": k,
+        "mode": mode,
         "queries": {
             n: {
                 "base_s": base[n],
@@ -234,11 +260,12 @@ def main() -> None:
             }
             for n in names
         },
-        "stream_batches": {
+    }
+    if any(n.startswith("stream_") for n in names):
+        report["stream_batches"] = {
             "base": stream_batch_counts(spark, BASE),
             "scaled": stream_batch_counts(spark, out),
-        },
-    }
+        }
     print(json.dumps(report))
 
 
