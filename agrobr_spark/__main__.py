@@ -12,6 +12,8 @@ surface:
     python -m agrobr_spark sla [source]             # SLA registry (ref sla.py)
     python -m agrobr_spark freshness <history.parquet>  # SLA freshness report
     python -m agrobr_spark bench [--sf DIR]
+    python -m agrobr_spark benchmark {contracts|semantic|queries}
+        [--queries a,b] [--sf DIR] [--iterations N] [--json]
 """
 
 from __future__ import annotations
@@ -151,6 +153,35 @@ def cmd_bench(args) -> int:
     return subprocess.call([sys.executable, "bench.py"], env=env)
 
 
+def cmd_benchmark(args) -> int:
+    """Library benchmark suites (ref: the reference's
+    run_contract_benchmarks / run_semantic_benchmarks CLI surface,
+    agrobr/benchmark/__init__.py:191-270): time contract validation,
+    the semantic rule runner, or named catalog queries, and print the
+    suite as the reference-shaped JSON dict (or its summary lines)."""
+    from agrobr_spark.benchmark import (
+        run_contract_benchmarks,
+        run_query_benchmarks,
+        run_semantic_benchmarks,
+    )
+
+    spark = _spark()
+    if args.suite == "contracts":
+        suite = run_contract_benchmarks(spark, iterations=args.iterations)
+    elif args.suite == "semantic":
+        suite = run_semantic_benchmarks(spark, iterations=args.iterations)
+    else:  # queries
+        names = args.queries.split(",") if args.queries else None
+        suite = run_query_benchmarks(
+            spark, args.sf, names=names, iterations=args.iterations
+        )
+    if args.json:
+        print(json.dumps(suite.to_dict(), ensure_ascii=False))
+    else:
+        print(suite.summary())
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="agrobr_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -180,6 +211,13 @@ def main(argv: list[str] | None = None) -> int:
     fr.add_argument("--date-col", default="data")
     b = sub.add_parser("bench")
     b.add_argument("--sf")
+    bm = sub.add_parser("benchmark")
+    bm.add_argument("suite", choices=("contracts", "semantic", "queries"))
+    bm.add_argument("--queries", default=None,
+                    help="comma-separated catalog names (queries suite)")
+    bm.add_argument("--sf", default="/root/testdata/sf0.001")
+    bm.add_argument("--iterations", type=int, default=3)
+    bm.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
     return {
         "datasets": cmd_datasets,
@@ -193,6 +231,7 @@ def main(argv: list[str] | None = None) -> int:
         "sla": cmd_sla,
         "freshness": cmd_freshness,
         "bench": cmd_bench,
+        "benchmark": cmd_benchmark,
     }[args.cmd](args)
 
 

@@ -79,3 +79,28 @@ def test_schemas_export_cmd(tmp_path, capsys):
     # each exported file reloads as a registered contract's equal
     c = Contract.from_json(open(printed[0], encoding="utf-8").read())
     assert c.name in all_contracts()
+
+
+def test_benchmark_suites_cmd(capsys):
+    """`benchmark` runs the library suites end-to-end and prints
+    either the reference-shaped JSON dict or summary lines."""
+    assert cli.main(["benchmark", "contracts", "--iterations", "1", "--json"]) == 0
+    d = json.loads(capsys.readouterr().out)
+    assert d["name"] == "contract_validation_benchmarks"
+    assert [r["name"] for r in d["results"]] == [
+        "contract.validate(10 rows)",
+        "contract.validate(1000 rows)",
+    ]
+    assert all(r["min_time_ms"] > 0 for r in d["results"])
+
+    assert cli.main(["benchmark", "semantic", "--iterations", "1"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("Benchmark Suite: semantic_validation_benchmarks")
+    assert "validate_semantic(100 rows)" in out
+
+    assert cli.main([
+        "benchmark", "queries", "--queries", "p1_project_rename",
+        "--iterations", "1", "--json",
+    ]) == 0
+    d = json.loads(capsys.readouterr().out)
+    assert [r["name"] for r in d["results"]] == ["p1_project_rename"]
