@@ -1231,3 +1231,112 @@ def learn_bpe_merges(
             out[k] = out.get(k, 0) + c
         vocab = out
     return merges
+
+
+# -- per-source distribution divergence: the data-mix drift metric --
+
+KL_VOCAB_SIZE = 500
+
+
+@register(
+    "corpus_source_divergence",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT d.source, lower(u.tok) AS termo
+      FROM (SELECT source, string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0) d,
+           unnest(d.t) AS u(tok)),
+    contagens AS (
+      SELECT source, termo, count(*) AS cs
+      FROM toks GROUP BY source, termo),
+    corpus AS (
+      SELECT termo, CAST(sum(cs) AS BIGINT) AS cc
+      FROM contagens GROUP BY termo),
+    vocab AS (
+      SELECT termo, cc FROM corpus
+      ORDER BY cc DESC, termo LIMIT {KL_VOCAB_SIZE}),
+    tc AS (SELECT CAST(sum(cc) AS BIGINT) AS total_corpus FROM vocab),
+    no_vocab AS (
+      SELECT c.source, c.termo, c.cs, v.cc
+      FROM contagens c JOIN vocab v USING (termo)),
+    ts AS (
+      SELECT source, CAST(sum(cs) AS BIGINT) AS total_fonte
+      FROM no_vocab GROUP BY source)
+    SELECT n.source,
+      CAST(count(*) AS BIGINT) AS n_termos,
+      CAST(t.total_fonte AS BIGINT) AS n_tokens_vocab,
+      round(CAST(sum(
+        CAST(round(
+          (CAST(n.cs AS DOUBLE) / t.total_fonte)
+          * log2((CAST(n.cs AS DOUBLE) / t.total_fonte)
+                 / (CAST(n.cc AS DOUBLE) / tc.total_corpus)), 8)
+        AS DECIMAL(18,8))) AS DOUBLE), 6) AS kl_bits
+    FROM no_vocab n JOIN ts t USING (source), tc
+    GROUP BY n.source, t.total_fonte
+    """,
+    tags=("CORPUS", "MIX", "KL", "QUALITY"),
+)
+def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence (bits) from the corpus unigram
+    distribution, over the corpus's top-``KL_VOCAB_SIZE`` terms — the
+    domain-shift number a data-mix owner watches: a source whose
+    language drifts from the blend (new boilerplate, encoding junk,
+    topic takeover) rises here long before a perplexity filter would
+    flag individual documents, and the report ranks WHICH source to
+    investigate.
+
+    Both distributions are restricted to the shared top-V vocabulary
+    and renormalized inside it, so KL is always finite (q > 0 by
+    construction: the vocab comes from the corpus; source terms
+    outside the vocab simply don't contribute — the p=0 convention).
+
+    Determinism: counts are exact bigints; each term's
+    p·log2(p/q) contribution is computed with the identical
+    division/log expression in both engines, rounded to 8dp and
+    summed as DECIMAL (order-independent — the decimal-summed
+    rounded-logs pattern), with only the final presentation round in
+    float.
+
+    Scale shape: one explode, one (source, termo) aggregation, the
+    corpus counts folded FROM it (shared exchange), a
+    TakeOrdered top-V (driver-size result, broadcast back), and two
+    tiny keyed aggs. Linear in token count; the vocab join is a
+    broadcast, never a shuffle of the token stream."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = d.select(
+        "source", F.explode(_tokens()).alias("tok")
+    ).select("source", F.lower("tok").alias("termo"))
+    contagens = toks.groupBy("source", "termo").agg(
+        F.count(F.lit(1)).alias("cs")
+    )
+    corpus = contagens.groupBy("termo").agg(
+        F.sum("cs").cast("bigint").alias("cc")
+    )
+    vocab = corpus.orderBy(F.desc("cc"), "termo").limit(KL_VOCAB_SIZE)
+    tc = vocab.groupBy().agg(
+        F.sum("cc").cast("bigint").alias("total_corpus")
+    )
+    no_vocab = contagens.join(F.broadcast(vocab), "termo")
+    ts = no_vocab.groupBy("source").agg(
+        F.sum("cs").cast("bigint").alias("total_fonte")
+    )
+    p = F.col("cs").cast("double") / F.col("total_fonte")
+    q = F.col("cc").cast("double") / F.col("total_corpus")
+    termo_kl = F.round(p * F.log2(p / q), 8).cast("decimal(18,8)")
+    return (
+        no_vocab.join(F.broadcast(ts), "source")
+        .crossJoin(F.broadcast(tc))
+        .groupBy("source", "total_fonte")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_termos"),
+            F.round(F.sum(termo_kl).cast("double"), 6).alias("kl_bits"),
+        )
+        .select(
+            "source",
+            "n_termos",
+            F.col("total_fonte").alias("n_tokens_vocab"),
+            "kl_bits",
+        )
+    )

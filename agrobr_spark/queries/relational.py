@@ -1417,3 +1417,170 @@ def a16_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return longo.groupBy(
         "coluna", balde.alias("balde")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("contagem"))
+
+
+# -- pairwise correlation profiling (Deequ's Correlation analyzer) --
+
+_CORR_PAIRS = tuple(
+    (_PROFILE_COLS[i], _PROFILE_COLS[j])
+    for i in range(len(_PROFILE_COLS))
+    for j in range(i + 1, len(_PROFILE_COLS))
+)
+
+
+def _corr_oracle_branch(x: str, y: str) -> str:
+    both = f"({x} IS NOT NULL AND {y} IS NOT NULL)"
+    # width 19 forces DuckDB's int128 decimal path so the co-moment
+    # products can't overflow int64 storage; values are identical to
+    # Spark's decimal(18,4) operands — only the storage width differs
+    dx = f"CAST({x} AS DECIMAL(19,4))"
+    dy = f"CAST({y} AS DECIMAL(19,4))"
+    return f"""SELECT '{x}' AS coluna_a, '{y}' AS coluna_b,
+      CAST(n AS BIGINT) AS n,
+      round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / nullif(
+                sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0),
+            6) AS correlacao
+    FROM (
+      SELECT count(*) FILTER (WHERE {both}) AS n,
+             sum({dx}) FILTER (WHERE {both}) AS sx,
+             sum({dy}) FILTER (WHERE {both}) AS sy,
+             sum({dx} * {dx}) FILTER (WHERE {both}) AS sxx,
+             sum({dy} * {dy}) FILTER (WHERE {both}) AS syy,
+             sum({dx} * {dy}) FILTER (WHERE {both}) AS sxy
+      FROM lineitem)"""
+
+
+@register(
+    "a17_profile_correlation",
+    oracle="\n    "
+    + "\nUNION ALL\n".join(_corr_oracle_branch(x, y) for x, y in _CORR_PAIRS)
+    + "\n    ",
+    tags=("A17", "PROFILE", "CORRELATION"),
+)
+def a17_profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation across the profiled columns
+    (Deequ's ``Correlation`` analyzer): one row per column pair with
+    its pairwise-complete row count and correlation — the
+    multicollinearity/redundancy report a feature-quality dashboard
+    reads next to a15's per-column profile.
+
+    Plan: ONE scan, ONE single-row aggregate — every pair's five
+    co-moment sums (Σx, Σy, Σx², Σy², Σxy, each masked to rows where
+    BOTH columns are non-null, Deequ's pairwise-complete convention)
+    computes in the same partial+final aggregation; the long-form
+    explode afterwards runs on that single row. Cross-engine
+    determinism: the co-moments accumulate in DECIMAL (exact,
+    order-insensitive), and the correlation derives from those exact
+    sums in IEEE double — identical inputs, identical single-op
+    arithmetic, with a final round(6) absorbing any sqrt ulp. A
+    zero-variance column yields NULL (0/0) via nullif, both engines
+    alike."""
+    return profile_correlation(load(spark, sf_dir, "lineitem"), _CORR_PAIRS)
+
+
+def profile_correlation(
+    df: DataFrame, pairs: tuple[tuple[str, str], ...]
+) -> DataFrame:
+    """Library form of ``a17_profile_correlation`` over any frame:
+    pairwise-complete Pearson per requested column pair, one scan,
+    one single-row decimal co-moment aggregate (see the catalog
+    entry's docstring for the determinism and plan argument)."""
+    aggs = []
+    for x, y in pairs:
+        both = F.col(x).isNotNull() & F.col(y).isNotNull()
+        dx = F.when(both, F.col(x).cast(DEC))
+        dy = F.when(both, F.col(y).cast(DEC))
+        p = f"{x}__{y}"
+        aggs += [
+            F.count(F.when(both, F.lit(1))).alias(f"n__{p}"),
+            F.sum(dx).alias(f"sx__{p}"),
+            F.sum(dy).alias(f"sy__{p}"),
+            F.sum(dx * dx).alias(f"sxx__{p}"),
+            F.sum(dy * dy).alias(f"syy__{p}"),
+            F.sum(dx * dy).alias(f"sxy__{p}"),
+        ]
+    momentos = df.agg(*aggs)
+    # explode the ONE aggregate row into long form — a union of
+    # per-pair selects would recompute the aggregate (and rescan the
+    # table) once per pair
+    linhas = []
+    for x, y in pairs:
+        p = f"{x}__{y}"
+        n = F.col(f"n__{p}").cast("double")
+        sx = F.col(f"sx__{p}").cast("double")
+        sy = F.col(f"sy__{p}").cast("double")
+        sxx = F.col(f"sxx__{p}").cast("double")
+        syy = F.col(f"syy__{p}").cast("double")
+        sxy = F.col(f"sxy__{p}").cast("double")
+        corr = F.round(
+            (n * sxy - sx * sy)
+            / F.nullif(
+                F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy),
+                F.lit(0.0),
+            ),
+            6,
+        )
+        linhas.append(
+            F.struct(
+                F.lit(x).alias("coluna_a"),
+                F.lit(y).alias("coluna_b"),
+                F.col(f"n__{p}").cast("bigint").alias("n"),
+                corr.alias("correlacao"),
+            )
+        )
+    return momentos.select(
+        F.explode(F.array(*linhas)).alias("r")
+    ).select("r.*")
+
+
+# -- exact-count stratified sampling (o5's fixed-rate twin) --
+
+O7_PER_STRATUM = 100
+
+
+@register(
+    "o7_stratified_sample_exact",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(posicao AS BIGINT) AS posicao FROM (
+      SELECT doc_id, lang,
+        row_number() OVER (
+          PARTITION BY lang
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS posicao
+      FROM documents)
+    WHERE posicao <= {O7_PER_STRATUM}
+    """,
+    tags=("O7", "SAMPLING"),
+)
+def o7_stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-COUNT stratified sample: precisely ``O7_PER_STRATUM``
+    docs per language (o5 gives a deterministic RATE per stratum —
+    its size varies with the stratum's population; eval sets and
+    fixed-budget audits need an exact per-stratum count). The sample
+    is content-addressed — rank by md5(doc_id) with the id as
+    tie-break — so it is reproducible across engines AND stable under
+    corpus growth in the md5-prefix sense: a new doc displaces at
+    most one ranked doc, never reshuffles the sample.
+
+    Scale shape: one hash-partitioned window per stratum (languages
+    are few and balanced here; for a skewed stratum key the plan is
+    the standard two-phase top-k — per-partition rank-truncate to k,
+    then re-rank the ≤ k·P survivors — and o5's rate sampler remains
+    the shuffle-free alternative). Spark runs this as WindowExec with
+    a rank pushdown limit, not a global sort."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("bigint").alias("posicao"),
+        )
+        .filter(F.col("posicao") <= O7_PER_STRATUM)
+    )

@@ -706,3 +706,185 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "data")
     )
     return run_available_now(dedup, name, mode="append")
+
+
+@register(
+    "stream_source_divergence",
+    oracle=r"""
+    WITH lim AS (
+      SELECT CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT) AS corte,
+             CAST(max(doc_id) AS BIGINT) AS mx
+      FROM documents),
+    par AS (
+      SELECT corte,
+             greatest(1, CAST(((mx - corte + 3) // 3) AS BIGINT)) AS span
+      FROM lim),
+    toks AS (
+      SELECT d.doc_id, lower(u.tok) AS termo
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0) d,
+           unnest(d.t) AS u(tok)),
+    corpus AS (
+      SELECT termo, CAST(count(*) AS BIGINT) AS cc
+      FROM toks GROUP BY termo),
+    vocab AS (
+      SELECT termo, cc FROM corpus ORDER BY cc DESC, termo LIMIT 500),
+    tc AS (SELECT CAST(sum(cc) AS BIGINT) AS total_corpus FROM vocab),
+    feed AS (
+      SELECT t.doc_id, t.termo,
+             least(2, (t.doc_id - p.corte) // p.span) AS lote
+      FROM toks t, par p WHERE t.doc_id >= p.corte),
+    contagens AS (
+      SELECT lote, termo, count(*) AS cs FROM feed GROUP BY lote, termo),
+    no_vocab AS (
+      SELECT c.lote, c.termo, c.cs, v.cc
+      FROM contagens c JOIN vocab v USING (termo)),
+    ts AS (
+      SELECT lote, CAST(sum(cs) AS BIGINT) AS total_lote
+      FROM no_vocab GROUP BY lote),
+    inicio AS (
+      SELECT least(2, (doc_id - p.corte) // p.span) AS lote,
+             CAST(min(doc_id) AS BIGINT) AS lote_inicio
+      FROM documents, par p WHERE doc_id >= p.corte GROUP BY 1)
+    SELECT i.lote_inicio,
+      CAST(count(*) AS BIGINT) AS n_termos,
+      CAST(t.total_lote AS BIGINT) AS n_tokens_vocab,
+      round(CAST(sum(
+        CAST(round(
+          (CAST(n.cs AS DOUBLE) / t.total_lote)
+          * log2((CAST(n.cs AS DOUBLE) / t.total_lote)
+                 / (CAST(n.cc AS DOUBLE) / tc.total_corpus)), 8)
+        AS DECIMAL(18,8))) AS DOUBLE), 6) AS kl_bits
+    FROM no_vocab n JOIN ts t USING (lote) JOIN inicio i USING (lote), tc
+    GROUP BY i.lote_inicio, t.total_lote
+    """,
+    tags=("STREAM", "KL", "DRIFT", "MONITOR"),
+)
+def stream_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: each ingest micro-batch's unigram
+    distribution is scored as KL divergence (bits) against the FROZEN
+    historical corpus blend — the live twin of
+    ``corpus_source_divergence``, and the alert a production feed
+    raises when a scraper breaks, an encoding shifts, or one domain
+    floods the pipe: the batch's KL jumps immediately, before any
+    per-document filter trips.
+
+    Frozen-reference discipline (the admission-index pattern): the
+    top-500 vocabulary and its corpus totals are computed ONCE from
+    the historical corpus and broadcast into every ``foreachBatch``
+    call — per-batch cost is one explode + one keyed count + a
+    broadcast join against 500 rows, independent of corpus size.
+    Batches are keyed by their minimum doc id (not the engine's batch
+    counter), so the emitted report is engine-independent and the
+    DuckDB oracle reproduces the id-range chunking in pure SQL.
+    Determinism is ``corpus_source_divergence``'s: exact bigint
+    counts, identical division/log expression, 8dp-rounded terms
+    summed as DECIMAL."""
+    import os
+    import shutil
+    import tempfile
+
+    from agrobr_spark.io import load
+    from agrobr_spark.queries.admission import _split_params
+
+    _COUNTER[0] += 1
+    ingest = tempfile.mkdtemp(prefix="stream_kl_in_")
+    try:
+        cut = _split_params(spark, sf_dir)[0]
+        docs = load(spark, sf_dir, "documents")
+
+        # frozen blend: top-500 corpus vocabulary + totals
+        toks_all = (
+            docs.filter(F.length(F.trim("text")) > 0)
+            .select(
+                "doc_id",
+                F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+            )
+            .select("doc_id", F.lower("tok").alias("termo"))
+        )
+        vocab = (
+            toks_all.groupBy("termo")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cc"))
+            .orderBy(F.desc("cc"), "termo")
+            .limit(500)
+            .localCheckpoint(eager=True)
+        )
+        total_corpus = int(
+            vocab.agg(F.sum("cc")).collect()[0][0] or 0
+        )
+
+        staged = docs.filter(F.col("doc_id") >= cut).select("doc_id", "text")
+        max_id = staged.agg(F.max("doc_id")).collect()[0][0] or cut
+        n_files = 3
+        span = max(1, (int(max_id) - cut + n_files) // n_files)
+        t0 = 1_000_000_000
+        for i in range(n_files):
+            lo, hi = cut + i * span, cut + (i + 1) * span
+            chunk = staged.filter(
+                (F.col("doc_id") >= lo)
+                & (F.col("doc_id") < (hi if i < n_files - 1 else 1 << 62))
+            )
+            tmp = f"{ingest}/.stage{i}"
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = f"{ingest}/chunk{i:05d}.parquet"
+            shutil.move(f"{tmp}/{part}", dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+
+        relatorio: list[tuple[int, int, int, float]] = []
+
+        def handle(batch: DataFrame, batch_id: int) -> None:
+            head = batch.agg(F.min("doc_id")).collect()[0][0]
+            if head is None:
+                return
+            counts = (
+                batch.filter(F.length(F.trim("text")) > 0)
+                .select(
+                    F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+                )
+                .select(F.lower("tok").alias("termo"))
+                .groupBy("termo")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cs"))
+                .join(F.broadcast(vocab), "termo")
+            )
+            tot = counts.agg(
+                F.count(F.lit(1)).alias("n_termos"), F.sum("cs").alias("ts")
+            ).collect()[0]
+            if not tot["ts"]:
+                return
+            ts = int(tot["ts"])
+            p = F.col("cs").cast("double") / F.lit(float(ts))
+            q = F.col("cc").cast("double") / F.lit(float(total_corpus))
+            kl = counts.select(
+                F.round(p * F.log2(p / q), 8)
+                .cast("decimal(18,8)")
+                .alias("termo_kl")
+            ).agg(
+                F.round(F.sum("termo_kl").cast("double"), 6).alias("kl")
+            ).collect()[0]["kl"]
+            relatorio.append((int(head), int(tot["n_termos"]), ts, float(kl)))
+
+        stream = (
+            spark.readStream.schema(staged.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ingest)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+        out = spark.createDataFrame(
+            relatorio,
+            "lote_inicio bigint, n_termos bigint, "
+            "n_tokens_vocab bigint, kl_bits double",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ingest, ignore_errors=True)

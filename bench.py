@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "a11_grouping_sets",
     "a15_profile_columns",
     "a16_profile_histogram",
+    "a17_profile_correlation",
+    "corpus_source_divergence",
+    "o7_stratified_sample_exact",
     "p4_date_range",
     "w1_pct_change",
     "w4_latest_per_key",
@@ -77,6 +80,7 @@ BENCH_QUERIES = [
     "stream_tumbling_daily",
     "stream_stateful_dod",
     "stream_dedup_exact",
+    "stream_source_divergence",
     "pipeline_df_index_update",
     "corpus_overlap_matrix",
     "text_tfidf_topk",

@@ -1127,6 +1127,45 @@ def test_profile_hll_swap_within_tolerance(spark):
         )
 
 
+def test_profile_correlation_one_scan_and_known_values(spark):
+    """a17: one scan for all six pairs, and known algebra on a
+    constructed frame — y=2x+3 correlates 1.0, z=-x correlates -1.0,
+    a constant column yields NULL, and pairwise-complete masking
+    counts only rows where BOTH columns are non-null."""
+    import re
+
+    from agrobr_spark.queries import catalog as _cat
+    from agrobr_spark.queries.relational import profile_correlation
+
+    df = _cat()["a17_profile_correlation"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(df.collect()) == 6
+
+    rows = [
+        (float(i), 2.0 * i + 3.0, -float(i), 5.0,
+         float(i) if i < 8 else None)
+        for i in range(10)
+    ]
+    t = spark.createDataFrame(
+        rows, "x double, y double, z double, c double, parcial double"
+    )
+    out = {
+        (r["coluna_a"], r["coluna_b"]): r
+        for r in profile_correlation(
+            t, (("x", "y"), ("x", "z"), ("x", "c"), ("x", "parcial"))
+        ).collect()
+    }
+    assert out[("x", "y")]["correlacao"] == 1.0
+    assert out[("x", "z")]["correlacao"] == -1.0
+    assert out[("x", "c")]["correlacao"] is None  # zero variance
+    assert out[("x", "parcial")]["n"] == 8  # pairwise-complete
+
+
 def test_profile_histogram_one_scan_and_totals(spark):
     """a16's pass 2 must be ONE scan (bounds were a separate driver
     action), bucket ids must stay inside [0, 8), and per-column bucket

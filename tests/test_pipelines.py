@@ -174,3 +174,81 @@ def test_temperature_weights_parity_with_catalog_entry(spark):
     a = {tuple(r) for r in via_helper.select(*sorted(via_helper.columns)).collect()}
     b = {tuple(r) for r in via_entry.select(*sorted(via_entry.columns)).collect()}
     assert a == b
+
+
+def test_source_divergence_nonneg_and_planted_drift(spark, tmp_path):
+    """KL properties on a constructed corpus: divergence is >= 0 for
+    every source (Gibbs), ~0 for a source whose vocabulary matches the
+    blend, and clearly larger for a planted drifted source that
+    over-uses its own jargon."""
+    from agrobr_spark.queries import catalog as _catalog
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = []
+    did = 0
+    for i in range(60):  # two sources speaking the corpus language
+        for src in ("web", "wiki"):
+            rows.append((did, base, "pt", src, len(base)))
+            did += 1
+    for i in range(8):  # small drifted source: 80% jargon tokens
+        txt = "jargao especializado " * 4 + "alpha beta"
+        rows.append((did, txt.strip(), "pt", "forum", len(txt)))
+        did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["source"]: r
+        for r in _catalog()["corpus_source_divergence"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {"web", "wiki", "forum"}
+    for r in out.values():
+        assert r["kl_bits"] >= 0.0, r
+    # matching sources sit near zero; the drifted one is far above
+    assert out["web"]["kl_bits"] < 0.3
+    assert out["wiki"]["kl_bits"] < 0.3
+    assert out["forum"]["kl_bits"] > 3 * max(
+        out["web"]["kl_bits"], out["wiki"]["kl_bits"], 0.01
+    )
+
+
+def test_o7_exact_stratified_counts_and_stability(spark, tmp_path):
+    """o7 returns EXACTLY min(k, stratum size) docs per language, is
+    rerun-identical, and adding one doc displaces at most one sample
+    member per stratum (content-addressed rank stability)."""
+    import pyspark.sql.functions as F
+
+    from agrobr_spark.queries import catalog as _catalog
+    from agrobr_spark.queries.relational import O7_PER_STRATUM
+
+    from tests.conftest import SF_ORACLE
+
+    fn = _catalog()["o7_stratified_sample_exact"].fn
+    out = fn(spark, SF_ORACLE)
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    from agrobr_spark.io import load
+    pop = {r["lang"]: r["n"] for r in load(spark, SF_ORACLE, "documents")
+           .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(O7_PER_STRATUM, pop[lang]), lang
+    # rerun-identical
+    a = {tuple(r) for r in out.collect()}
+    b = {tuple(r) for r in fn(spark, SF_ORACLE).collect()}
+    assert a == b
+
+    # growth stability on a small constructed stratum
+    rows = [(i, f"texto {i}", "pt", "web", 10) for i in range(150)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    s1 = {r["doc_id"] for r in fn(spark, str(tmp_path)).collect()}
+    rows.append((9999, "texto novo", "pt", "web", 10))
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    s2 = {r["doc_id"] for r in fn(spark, str(tmp_path)).collect()}
+    assert len(s1) == len(s2) == O7_PER_STRATUM
+    assert len(s1 - s2) <= 1  # at most one member displaced

@@ -281,3 +281,41 @@ def test_stream_dedup_replay_emits_no_duplicate_keys(spark, tmp_path):
         .collect()
     }
     assert set(got) == want
+
+
+def test_stream_divergence_flags_planted_drifted_batch(spark, tmp_path):
+    """The streaming KL monitor must rank a planted jargon-flooded
+    micro-batch far above healthy batches speaking the corpus
+    language — the broken-scraper alert."""
+    import pyspark.sql.functions as F
+
+    from agrobr_spark.queries import catalog as _cat
+    from agrobr_spark.queries.admission import _SPLIT_CACHE
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = []
+    for i in range(94):  # historical corpus + two healthy batches
+        rows.append((i, base, "pt", "web", len(base)))
+    for i in range(94, 100):  # the last id-range chunk: pure jargon
+        rows.append((i, "jargao quebrado " * 4, "pt", "forum", 60))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    # _split_params also profiles embeddings for the admission cut
+    spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    _SPLIT_CACHE.clear()
+
+    out = sorted(
+        _cat()["stream_source_divergence"].fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r["lote_inicio"],
+    )
+    # cut = 80, span = (99 - 80 + 3) // 3 = 7 -> batches at 80, 87, 94
+    assert [r["lote_inicio"] for r in out] == [80, 87, 94]
+    healthy = [r["kl_bits"] for r in out[:2]]
+    drifted = out[2]["kl_bits"]
+    assert all(h < 0.1 for h in healthy), healthy  # matches the blend
+    assert drifted > max(healthy) + 1.0, (drifted, healthy)
+    _SPLIT_CACHE.clear()

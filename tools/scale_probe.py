@@ -84,9 +84,16 @@ PROBE_QUERIES = [
     "w12_mad_anomalies",
     "stream_export_shards",
     "stream_admit_lsh",
-    # round-8 addition: histogram profiler (bounds pass + one
-    # bucketing scan)
+    # round-8 additions: histogram profiler (bounds pass + one
+    # bucketing scan), co-moment correlation (one scan), per-source
+    # KL drift (explode + vocab broadcast), exact stratified sample
+    # (per-stratum rank window)
     "a16_profile_histogram",
+    "a17_profile_correlation",
+    "corpus_source_divergence",
+    "o7_stratified_sample_exact",
+    # streaming KL drift monitor (frozen vocab per batch)
+    "stream_source_divergence",
 ]
 
 # every table any probe query loads
