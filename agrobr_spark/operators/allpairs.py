@@ -328,6 +328,7 @@ def assign_to_centroids(
     cent: DataFrame,
     round_to: int | None = 6,
     n_probe: int = 1,
+    keep_score: bool = False,
 ) -> DataFrame:
     """Assign every row of ``base`` (``_id``, ``_vec``, ``_norm``, plus
     carried columns) to its ``n_probe`` nearest centroids from ``cent``
@@ -342,7 +343,12 @@ def assign_to_centroids(
     Shared by ``cluster_cosine_pairs`` and the incremental-admission
     path (queries/admission.py), where the centroid table is FROZEN
     state read back from the index store — assignment against an
-    existing fit is the same plan as against a fresh one."""
+    existing fit is the same plan as against a fresh one.
+
+    ``keep_score=True`` keeps the assignment cosine as ``_cos_cent``
+    (SemDeDup's keeper priority ranks by similarity TO the centroid,
+    so the pruning pass needs the score the assignment already
+    computed — re-deriving it would be a second broadcast join)."""
     from pyspark.sql import Window
 
     cos_cent = _dot("_cv", "_vec") / F.nullif(
@@ -351,14 +357,17 @@ def assign_to_centroids(
     if round_to is not None:
         cos_cent = F.round(cos_cent, round_to)
     w = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), "_cid")
-    return (
+    out = (
         base.crossJoin(F.broadcast(cent))
         .withColumn("_cos", cos_cent)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= int(n_probe))
-        .drop("_rn", "_cos", "_cv")
+        .drop("_rn", "_cv")
         .withColumnRenamed("_cid", "_blk")
     )
+    if keep_score:
+        return out.withColumnRenamed("_cos", "_cos_cent")
+    return out.drop("_cos")
 
 
 def _with_subblocks(assigned: DataFrame, max_cluster_rows: int) -> DataFrame:
@@ -389,4 +398,115 @@ def _with_subblocks(assigned: DataFrame, max_cluster_rows: int) -> DataFrame:
         )
         .withColumn("_sb", F.pmod(F.xxhash64(F.col("_id")), F.col("_nb")).cast("int"))
         .drop("_cnt")
+    )
+
+
+def semdedup_flags(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_centroids: int | None = None,
+    centroid_fit: str = "kmeans",
+    max_cluster_rows: int = 8192,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    cluster-then-prune. Every vector is assigned to its ONE nearest
+    centroid; within each cluster a vector is DROPPED when some other
+    cluster member is (a) cosine-similar at or above ``threshold`` and
+    (b) ahead of it in keeper priority. Keeper priority is the paper's
+    rule — LOWEST similarity to the centroid first (the most atypical
+    member of a duplicate neighborhood is the one worth training on),
+    with the id as tie-break.
+
+    Returns one row per input vector: the original id, ``cluster``
+    (centroid id), ``sim_centroide`` (assignment cosine, rounded), and
+    ``mantido`` (false = pruned as a semantic duplicate).
+
+    Scale shape: the keeper priority is evaluated as a pure PAIR
+    predicate — ``(sim_centroide, id)`` lexicographic — so no
+    per-cluster ranking window (which would sort a whole cluster in
+    one task) exists anywhere in the plan. The within-cluster pair
+    join reuses the skew-capped triangle sub-block scheme of
+    ``cluster_cosine_pairs``: work is Σ|cluster|²/2 ≈ n^1.5 with
+    ~sqrt(n) centroids, shuffle is O(n) on the cluster key, and a
+    pathological giant cluster spreads over hashed sub-block keys
+    instead of one straggler task. Following the paper, assignment is
+    single-probe: a boundary-straddling duplicate pair may be missed
+    (the documented recall trade `dedup_blocking_recall` measures);
+    the admission-time answer at 100 TB is the same frozen-centroid
+    incremental path the near-dup family uses.
+
+    ``centroid_fit`` as in ``cluster_cosine_pairs``: ``"kmeans"``
+    (library default, real sampled fit) or ``"lowest_id"``
+    (float-iteration-free, exactly replicable by a pure-SQL oracle —
+    the catalog entry pins this path)."""
+    if n_centroids is None:
+        n_centroids = max(4, int(df.count() ** 0.5))
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).withColumn("_norm", F.sqrt(_dot("_vec", "_vec")))
+    if centroid_fit == "kmeans":
+        cent = fit_centroids_kmeans(df, id_col, vec_col, int(n_centroids))
+    elif centroid_fit == "lowest_id":
+        cent = (
+            base.orderBy("_id")
+            .limit(int(n_centroids))
+            .select(F.col("_id").alias("_cid"), F.col("_vec").alias("_cv"))
+        )
+    else:
+        raise ValueError(f"unknown centroid_fit: {centroid_fit!r}")
+    assigned = _with_subblocks(
+        assign_to_centroids(base, cent, round_to, 1, keep_score=True),
+        max_cluster_rows,
+    )
+    left = assigned.select(
+        F.col("_id").alias("ida"),
+        F.col("_vec").alias("va"),
+        F.col("_norm").alias("na"),
+        F.col("_cos_cent").alias("ca"),
+        "_blk",
+        F.col("_sb").alias("ki"),
+        F.explode(F.sequence(F.col("_sb"), F.col("_nb") - 1)).alias("kj"),
+    )
+    right = assigned.select(
+        F.col("_id").alias("idb"),
+        F.col("_vec").alias("vb"),
+        F.col("_norm").alias("nb"),
+        F.col("_cos_cent").alias("cb"),
+        "_blk",
+        F.explode(F.sequence(F.lit(0), F.col("_sb"))).alias("ki"),
+        F.col("_sb").alias("kj"),
+    )
+    cos = _dot("va", "vb") / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    # unordered dup pairs; the LATER keeper-priority endpoint is the victim
+    vitimas = (
+        left.join(right, ["_blk", "ki", "kj"])
+        .filter(F.col("ida") != F.col("idb"))
+        .filter((F.col("ki") != F.col("kj")) | (F.col("ida") < F.col("idb")))
+        .filter(cos >= F.lit(float(threshold)))
+        .select(
+            F.when(
+                (F.col("ca") < F.col("cb"))
+                | ((F.col("ca") == F.col("cb")) & (F.col("ida") < F.col("idb"))),
+                F.col("idb"),
+            )
+            .otherwise(F.col("ida"))
+            .alias("_vid")
+        )
+        .distinct()
+    )
+    return (
+        assigned.join(
+            vitimas, assigned["_id"] == vitimas["_vid"], "left"
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_blk").alias("cluster"),
+            F.col("_cos_cent").alias("sim_centroide"),
+            F.col("_vid").isNull().alias("mantido"),
+        )
     )

@@ -1101,3 +1101,89 @@ def dedup_blocking_recall_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pares_exatos",
         (F.col("recall") >= F.col("alvo")).alias("atinge_alvo"),
     )
+
+
+# -- SemDeDup: semantic deduplication by cluster-then-prune --
+
+_SEMDEDUP_CTE = f"""
+    cent AS (
+      SELECT cid, cv FROM (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv,
+               row_number() OVER (ORDER BY vec_id) AS rn,
+               count(*) OVER () AS n
+        FROM embeddings)
+      WHERE rn <= greatest(4, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT))),
+    base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    scored AS (
+      SELECT b.vec_id, b.ev, b.nrm, c.cid,
+        round(list_dot_product(c.cv, b.ev)
+              / nullif(sqrt(list_dot_product(c.cv, c.cv)) * b.nrm, 0),
+              6) AS cos_cent
+      FROM base b CROSS JOIN cent c),
+    assigned AS (
+      SELECT vec_id, ev, nrm, cid, cos_cent FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos_cent DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+    vitimas AS (
+      SELECT DISTINCT CASE
+          WHEN (a.cos_cent < b.cos_cent)
+            OR (a.cos_cent = b.cos_cent AND a.vec_id < b.vec_id)
+          THEN b.vec_id ELSE a.vec_id END AS vid
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.ev, b.ev)
+              / nullif(a.nrm * b.nrm, 0), 6) >= {_COS_THRESHOLD})"""
+
+
+@register(
+    "dedup_semdedup",
+    oracle=f"""
+    WITH {_SEMDEDUP_CTE}
+    SELECT s.vec_id, CAST(s.cid AS BIGINT) AS cluster,
+           s.cos_cent AS sim_centroide, v.vid IS NULL AS mantido
+    FROM assigned s LEFT JOIN vitimas v ON s.vec_id = v.vid
+    """,
+    tags=("DEDUP", "EMBEDDING", "SEMDEDUP", "SCALE_DEFAULT"),
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: one row
+    per vector with its cluster, centroid similarity, and a
+    ``mantido`` verdict — false when some same-cluster member at or
+    above the ``{_COS_THRESHOLD}`` cosine boundary precedes it in
+    keeper priority. Keeper priority is the paper's rule (LOWEST
+    centroid similarity survives — the most atypical member of a
+    duplicate neighborhood is the one worth keeping), evaluated as a
+    pure pair predicate so the plan has NO per-cluster ranking window.
+
+    This differs from `dedup_survivors` (connected components over the
+    near-dup graph, lowest-id representative) exactly as SemDeDup
+    differs from MinHash pipelines in practice: no transitive closure,
+    no iteration — one assignment join plus one within-cluster pair
+    join, which is why it is the standard first pruning pass over
+    web-scale embedding corpora. The cosine boundary is the corpus's
+    one dup threshold, shared with `near_dup_embeddings` and
+    `sim_hard_negatives`.
+
+    Catalog pin: lowest-id centroid stand-in + single probe, exactly
+    replicated by the oracle CTE; the library form
+    (operators/allpairs.semdedup_flags) defaults to the sampled
+    k-means fit, and the skew-capped triangle sub-block join bounds
+    the within-cluster pair work (see its docstring for the n^1.5
+    argument)."""
+    from agrobr_spark.operators.allpairs import semdedup_flags
+
+    e = load(spark, sf_dir, "embeddings")
+    n = _embeddings_count(spark, sf_dir)
+    return semdedup_flags(
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=_COS_THRESHOLD,
+        n_centroids=max(4, int(n**0.5)),
+        centroid_fit="lowest_id",
+    )

@@ -1169,3 +1169,136 @@ def temperature_weights(docs: DataFrame) -> dict[str, int]:
         r["source"]: max(1, int(math.floor(math.sqrt(float(r["t"])))))
         for r in totals
     }
+
+
+# -- DSIR: data selection via importance resampling (Xie et al. 2023) --
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+# engine-independent feature hash: md5 of the lowercased token, first
+# 6 hex chars -> int, mod B (the simhash md5-family trick applied to
+# hashed bag-of-words features)
+_DSIR_B_SPARK = (
+    "pmod(CAST(conv(substring(md5(termo), 1, 6), 16, 10) AS INT), "
+    f"{DSIR_BUCKETS})"
+)
+_DSIR_B_DUCK = (
+    "CAST(('0x' || substring(md5(termo), 1, 6))::UBIGINT "
+    f"% {DSIR_BUCKETS} AS INT)"
+)
+
+
+@register(
+    "pipeline_dsir_weights",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT d.doc_id, d.alvo, lower(u.tok) AS termo
+      FROM (SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS alvo,
+                   string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0) d,
+           unnest(d.t) AS u(tok)),
+    db AS (
+      SELECT doc_id, alvo, {_DSIR_B_DUCK} AS balde,
+             CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY doc_id, alvo, 3),
+    modelo AS (
+      SELECT balde, CAST(sum(n) AS BIGINT) AS cr,
+             CAST(sum(CASE WHEN alvo THEN n ELSE 0 END) AS BIGINT) AS ct
+      FROM db GROUP BY balde),
+    tot AS (
+      SELECT CAST(sum(cr) AS BIGINT) AS r_total,
+             CAST(sum(ct) AS BIGINT) AS t_total
+      FROM modelo),
+    pontos AS (
+      SELECT d.doc_id, d.n,
+        CAST(round(d.n * (
+          log2(CAST(m.ct + 1 AS DOUBLE)
+               / (tot.t_total + {DSIR_BUCKETS}))
+          - log2(CAST(m.cr + 1 AS DOUBLE)
+                 / (tot.r_total + {DSIR_BUCKETS}))), 6)
+          AS DECIMAL(18,6)) AS p
+      FROM db d JOIN modelo m USING (balde), tot)
+    SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+      CAST(sum(p) AS DOUBLE) AS pontuacao_dsir,
+      CAST(sum(p) AS DOUBLE) > 0 AS selecionado
+    FROM pontos GROUP BY doc_id
+    """,
+    tags=("PIPELINE", "MIX", "DSIR", "QUALITY", "SCALE_DEFAULT"),
+)
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling, Xie et al.
+    2023): per-document importance log-ratio between a TARGET-domain
+    hashed-unigram model and the RAW-corpus model — the standard way
+    to select pretraining data "like" a high-quality target without a
+    trained classifier. Target here: ``lang = '{target}'`` documents;
+    features: tokens hashed into {b} buckets (md5-based, so both
+    engines bucket identically); both models Laplace-smoothed
+    (+1 over the bucket count), exactly the paper's bag-of-hashed-
+    ngrams estimator with n=1.
+
+    ``pontuacao_dsir`` = Σ_buckets n_doc,b · (log2 p_target(b) −
+    log2 p_raw(b)) in bits; ``selecionado`` = score > 0 (reads more
+    target-like than raw-like — the deterministic analog of the
+    paper's importance resampling, which adds Gumbel noise before the
+    top-k cut; the noisy variant is a one-line orderBy swap and
+    deliberately NOT the catalog pin).
+
+    Determinism: bucket counts are exact bigints shared by both
+    engines; each (doc, bucket) contribution is one double expression
+    rounded to 6dp and summed as DECIMAL (order-independent); the
+    emitted score is that exact decimal sum cast to double — no final
+    float round exists to sit on a tie boundary.
+
+    Scale shape: one explode, one (doc, bucket) aggregation, the
+    {b}-row model FOLDED from it (never a second pass over the token
+    stream), a broadcast model join, one keyed agg — linear in token
+    count, no window, no shuffle wider than the (doc, bucket) count.
+    """
+    from agrobr_spark.queries.pipeline_text import _tokens
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = d.select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).alias("alvo"),
+        F.explode(_tokens()).alias("tok"),
+    ).select("doc_id", "alvo", F.lower("tok").alias("termo"))
+    db = toks.groupBy(
+        "doc_id", "alvo", F.expr(_DSIR_B_SPARK).alias("balde")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    modelo = db.groupBy("balde").agg(
+        F.sum("n").cast("bigint").alias("cr"),
+        F.sum(F.when(F.col("alvo"), F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("ct"),
+    )
+    tot = modelo.groupBy().agg(
+        F.sum("cr").cast("bigint").alias("r_total"),
+        F.sum("ct").cast("bigint").alias("t_total"),
+    )
+    p_t = (F.col("ct") + 1).cast("double") / (
+        F.col("t_total") + F.lit(DSIR_BUCKETS)
+    )
+    p_r = (F.col("cr") + 1).cast("double") / (
+        F.col("r_total") + F.lit(DSIR_BUCKETS)
+    )
+    contrib = F.round(
+        F.col("n") * (F.log2(p_t) - F.log2(p_r)), 6
+    ).cast("decimal(18,6)")
+    pontos = (
+        db.join(F.broadcast(modelo), "balde")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "n", contrib.alias("p"))
+    )
+    return pontos.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum("p").cast("double").alias("pontuacao_dsir"),
+        (F.sum("p").cast("double") > 0).alias("selecionado"),
+    )
+
+
+pipeline_dsir_weights.__doc__ = pipeline_dsir_weights.__doc__.format(
+    target=DSIR_TARGET_LANG, b=DSIR_BUCKETS
+)

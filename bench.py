@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "a17_profile_correlation",
     "corpus_source_divergence",
     "o7_stratified_sample_exact",
+    "dedup_semdedup",
+    "pipeline_dsir_weights",
     "p4_date_range",
     "w1_pct_change",
     "w4_latest_per_key",

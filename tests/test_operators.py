@@ -1227,3 +1227,39 @@ def test_mad_anomalies_robust_to_planted_spike(spark, tmp_path):
     assert spike["mediana"] < 110  # baseline unmoved by the spike
     normals = [r for d, r in out.items() if d != dt2.date(2024, 1, 10)]
     assert sum(1 for r in normals if r["anomalo"]) == 0
+
+
+def test_semdedup_keeper_rule_and_clique_pruning(spark):
+    """SemDeDup on a constructed two-cluster corpus: a planted
+    near-identical clique keeps EXACTLY its lowest-centroid-similarity
+    member (the paper's keeper rule, id tie-break), every non-dup
+    vector survives, and each input id appears exactly once."""
+    from agrobr_spark.operators.allpairs import semdedup_flags
+
+    rows = [
+        # cluster around [1, 0]: a 3-clique of near-dups + one distinct
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.02]),
+        (3, [0.995, 0.0999]),
+        (4, [0.8, 0.6]),
+        # cluster around [0, 1]: a 2-clique + one distinct
+        (11, [0.0, 1.0]),
+        (12, [0.02, 0.999]),
+        (13, [0.6, 0.8]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup_flags(
+        df, "vec_id", "embedding", threshold=0.99,
+        n_centroids=2, centroid_fit="kmeans",
+    ).collect()
+    byid = {r["vec_id"]: r for r in out}
+    assert sorted(byid) == [1, 2, 3, 4, 11, 12, 13]
+
+    for clique in ([1, 2, 3], [11, 12]):
+        kept = [i for i in clique if byid[i]["mantido"]]
+        expected = min(
+            clique, key=lambda i: (byid[i]["sim_centroide"], i)
+        )
+        assert kept == [expected], (clique, kept, expected)
+    for lone in (4, 13):
+        assert byid[lone]["mantido"], lone

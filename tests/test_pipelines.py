@@ -252,3 +252,40 @@ def test_o7_exact_stratified_counts_and_stability(spark, tmp_path):
     s2 = {r["doc_id"] for r in fn(spark, str(tmp_path)).collect()}
     assert len(s1) == len(s2) == O7_PER_STRATUM
     assert len(s1 - s2) <= 1  # at most one member displaced
+
+
+def test_dsir_scores_target_like_docs_higher(spark, tmp_path):
+    """DSIR sanity on a constructed corpus: a held-out document
+    written in the target domain's vocabulary must outscore (and be
+    selected over) one written in the raw-majority vocabulary, and
+    every target-language document must score positive."""
+    from agrobr_spark.queries import catalog as _catalog
+    from agrobr_spark.queries.training_prep import DSIR_TARGET_LANG
+
+    tgt = "market prices report weekly summary " * 3
+    raw = "lorem ipsum dolor sit amet consectetur " * 3
+    rows = []
+    did = 0
+    for _ in range(30):  # target domain speaks 'tgt'
+        rows.append((did, tgt.strip(), DSIR_TARGET_LANG, "wiki", 1)); did += 1
+    for _ in range(60):  # raw majority speaks 'raw'
+        rows.append((did, raw.strip(), "de", "web", 1)); did += 1
+    # held-out probes, both tagged with a NON-target lang so only
+    # their CONTENT drives the score
+    probe_t, probe_r = did, did + 1
+    rows.append((probe_t, tgt.strip(), "fr", "web", 1))
+    rows.append((probe_r, raw.strip(), "fr", "web", 1))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["doc_id"]: r
+        for r in _catalog()["pipeline_dsir_weights"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[probe_t]["pontuacao_dsir"] > out[probe_r]["pontuacao_dsir"]
+    assert out[probe_t]["selecionado"] and not out[probe_r]["selecionado"]
+    for i in range(30):  # target-language docs read target-like
+        assert out[i]["selecionado"], i

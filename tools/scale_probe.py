@@ -94,6 +94,10 @@ PROBE_QUERIES = [
     "o7_stratified_sample_exact",
     # streaming KL drift monitor (frozen vocab per batch)
     "stream_source_divergence",
+    # SemDeDup (cluster-then-prune pair stage) and DSIR
+    # (hashed-unigram importance weights, linear)
+    "dedup_semdedup",
+    "pipeline_dsir_weights",
 ]
 
 # every table any probe query loads
