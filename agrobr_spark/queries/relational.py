@@ -1584,3 +1584,68 @@ def o7_stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("posicao") <= O7_PER_STRATUM)
     )
+
+
+# -- Bloom-pruned semi join (runtime filter as first-class data) --
+
+J9_PRICE_FLOOR = 400_000
+
+
+@register(
+    "j9_bloom_semi_join",
+    oracle=f"""
+    SELECT l_returnflag,
+      CAST(count(*) AS BIGINT) AS n_itens,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS soma_qtd
+    FROM lineitem l
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_orderkey = l.l_orderkey
+        AND o.o_totalprice > {J9_PRICE_FLOOR})
+    GROUP BY l_returnflag
+    """,
+    tags=("J9", "JOIN", "BLOOM", "SCALE_DEFAULT"),
+)
+def j9_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag volume of line items belonging to high-value
+    orders (> {floor}), computed as a Bloom-pruned semi join
+    (operators/bloom_prune.py): the high-value order keys fold into a
+    Bloom BITMAP — (word, bits) rows, ~1.5 bytes/key at 8 bits/key —
+    that broadcasts and prunes the fact table map-side BEFORE its
+    first shuffle; the surviving candidates then meet the key set in
+    an exact left-semi join, so Bloom false positives cost only work,
+    never correctness, and the oracle is the plain EXISTS semi join.
+
+    Why not rely on Catalyst's injected runtime Bloom filter: the
+    injection lives inside one plannable join — it cannot prune ahead
+    of an aggregation-first plan, persist the filter for reuse across
+    queries, or ship it to another pipeline. This operator is the
+    same idea as data. Scale shape: bitmap build is one tiny
+    ``groupBy(word).bit_or`` shuffle over the DIM side; the fact side
+    sees only broadcast joins + a bit test until the (pruned) exact
+    semi join; the final agg runs on the semi-join survivors."""
+    from agrobr_spark.operators.bloom_prune import bloom_semi_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    alto = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > J9_PRICE_FLOOR)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        bloom_semi_join(li, alto, "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_itens"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("soma_qtd"),
+        )
+    )
+
+
+j9_bloom_semi_join.__doc__ = j9_bloom_semi_join.__doc__.format(
+    floor=J9_PRICE_FLOOR
+)

@@ -1263,3 +1263,32 @@ def test_semdedup_keeper_rule_and_clique_pruning(spark):
         assert kept == [expected], (clique, kept, expected)
     for lone in (4, 13):
         assert byid[lone]["mantido"], lone
+
+
+def test_bloom_semi_join_exact_and_bitmap_bounds(spark):
+    """bloom_semi_join must equal the plain semi join exactly (false
+    positives removed by the verify join), the Bloom prune alone must
+    return a SUPERSET of the true matches, and the bitmap must stay
+    within ceil(m/64) rows."""
+    import pyspark.sql.functions as F
+
+    from agrobr_spark.operators.bloom_prune import (
+        bloom_bitmap,
+        bloom_prune,
+        bloom_semi_join,
+    )
+
+    big = spark.range(0, 5000).select(F.col("id").alias("k"))
+    small = spark.range(0, 5000, 7).select(F.col("id").alias("k"))  # 715 keys
+
+    got = {r["k"] for r in bloom_semi_join(big, small, "k").collect()}
+    want = {r["k"] for r in big.join(small, "k", "left_semi").collect()}
+    assert got == want
+
+    m = 715 * 8
+    bm = bloom_bitmap(small, "k", m)
+    assert bm.count() <= (m + 63) // 64
+    cand = {r["k"] for r in bloom_prune(big, bm, "k", m).collect()}
+    assert want <= cand  # never drops a true match
+    # 8 bits/key, 2 hashes -> FPR ~ 5%; allow generous slack
+    assert len(cand) <= len(want) + 0.25 * (5000 - len(want))

@@ -200,3 +200,18 @@ class TestRound7Additions:
         plan = plan_of(cat["text_perplexity_buckets"].fn(spark, SF_SMOKE))
         assert plan.count("Window") >= 1
         assert "CartesianProduct" not in plan
+
+
+class TestBloomPrune:
+    def test_bloom_prune_is_broadcast_and_pruned_scan(self, spark, cat):
+        """j9: both bitmap probes and the final key set reach the fact
+        side as BroadcastHashJoins (the fact table is never shuffled
+        until the post-semi-join aggregation), and the lineitem scan
+        reads only the three projected columns."""
+        plan = plan_of(cat["j9_bloom_semi_join"].fn(spark, SF_SMOKE))
+        assert len(re.findall(r"BroadcastHashJoin", plan)) >= 3, plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        m = re.search(r"lineitem[^\n]*\n(?:.*\n)*?.*ReadSchema: ([^\n]*)", plan)
+        assert m and "l_orderkey" in m.group(1)
+        assert "l_comment" not in plan
