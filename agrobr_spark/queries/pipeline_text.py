@@ -1340,3 +1340,135 @@ def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_bits",
         )
     )
+
+
+# -- BM25 lexical retrieval --
+
+#: Fixed benchmark query: three mid-frequency corpus terms, so the
+#: per-term IDF spread is visible in the ranking.
+BM25_QUERY = ("merge", "vector", "customer")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+
+@register(
+    "text_bm25_topk",
+    oracle=rf"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    toks AS (
+      SELECT doc_id, len(t) AS dl, lower(tok) AS termo
+      FROM docs, unnest(t) AS u(tok)),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM (SELECT doc_id, any_value(dl) AS dl FROM toks GROUP BY doc_id)),
+    tf AS (
+      SELECT doc_id, dl, termo, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE termo IN ({_BM25_TERMS_SQL})
+      GROUP BY doc_id, dl, termo),
+    df AS (SELECT termo, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY termo),
+    pontos AS (
+      SELECT tf.doc_id,
+        CAST(round(
+          ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+          * (tf.tf * ({BM25_K1} + 1))
+          / (tf.tf + {BM25_K1}
+             * (1 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl)),
+          6) AS DECIMAL(18,6)) AS p
+      FROM tf JOIN df USING (termo) CROSS JOIN stats s)
+    SELECT doc_id, CAST(count(*) AS INTEGER) AS n_termos,
+      round(CAST(sum(p) AS DOUBLE), 6) AS pontos
+    FROM pontos GROUP BY doc_id
+    ORDER BY pontos DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+    tags=("TEXT", "RETRIEVAL", "BM25", "SCALE_DEFAULT"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} documents for a fixed lexical query under BM25
+    (Robertson–Spärck Jones idf, k1={k1}, b={b}) — the retrieval
+    primitive behind contamination lookup, RAG candidate generation
+    and query-driven corpus audits. Score per (doc, query term):
+    ``idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))`` with
+    ``idf = ln(1 + (N-df+0.5)/(df+0.5))``; per-term contributions are
+    rounded to 6dp and DECIMAL-summed per doc (the repo's standard
+    cross-engine float discipline), so the final ranking — including
+    the cut at position {k} with a doc_id tie-break — is deterministic
+    on both engines.
+
+    Plan: the corpus is tokenized ONCE; query terms filter the token
+    stream BEFORE the tf aggregation, so the wide work (tf groupBy,
+    df fold, scoring join) runs only on posting rows for the
+    |query| terms — the scan-side analog of walking an inverted
+    index's posting lists. N and avgdl fold from the per-doc length
+    frame into one broadcast row; df folds from the tf table (never
+    re-touches the corpus). Top-k is orderBy+limit →
+    TakeOrderedAndProject (per-partition heaps + one k-row merge, no
+    global sort). At 100 TB the corpus-side term filter is the knob:
+    materialize tf once as a bucketed-by-term posting table and every
+    subsequent query reads |query| buckets instead of re-tokenizing —
+    the plan here is exactly that build pass."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = d.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    ).select(
+        "doc_id",
+        F.size("t").alias("dl"),
+        F.explode("t").alias("tok"),
+    ).select("doc_id", "dl", F.lower("tok").alias("termo"))
+    # N docs + average doc length as ONE broadcast row, folded from
+    # the per-doc frame (no eager count() job)
+    stats = (
+        toks.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias(
+                "avgdl"
+            ),
+        )
+    )
+    tf = (
+        toks.filter(F.col("termo").isin(*BM25_QUERY))
+        .groupBy("doc_id", "dl", "termo")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_tab = tf.groupBy("termo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    idf = F.log(
+        1
+        + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    pontos = (
+        tf.join(df_tab, "termo")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * (F.col("tf") * (BM25_K1 + 1)) / denom, 6)
+            .cast("decimal(18,6)")
+            .alias("p"),
+        )
+    )
+    return (
+        pontos.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_termos"),
+            F.round(F.sum("p").cast("double"), 6).alias("pontos"),
+        )
+        .orderBy(F.desc("pontos"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+text_bm25_topk.__doc__ = text_bm25_topk.__doc__.format(
+    k=BM25_TOPK, k1=BM25_K1, b=BM25_B
+)

@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "o7_stratified_sample_exact",
     "dedup_semdedup",
     "pipeline_dsir_weights",
+    "j9_bloom_semi_join",
+    "text_bm25_topk",
     "p4_date_range",
     "w1_pct_change",
     "w4_latest_per_key",

@@ -98,6 +98,12 @@ PROBE_QUERIES = [
     # (hashed-unigram importance weights, linear)
     "dedup_semdedup",
     "pipeline_dsir_weights",
+    # Bloom-bitmap pruned semi join (bitmap build is dim-side only;
+    # fact side stays map-side until the pruned exact semi join)
+    "j9_bloom_semi_join",
+    # BM25 top-k: query-term filter shrinks the posting stream before
+    # the wide tf/df aggregation; linear in corpus size
+    "text_bm25_topk",
 ]
 
 # every table any probe query loads
