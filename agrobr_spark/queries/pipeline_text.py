@@ -1352,11 +1352,11 @@ BM25_B = 0.75
 BM25_TOPK = 10
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
 
-
-@register(
-    "text_bm25_topk",
-    oracle=rf"""
-    WITH docs AS (
+#: Shared oracle CTE chain ending in ``bm25(doc_id, n_termos,
+#: pontos)`` — the per-doc BM25 score table. Used by the top-k
+#: oracle here and the RRF hybrid-fusion oracle in ``similarity.py``
+#: so both engines score from one SQL definition.
+BM25_SCORES_CTE = rf"""docs AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
       FROM documents WHERE length(trim(text)) > 0),
     toks AS (
@@ -1371,7 +1371,7 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
       FROM toks WHERE termo IN ({_BM25_TERMS_SQL})
       GROUP BY doc_id, dl, termo),
     df AS (SELECT termo, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY termo),
-    pontos AS (
+    pontos_t AS (
       SELECT tf.doc_id,
         CAST(round(
           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
@@ -1379,38 +1379,19 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
           / (tf.tf + {BM25_K1}
              * (1 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl)),
           6) AS DECIMAL(18,6)) AS p
-      FROM tf JOIN df USING (termo) CROSS JOIN stats s)
-    SELECT doc_id, CAST(count(*) AS INTEGER) AS n_termos,
-      round(CAST(sum(p) AS DOUBLE), 6) AS pontos
-    FROM pontos GROUP BY doc_id
-    ORDER BY pontos DESC, doc_id LIMIT {BM25_TOPK}
-    """,
-    tags=("TEXT", "RETRIEVAL", "BM25", "SCALE_DEFAULT"),
-)
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{k} documents for a fixed lexical query under BM25
-    (Robertson–Spärck Jones idf, k1={k1}, b={b}) — the retrieval
-    primitive behind contamination lookup, RAG candidate generation
-    and query-driven corpus audits. Score per (doc, query term):
-    ``idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))`` with
-    ``idf = ln(1 + (N-df+0.5)/(df+0.5))``; per-term contributions are
-    rounded to 6dp and DECIMAL-summed per doc (the repo's standard
-    cross-engine float discipline), so the final ranking — including
-    the cut at position {k} with a doc_id tie-break — is deterministic
-    on both engines.
+      FROM tf JOIN df USING (termo) CROSS JOIN stats s),
+    bm25 AS (
+      SELECT doc_id, CAST(count(*) AS INTEGER) AS n_termos,
+        round(CAST(sum(p) AS DOUBLE), 6) AS pontos
+      FROM pontos_t GROUP BY doc_id)"""
 
-    Plan: the corpus is tokenized ONCE; query terms filter the token
-    stream BEFORE the tf aggregation, so the wide work (tf groupBy,
-    df fold, scoring join) runs only on posting rows for the
-    |query| terms — the scan-side analog of walking an inverted
-    index's posting lists. N and avgdl fold from the per-doc length
-    frame into one broadcast row; df folds from the tf table (never
-    re-touches the corpus). Top-k is orderBy+limit →
-    TakeOrderedAndProject (per-partition heaps + one k-row merge, no
-    global sort). At 100 TB the corpus-side term filter is the knob:
-    materialize tf once as a bucketed-by-term posting table and every
-    subsequent query reads |query| buckets instead of re-tokenizing —
-    the plan here is exactly that build pass."""
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BM25 score frame ``(doc_id, n_termos, pontos)`` for the
+    fixed ``BM25_QUERY`` — the single scoring definition behind both
+    ``text_bm25_topk`` and the RRF hybrid fusion in ``similarity.py``
+    (SQL twin: ``BM25_SCORES_CTE``). See ``text_bm25_topk`` for the
+    scoring math and the plan/scale argument."""
     d = load(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
@@ -1458,12 +1439,47 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p"),
         )
     )
+    return pontos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_termos"),
+        F.round(F.sum("p").cast("double"), 6).alias("pontos"),
+    )
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {BM25_SCORES_CTE}
+    SELECT doc_id, n_termos, pontos FROM bm25
+    ORDER BY pontos DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+    tags=("TEXT", "RETRIEVAL", "BM25", "SCALE_DEFAULT"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} documents for a fixed lexical query under BM25
+    (Robertson–Spärck Jones idf, k1={k1}, b={b}) — the retrieval
+    primitive behind contamination lookup, RAG candidate generation
+    and query-driven corpus audits. Score per (doc, query term):
+    ``idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))`` with
+    ``idf = ln(1 + (N-df+0.5)/(df+0.5))``; per-term contributions are
+    rounded to 6dp and DECIMAL-summed per doc (the repo's standard
+    cross-engine float discipline), so the final ranking — including
+    the cut at position {k} with a doc_id tie-break — is deterministic
+    on both engines.
+
+    Plan: the corpus is tokenized ONCE; query terms filter the token
+    stream BEFORE the tf aggregation, so the wide work (tf groupBy,
+    df fold, scoring join) runs only on posting rows for the
+    |query| terms — the scan-side analog of walking an inverted
+    index's posting lists. N and avgdl fold from the per-doc length
+    frame into one broadcast row; df folds from the tf table (never
+    re-touches the corpus). Top-k is orderBy+limit →
+    TakeOrderedAndProject (per-partition heaps + one k-row merge, no
+    global sort). At 100 TB the corpus-side term filter is the knob:
+    materialize tf once as a bucketed-by-term posting table and every
+    subsequent query reads |query| buckets instead of re-tokenizing —
+    the plan here is exactly that build pass."""
     return (
-        pontos.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_termos"),
-            F.round(F.sum("p").cast("double"), 6).alias("pontos"),
-        )
+        bm25_scores(spark, sf_dir)
         .orderBy(F.desc("pontos"), "doc_id")
         .limit(BM25_TOPK)
     )

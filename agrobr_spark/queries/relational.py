@@ -1586,6 +1586,78 @@ def o7_stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- weighted sampling without replacement (sequential Poisson / PPS) --
+
+O8_SAMPLE_K = 25
+
+#: 52-bit content hash: 13 hex digits of md5(doc_id) — strictly below
+#: 2^53, so the bigint→double conversion is EXACT and the single
+#: division by the weight is one correctly-rounded IEEE op on both
+#: engines: xi is bit-identical WITHOUT any rounding (a 6dp round at
+#: xi's ~1e11 magnitude is what would differ in the last ulp).
+_O8_H13 = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 13), 16, 10) AS BIGINT)"
+_O8_H13_DUCK = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT AS BIGINT)"
+)
+
+
+@register(
+    "o8_weighted_sample",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, n_chars,
+        CAST({_O8_H13_DUCK} + 1 AS DOUBLE)
+          / CAST(n_chars AS DOUBLE) AS xi
+      FROM documents WHERE n_chars > 0)
+    SELECT * FROM (
+      SELECT doc_id, source, n_chars, xi,
+        CAST(row_number() OVER (ORDER BY xi, doc_id) AS INTEGER)
+          AS posicao
+      FROM base)
+    WHERE posicao <= {O8_SAMPLE_K}
+    """,
+    tags=("O8", "SAMPLING", "PPS"),
+)
+def o8_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, inclusion probability
+    ∝ n_chars: sequential Poisson sampling (Ohlsson 1998) — rank every
+    doc by ``xi = u / w`` where u is a content-addressed uniform
+    (md5-prefix of the stable id) and w its weight, keep the k={k}
+    smallest. The per-token-budget analog of o5/o7: long documents
+    enter the sample proportionally to the text volume they
+    contribute, which is how corpus audits and eval-set draws should
+    weight when the unit of interest is tokens, not documents.
+    Reproducible across engines and runs (no rand()); adding corpus
+    never changes an existing doc's xi, so growth displaces at most
+    the boundary of the sample, never reshuffles it.
+
+    Cross-engine exactness without rounding tricks: the 13-hex-digit
+    hash is < 2^53 so its double conversion is exact, and xi is ONE
+    IEEE division of exact doubles — bit-identical on Spark and
+    DuckDB by the standard, not by rounding discipline.
+
+    Scale shape: xi is a narrow map over the scan (no shuffle), the
+    k-smallest cut is orderBy+limit → TakeOrderedAndProject
+    (per-partition heaps, one k-row merge) — the same plan at 500
+    rows and 100 TB. The final row_number runs on the ≤k-row frame."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    xi = (F.expr(_O8_H13) + 1).cast("double") / F.col("n_chars").cast(
+        "double"
+    )
+    top = (
+        d.select("doc_id", "source", "n_chars", xi.alias("xi"))
+        .orderBy("xi", "doc_id")
+        .limit(O8_SAMPLE_K)
+    )
+    w = Window.orderBy("xi", "doc_id")
+    return top.withColumn(
+        "posicao", F.row_number().over(w).cast("int")
+    )
+
+
+o8_weighted_sample.__doc__ = o8_weighted_sample.__doc__.format(k=O8_SAMPLE_K)
+
+
 # -- Bloom-pruned semi join (runtime filter as first-class data) --
 
 J9_PRICE_FLOOR = 400_000

@@ -497,3 +497,154 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("posicao") <= HARD_NEG_K)
         .select("query_id", "vec_id", "label", "posicao", "cosseno")
     )
+
+
+# -- Hybrid retrieval: reciprocal rank fusion (RRF) --
+
+#: RRF constant k (Cormack et al. 2009 — 60 is the published default),
+#: per-ranker candidate depth, and the fused cut the caller sees.
+RRF_K = 60
+RRF_DEPTH = 50
+RRF_TOPK = 10
+
+from agrobr_spark.queries.pipeline_text import BM25_SCORES_CTE, bm25_scores  # noqa: E402
+
+
+@register(
+    "sim_hybrid_rrf",
+    oracle=f"""
+    WITH {BM25_SCORES_CTE},
+    lex AS (
+      SELECT * FROM (
+        SELECT doc_id, CAST(row_number() OVER (
+          ORDER BY pontos DESC, doc_id) AS INTEGER) AS posicao_lex
+        FROM bm25 WHERE doc_id <> 0)
+      WHERE posicao_lex <= {RRF_DEPTH}),
+    qv AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id = 0),
+    cosg AS (
+      SELECT e.vec_id AS doc_id,
+        round(list_dot_product(q.v, CAST(e.embedding AS DOUBLE[]))
+          / nullif(sqrt(list_dot_product(q.v, q.v))
+            * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[]))), 0),
+          6) AS cosseno
+      FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0),
+    sem AS (
+      SELECT * FROM (
+        SELECT doc_id, CAST(row_number() OVER (
+          ORDER BY cosseno DESC, doc_id) AS INTEGER) AS posicao_sem
+        FROM cosg)
+      WHERE posicao_sem <= {RRF_DEPTH}),
+    fus AS (
+      SELECT doc_id, posicao_lex, posicao_sem,
+        round(CAST(
+          coalesce(CAST(round(1.0 / ({RRF_K} + posicao_lex), 6)
+                        AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
+          + coalesce(CAST(round(1.0 / ({RRF_K} + posicao_sem), 6)
+                          AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
+          AS DOUBLE), 6) AS pontos_rrf
+      FROM lex FULL OUTER JOIN sem USING (doc_id))
+    SELECT * FROM (
+      SELECT doc_id, posicao_lex, posicao_sem, pontos_rrf,
+        CAST(row_number() OVER (
+          ORDER BY pontos_rrf DESC, doc_id) AS INTEGER) AS posicao
+      FROM fus)
+    WHERE posicao <= {RRF_TOPK}
+    """,
+    tags=("SIMILARITY", "RETRIEVAL", "RRF", "HYBRID"),
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion: the BM25 lexical
+    ranking (fixed term query, ``bm25_scores`` — the SAME scoring
+    definition ``text_bm25_topk`` serves) fused with a semantic
+    ranking (cosine against doc 0's embedding, the fixture's
+    vec_id ↔ doc_id alignment) by ``score = Σ 1/(k + rank)`` with
+    k={k}, each ranker contributing its top-{depth} candidates.
+    Doc 0 itself is excluded from both sides — it IS the query.
+    Per-ranker contributions are rounded to 6dp and DECIMAL-summed
+    (the repo's cross-engine float discipline), so the fused ranking
+    and its top-{topk} cut (doc_id tie-break) are deterministic on
+    both engines.
+
+    Plan: each ranker independently reduces to its top-{depth} via
+    orderBy+limit → TakeOrderedAndProject (per-partition heaps, no
+    global sort of the corpus); ranking windows then run on those
+    ≤{depth}-row frames — single-partition windows over driver-scale
+    data, which is the point of RRF: fusion never touches the corpus,
+    only the candidate lists. At 100 TB each side scales as its own
+    operator (bucketed postings for BM25, IVF for cosine) and the
+    fusion stays a ≤2·{depth}-row join regardless of corpus size."""
+    # lexical candidates: top-DEPTH of the shared BM25 score frame
+    lex_top = (
+        bm25_scores(spark, sf_dir)
+        .filter(F.col("doc_id") != 0)
+        .orderBy(F.desc("pontos"), "doc_id")
+        .limit(RRF_DEPTH)
+    )
+    wl = Window.orderBy(F.desc("pontos"), "doc_id")
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number().over(wl).cast("int").alias("posicao_lex"),
+    )
+    # semantic candidates: cosine vs doc 0's embedding, top-DEPTH
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    cosg = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                F.expr(_DOT.format(a="qv", b="embedding"))
+                / F.nullif(
+                    F.expr(_NORM.format(a="qv"))
+                    * F.expr(_NORM.format(a="embedding")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("cosseno"),
+        )
+    )
+    sem_top = cosg.orderBy(F.desc("cosseno"), "doc_id").limit(RRF_DEPTH)
+    ws = Window.orderBy(F.desc("cosseno"), "doc_id")
+    sem = sem_top.select(
+        "doc_id",
+        F.row_number().over(ws).cast("int").alias("posicao_sem"),
+    )
+
+    def contrib(col: str):
+        return F.coalesce(
+            F.round(1.0 / (F.lit(RRF_K) + F.col(col)), 6).cast(
+                "decimal(18,6)"
+            ),
+            F.lit(0).cast("decimal(18,6)"),
+        )
+
+    fus = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "posicao_lex",
+        "posicao_sem",
+        F.round(
+            (contrib("posicao_lex") + contrib("posicao_sem")).cast(
+                "double"
+            ),
+            6,
+        ).alias("pontos_rrf"),
+    )
+    wf = Window.orderBy(F.desc("pontos_rrf"), "doc_id")
+    return (
+        fus.withColumn("posicao", F.row_number().over(wf).cast("int"))
+        .filter(F.col("posicao") <= RRF_TOPK)
+        .select(
+            "doc_id", "posicao_lex", "posicao_sem", "pontos_rrf", "posicao"
+        )
+    )
+
+
+sim_hybrid_rrf.__doc__ = sim_hybrid_rrf.__doc__.format(
+    k=RRF_K, depth=RRF_DEPTH, topk=RRF_TOPK
+)

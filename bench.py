@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "pipeline_dsir_weights",
     "j9_bloom_semi_join",
     "text_bm25_topk",
+    "sim_hybrid_rrf",
+    "o8_weighted_sample",
     "p4_date_range",
     "w1_pct_change",
     "w4_latest_per_key",

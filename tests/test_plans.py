@@ -215,3 +215,33 @@ class TestBloomPrune:
         m = re.search(r"lineitem[^\n]*\n(?:.*\n)*?.*ReadSchema: ([^\n]*)", plan)
         assert m and "l_orderkey" in m.group(1)
         assert "l_comment" not in plan
+
+
+class TestRetrievalAndSampling:
+    def test_bm25_topk_is_take_ordered(self, spark, cat):
+        """BM25's final cut must be per-partition heaps, never a
+        global sort exchange; scoring stays JVM-side."""
+        plan = plan_of(cat["text_bm25_topk"].fn(spark, SF_SMOKE))
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_rrf_fusion_never_sorts_corpus(self, spark, cat):
+        """Both RRF ranker sides reduce via TakeOrderedAndProject
+        before fusion; the only window sorts run on the ≤DEPTH-row
+        candidate frames, and there is no cartesian pair stage."""
+        plan = plan_of(cat["sim_hybrid_rrf"].fn(spark, SF_SMOKE))
+        assert plan.count("TakeOrderedAndProject") >= 2, plan
+        assert "CartesianProduct" not in plan
+        assert "Exchange rangepartitioning" not in plan
+
+    def test_weighted_sample_is_map_side_heap(self, spark, cat):
+        """o8: xi is a narrow map over the scan and the k-smallest cut
+        is TakeOrderedAndProject — no shuffle of the corpus at all
+        before the ≤k-row window."""
+        plan = plan_of(cat["o8_weighted_sample"].fn(spark, SF_SMOKE))
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan
+        # the only acceptable shuffle is the single-partition exchange
+        # feeding the ≤k-row ranking window, never a corpus shuffle
+        assert "Exchange hashpartitioning" not in plan, plan

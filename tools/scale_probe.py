@@ -104,6 +104,11 @@ PROBE_QUERIES = [
     # BM25 top-k: query-term filter shrinks the posting stream before
     # the wide tf/df aggregation; linear in corpus size
     "text_bm25_topk",
+    # RRF hybrid fusion: both ranker sides are TakeOrderedAndProject
+    # top-DEPTH; the fusion join never touches the corpus
+    "sim_hybrid_rrf",
+    # sequential-Poisson weighted sample: narrow map + top-k heap
+    "o8_weighted_sample",
 ]
 
 # every table any probe query loads
