@@ -171,7 +171,20 @@ def cmd_benchmark(args) -> int:
     elif args.suite == "semantic":
         suite = run_semantic_benchmarks(spark, iterations=args.iterations)
     else:  # queries
-        names = args.queries.split(",") if args.queries else None
+        names = None
+        if args.queries:
+            # user-typed names: strip whitespace and fail loudly on
+            # unknowns instead of silently benchmarking a partial suite
+            from agrobr_spark.queries import queries as _catalog
+
+            names = [t.strip() for t in args.queries.split(",") if t.strip()]
+            unknown = sorted(set(names) - set(_catalog()))
+            if unknown:
+                print(
+                    f"error: unknown queries: {', '.join(unknown)}",
+                    file=sys.stderr,
+                )
+                return 2
         suite = run_query_benchmarks(
             spark, args.sf, names=names, iterations=args.iterations
         )

@@ -51,14 +51,18 @@ def bloom_bitmap(
 ) -> DataFrame:
     """Bloom bitmap of ``small[key_col]`` as ``(word int, bits long)``
     rows; ``m_bits`` is rounded up to a multiple of 64. Deterministic:
-    xxhash64 seeded per hash index, no randomness."""
+    xxhash64 seeded per hash index, no randomness. The key is
+    canonicalized to string before hashing — xxhash64 is
+    type-sensitive, so without this an int-vs-bigint schema drift
+    between the build and probe sides would make every probe miss and
+    silently empty the semi join."""
     m = max(64, (int(m_bits) + 63) // 64 * 64)
     seeds = F.explode(
         F.array(*[F.lit(i) for i in range(int(k_hashes))])
     ).alias("_seed")
     bucket = F.pmod(F.xxhash64(F.col("_k"), F.col("_seed")), F.lit(m))
     return (
-        small.select(F.col(key_col).alias("_k"))
+        small.select(F.col(key_col).cast("string").alias("_k"))
         .select("_k", seeds)
         .select((bucket / 64).cast("int").alias("word"), bucket.alias("_bkt"))
         # SQL shiftleft accepts a column bit count (the Python wrapper
@@ -85,11 +89,16 @@ def bloom_prune(
     bit is set). One broadcast join on the word index per seed — all
     map-side; a word absent from the bitmap means no bit set, so the
     inner join itself rejects those rows and the bit test handles the
-    rest. Superset of the true matches; never drops a true match."""
+    rest. Superset of the true matches; never drops a true match.
+    The probe hashes the key cast to string, matching
+    ``bloom_bitmap``'s canonicalization, so build/probe dtype drift
+    cannot silently zero the filter."""
     m = max(64, (int(m_bits) + 63) // 64 * 64)
     out = big
     for i in range(int(k_hashes)):
-        bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m))
+        bucket = F.pmod(
+            F.xxhash64(F.col(key_col).cast("string"), F.lit(i)), F.lit(m)
+        )
         bm = F.broadcast(
             bitmap.select(
                 F.col("word").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")

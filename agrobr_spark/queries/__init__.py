@@ -108,12 +108,22 @@ def catalog() -> dict[str, CatalogEntry]:
         vocab,
     )
 
-    hist = _verification_history()
-    ordered = sorted(
-        _REGISTRY,
-        key=lambda n: (hist.get(n, (-1, 0))[0], hist.get(n, (-1, 0))[1], n),
-    )
+    ordered = rotation_order(list(_REGISTRY), _verification_history())
     return {n: _REGISTRY[n] for n in ordered}
+
+
+def rotation_order(
+    names: list[str], hist: dict[str, tuple[int, int]]
+) -> list[str]:
+    """Driver-window rotation order: strictly oldest-driver-green
+    first (never-green queries sort as round -1, i.e. first), name as
+    the only tiebreaker. Pure function so the coverage guarantee is
+    unit-testable: for a static N-query catalog and a W-slot window,
+    every query is checked within ceil(N/W) rounds, because a checked
+    query's last-green round strictly exceeds every unchecked one's
+    and it rotates to the back (see
+    ``tests/test_catalog.py::test_rotation_covers_catalog``)."""
+    return sorted(names, key=lambda n: (hist.get(n, (-1, 0))[0], n))
 
 
 def queries() -> dict[str, QueryFn]:

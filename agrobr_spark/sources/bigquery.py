@@ -69,10 +69,12 @@ def credito_rural_filter(
     the reference gets by embedding the WHERE in its SQL string)."""
     def q(s: str) -> str:
         # the filter is interpolated into the connector's server-side
-        # WHERE string: double any single quote so a quoted argument
-        # can neither break the predicate nor smuggle in extra
-        # conditions (safra_ano is hardened via int() below)
-        return s.replace("'", "''")
+        # WHERE string. BigQuery GoogleSQL string literals use
+        # BACKSLASH escapes (quote-doubling is not an escape there):
+        # escape backslashes first, then single quotes, so a quoted
+        # argument can neither break the predicate nor smuggle in
+        # extra conditions (safra_ano is hardened via int() below)
+        return s.replace("\\", "\\\\").replace("'", "\\'")
 
     nome = _FINALIDADE_MAP.get(finalidade.lower(), finalidade.upper())
     conditions = [f"nome_finalidade = '{q(nome)}'"]
@@ -81,7 +83,12 @@ def credito_rural_filter(
     if safra_ano:
         conditions.append(f"ano = {int(safra_ano)}")
     if uf:
-        conditions.append(f"sigla_uf = '{q(uf.upper())}'")
+        uf = uf.upper()
+        # UFs are exactly two ASCII letters; reject anything else
+        # outright rather than relying on escaping alone
+        if not (len(uf) == 2 and uf.isalpha() and uf.isascii()):
+            raise ValueError(f"invalid UF: {uf!r} (expected two letters)")
+        conditions.append(f"sigla_uf = '{uf}'")
     return " AND ".join(conditions)
 
 

@@ -420,11 +420,22 @@ def test_bigquery_option_plumbing():
     # unknown purpose passes through upper-cased, like the reference
     assert credito_rural_filter("giro") == "nome_finalidade = 'GIRO'"
 
-    # single quotes are doubled before interpolation into the pushed
-    # WHERE string — a quoted argument cannot break the predicate or
-    # inject extra conditions
-    f = credito_rural_filter(produto="d'agua", uf="m'")
-    assert "LIKE '%D''AGUA%'" in f
+    # GoogleSQL string literals use backslash escapes (quote-doubling
+    # is NOT an escape there): backslashes are escaped first, then
+    # quotes, so a quoted/backslashed argument cannot break the
+    # predicate or inject extra conditions
+    f = credito_rural_filter(produto="d'agua")
+    assert "LIKE '%D\\'AGUA%'" in f
+    f = credito_rural_filter(produto="x\\' OR 1=1 --")
+    assert "\\\\\\' OR" in f  # the backslash is itself escaped
+    # UF is allowlisted to exactly two letters — injection attempts
+    # are rejected outright rather than escaped
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        credito_rural_filter(uf="m'")
+    with _pytest.raises(ValueError):
+        credito_rural_filter(uf="MTT")
     assert "sigla_uf = 'M'''" in f
     assert credito_rural_filter("x' OR '1'='1") == (
         "nome_finalidade = 'X'' OR ''1''=''1'"
