@@ -436,9 +436,8 @@ def test_bigquery_option_plumbing():
         credito_rural_filter(uf="m'")
     with _pytest.raises(ValueError):
         credito_rural_filter(uf="MTT")
-    assert "sigla_uf = 'M'''" in f
     assert credito_rural_filter("x' OR '1'='1") == (
-        "nome_finalidade = 'X'' OR ''1''=''1'"
+        "nome_finalidade = 'X\\' OR \\'1\\'=\\'1'"
     )
 
 
