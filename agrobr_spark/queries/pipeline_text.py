@@ -1488,3 +1488,55 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_bm25_topk.__doc__ = text_bm25_topk.__doc__.format(
     k=BM25_TOPK, k1=BM25_K1, b=BM25_B
 )
+
+
+# One posting index per (corpus dir) per process: the build is the
+# amortized cost, every bench iteration / repeated call hits only the
+# bucket-pruned query path (the property the index exists for).
+_BM25_INDEX_CACHE: dict[str, str] = {}
+
+
+def _bm25_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    path = _BM25_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        from agrobr_spark.store.posting import build_posting_index
+
+        path = tempfile.mkdtemp(prefix="bm25_idx_")
+        docs = load(spark, sf_dir, "documents")
+        build_posting_index(docs, path)
+        _BM25_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+@register(
+    "text_bm25_indexed",
+    oracle=f"""
+    WITH {BM25_SCORES_CTE}
+    SELECT doc_id, n_termos, pontos FROM bm25
+    ORDER BY pontos DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+    tags=("TEXT", "RETRIEVAL", "BM25", "INDEX", "SCALE_DEFAULT"),
+)
+def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_bm25_topk`` answered from the term-bucketed posting
+    index (``store/posting.py``) instead of a corpus re-tokenize —
+    the materialization the scan path's docstring promises, and the
+    retrieval analog of the reference's indexed cache scan
+    (ref: agrobr/cache/duckdb_store.py:339-400, where query cost is
+    independent of history size). Same oracle CTE as the scan path,
+    so indexed ≡ scan is driver-hash-checked, not asserted.
+
+    Plan: the query's terms map to buckets via the build's own
+    xxhash64 (one |query|-row job); the posting read lists and scans
+    ONLY those partitions (`bucket IN` partition pruning + `termo IN`
+    pushed filter), df folds from that pruned read, (n, avgdl) come
+    from the one-row stats table. Query cost is O(posting rows of the
+    query terms) — flat as the corpus grows (SCALING.md probe)."""
+    from agrobr_spark.store.posting import bm25_topk_indexed
+
+    path = _bm25_index_dir(spark, sf_dir)
+    return bm25_topk_indexed(
+        spark, path, BM25_QUERY, BM25_TOPK, BM25_K1, BM25_B
+    )

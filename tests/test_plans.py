@@ -226,6 +226,23 @@ class TestRetrievalAndSampling:
         assert "Exchange rangepartitioning" not in plan
         assert "BatchEvalPython" not in plan
 
+    def test_bm25_indexed_prunes_buckets(self, spark, cat):
+        """text_bm25_indexed (r8 verdict next #2): the posting read
+        must be partition-pruned to the query terms' buckets (the
+        inverted-index property — untouched buckets are never read),
+        with the termo IN filter pushed into the pruned scan, the
+        stats/df sides broadcast, and the final cut a
+        TakeOrderedAndProject; the documents corpus never appears."""
+        plan = plan_of(cat["text_bm25_indexed"].fn(spark, SF_SMOKE))
+        m = re.search(r"PartitionFilters: \[bucket[^\]]*IN \(([^)]*)\)", plan)
+        assert m, plan
+        # 3 query terms → at most 3 buckets listed, never the full 64
+        assert len(m.group(1).split(",")) <= 3
+        assert re.search(r"PushedFilters: \[In\(termo", plan), plan
+        assert "TakeOrderedAndProject" in plan
+        assert "documents" not in plan  # corpus untouched at query time
+        assert "BatchEvalPython" not in plan
+
     def test_rrf_fusion_never_sorts_corpus(self, spark, cat):
         """Both RRF ranker sides reduce via TakeOrderedAndProject
         before fusion; the only window sorts run on the ≤DEPTH-row

@@ -271,3 +271,58 @@ def test_compact_small_files(spark, tmp_path):
     after = sorted(r[0] for r in store.read().select("k").collect())
     assert after == before
     assert n_files <= 2  # one per partition value (g0, g1)
+
+
+def test_posting_index_build_and_query(spark, tmp_path):
+    """store/posting.py (r8 verdict next #2): the bucketed posting
+    index answers BM25 identically to first principles, reads only
+    the query terms' buckets, and round-trips its manifest."""
+    import math
+
+    from agrobr_spark.store.posting import (
+        bm25_topk_indexed,
+        build_posting_index,
+        query_postings,
+        read_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta beta gamma"),
+            (2, "alpha alpha delta"),
+            (3, "epsilon zeta"),
+            (4, "  "),  # blank docs are excluded, like the scan path
+        ],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_posting_index(docs, path, n_buckets=8)
+    assert read_manifest(path)["n_buckets"] == 8
+
+    # posting rows: (doc, term) tf with per-doc length
+    rows = {
+        (r["doc_id"], r["termo"]): (r["dl"], r["tf"])
+        for r in query_postings(spark, path, ("alpha", "beta")).collect()
+    }
+    assert rows == {
+        (1, "alpha"): (4, 1),
+        (1, "beta"): (4, 2),
+        (2, "alpha"): (3, 2),
+    }
+
+    # hand-computed BM25: N=3 docs (blank excluded), avgdl=(4+3+2)/3=3
+    k1, b = 1.2, 0.75
+    got = {
+        r["doc_id"]: (r["n_termos"], r["pontos"])
+        for r in bm25_topk_indexed(
+            spark, path, ("alpha", "beta"), 10, k1, b
+        ).collect()
+    }
+
+    def score(tf, dl, df, n=3, avgdl=3.0):
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+    exp1 = round(score(1, 4, 2) + score(2, 4, 1), 6)
+    exp2 = round(score(2, 3, 2), 6)
+    assert got == {1: (2, exp1), 2: (1, exp2)}
