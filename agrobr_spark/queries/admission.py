@@ -1281,3 +1281,256 @@ def pipeline_admit_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return dec.localCheckpoint(eager=True)
     finally:
         delete_path(spark, store_dir)
+
+
+# -- SemDeDup incremental admission (r8 VERDICT next #3) ------------
+#
+# The streamed twin of queries/dedup.dedup_semdedup: corpus keepers
+# are fixed once by the PAPER rule (lowest centroid-similarity member
+# of a duplicate neighborhood survives — Abbas et al. 2023), then new
+# arrivals are gated against the frozen state. Incremental semantics
+# (deliberate, mirroring the module-head contract):
+#
+# - **Corpus keepers are frozen**: an arrival is `duplicado_corpus`
+#   when ANY corpus keeper in its (frozen-centroid) cluster sits at or
+#   above the cosine threshold. Keepers are never retracted.
+# - **Arrival order is the batch-side priority**: ids are
+#   arrival-ordered, so an arrival is `duplicado_lote` when any
+#   SMALLER-id batch arrival in its cluster is at/above threshold —
+#   admitted or not (the same pure pair predicate the paper rule
+#   uses, which keeps the decision non-recursive and therefore
+#   replay-stable and micro-batch-split-independent: with id-ranged
+#   oldest-first files, every smaller-id arrival has been seen by the
+#   time a vector is judged).
+# - Per-batch cost: one broadcast centroid assignment + cluster-local
+#   joins against the seen table — O(|batch| · cluster density),
+#   independent of corpus size.
+
+
+def build_semdedup_index(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    cutoff: int | None = None,
+    n_centroids: int | None = None,
+) -> None:
+    """Corpus-side SemDeDup: freeze lowest-id centroids (pure-SQL
+    replicable, like build_admission_index), run the paper-rule prune
+    over the corpus split, and persist centroids + the seen table
+    (corpus keepers, origem='corpus') under ``store_dir``."""
+    cut, n_corp = _split_params(spark, sf_dir)
+    if cutoff is not None:
+        cut = int(cutoff)
+        n_corp = (
+            load(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < cut)
+            .count()
+        )
+    k = int(n_centroids) if n_centroids is not None else max(4, int(n_corp**0.5))
+
+    base = _vec_base(
+        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < cut)
+    )
+    cent = (
+        base.orderBy("_id")
+        .limit(k)
+        .select(F.col("_id").alias("_cid"), F.col("_vec").alias("_cv"))
+    )
+    cent.write.mode("overwrite").parquet(f"{store_dir}/centroids")
+    cent = spark.read.parquet(f"{store_dir}/centroids")
+
+    assigned = assign_to_centroids(base, cent, keep_score=True)
+    # paper-rule victims: the HIGHER (sim_centroide, id) endpoint of
+    # every at-threshold pair loses, whether or not the other endpoint
+    # itself survives — pure pair predicate, no recursion, no window
+    a = assigned.select(
+        F.col("_id").alias("ida"), F.col("_vec").alias("va"),
+        F.col("_norm").alias("na"), F.col("_cos_cent").alias("ca"), "_blk",
+    )
+    b = assigned.select(
+        F.col("_id").alias("idb"), F.col("_vec").alias("vb"),
+        F.col("_norm").alias("nb"), F.col("_cos_cent").alias("cb"), "_blk",
+    )
+    vitimas = (
+        a.join(b, "_blk")
+        .filter(F.col("ida") < F.col("idb"))
+        .filter(_pair_cos() >= _COS_THRESHOLD)
+        .select(
+            F.when(
+                (F.col("ca") < F.col("cb"))
+                | ((F.col("ca") == F.col("cb")) & (F.col("ida") < F.col("idb"))),
+                F.col("idb"),
+            )
+            .otherwise(F.col("ida"))
+            .alias("_vid")
+        )
+        .distinct()
+    )
+    keepers = (
+        assigned.join(vitimas, assigned["_id"] == vitimas["_vid"], "left_anti")
+        .select(
+            F.col("_id").alias("vec_id"),
+            F.col("_blk").alias("cluster"),
+            F.col("_cos_cent").alias("sim_centroide"),
+            F.col("_vec").alias("embedding"),
+            F.lit("corpus").alias("origem"),
+            F.lit("mantido").alias("motivo"),
+            F.lit(True).alias("mantido"),
+        )
+    )
+    ParquetStore(spark, f"{store_dir}/sem_seen", ("vec_id",)).overwrite(keepers)
+
+
+def admit_semdedup_frame(
+    spark: SparkSession, emb_b: DataFrame, store_dir: str
+) -> DataFrame:
+    """Gate a batch of embeddings against the persisted SemDeDup state:
+    frozen-centroid assignment, corpus-keeper veto, smaller-id
+    seen-arrival veto (cross-batch via the seen table, within-frame via
+    a cluster-local self-join), then MERGE every judged arrival —
+    admitted or not — back into the seen table (rejected arrivals must
+    keep vetoing later duplicates of themselves, exactly as the pure
+    pair predicate demands). Returns one decision row per batch vector.
+    Replay-stable: a re-delivered vector is excluded from its own veto
+    set by the strict id< predicate, larger-id arrivals can never veto,
+    and the MERGE is PK-idempotent."""
+    store = ParquetStore(spark, f"{store_dir}/sem_seen", ("vec_id",))
+    seen = store.read().withColumn("_n", F.sqrt(_dot("embedding", "embedding")))
+    cent = spark.read.parquet(f"{store_dir}/centroids")
+
+    assigned_b = assign_to_centroids(_vec_base(emb_b), cent, keep_score=True)
+    bv = assigned_b.select(
+        F.col("_id").alias("ida"), F.col("_vec").alias("va"),
+        F.col("_norm").alias("na"), F.col("_cos_cent").alias("ca"), "_blk",
+    )
+    sv = seen.select(
+        F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"),
+        F.col("_n").alias("nb"), F.col("cluster").alias("_blk"), "origem",
+    )
+    dup_corpus = (
+        bv.join(sv.filter(F.col("origem") == "corpus"), "_blk")
+        .filter(_pair_cos() >= _COS_THRESHOLD)
+        .select(F.col("ida").alias("vec_id"))
+        .distinct()
+    )
+    dup_prev = (
+        bv.join(sv.filter(F.col("origem") == "lote"), "_blk")
+        .filter(F.col("idb") < F.col("ida"))
+        .filter(_pair_cos() >= _COS_THRESHOLD)
+        .select(F.col("ida").alias("vec_id"))
+    )
+    intra = assigned_b.select(
+        F.col("_id").alias("idb"), F.col("_vec").alias("vb"),
+        F.col("_norm").alias("nb"), "_blk",
+    )
+    dup_intra = (
+        bv.join(intra, "_blk")
+        .filter(F.col("idb") < F.col("ida"))
+        .filter(_pair_cos() >= _COS_THRESHOLD)
+        .select(F.col("ida").alias("vec_id"))
+    )
+    dup_lote = dup_prev.unionByName(dup_intra).distinct()
+
+    dec = (
+        assigned_b.select(
+            F.col("_id").alias("vec_id"),
+            F.col("_blk").alias("cluster"),
+            F.col("_cos_cent").alias("sim_centroide"),
+            F.col("_vec").alias("embedding"),
+        )
+        .join(dup_corpus.withColumn("_dc", F.lit(True)), "vec_id", "left")
+        .join(dup_lote.withColumn("_dl", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id", "cluster", "sim_centroide", "embedding",
+            F.when(F.col("_dc"), F.lit("duplicado_corpus"))
+            .when(F.col("_dl"), F.lit("duplicado_lote"))
+            .otherwise(F.lit("mantido"))
+            .alias("motivo"),
+        )
+        .withColumn("mantido", F.col("motivo") == "mantido")
+    )
+    # the decision plan reads the seen files the MERGE below rewrites
+    dec = dec.localCheckpoint(eager=True)
+    store.merge_upsert(
+        dec.select(
+            "vec_id", "cluster", "sim_centroide", "embedding",
+            F.lit("lote").alias("origem"), "motivo", "mantido",
+        )
+    )
+    return dec.drop("embedding")
+
+
+_SEMDEDUP_ADMIT_ORACLE = f"""
+    WITH
+    lim AS (SELECT CAST(floor({_CUT_FRAC} * (max(doc_id) + 1)) AS BIGINT)
+                   AS corte FROM documents),
+    corp AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings, lim WHERE vec_id < corte),
+    cent AS (
+      SELECT cid, cv FROM (
+        SELECT vec_id AS cid, ev AS cv,
+               row_number() OVER (ORDER BY vec_id) AS rn,
+               count(*) OVER () AS n
+        FROM corp)
+      WHERE rn <= greatest(4, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT))),
+    corp_assigned AS (
+      SELECT vec_id, ev, nrm, cid, cos_cent FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos_cent DESC, cid) AS rn
+        FROM (
+          SELECT b.vec_id, b.ev, b.nrm, c.cid,
+            round(list_dot_product(c.cv, b.ev)
+                  / nullif(sqrt(list_dot_product(c.cv, c.cv)) * b.nrm, 0),
+                  6) AS cos_cent
+          FROM corp b CROSS JOIN cent c)) WHERE rn = 1),
+    corp_vitimas AS (
+      SELECT DISTINCT CASE
+          WHEN (a.cos_cent < b.cos_cent)
+            OR (a.cos_cent = b.cos_cent AND a.vec_id < b.vec_id)
+          THEN b.vec_id ELSE a.vec_id END AS vid
+      FROM corp_assigned a JOIN corp_assigned b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.ev, b.ev)
+              / nullif(a.nrm * b.nrm, 0), 6) >= {_COS_THRESHOLD}),
+    keepers AS (
+      SELECT s.* FROM corp_assigned s
+      LEFT JOIN corp_vitimas v ON s.vec_id = v.vid WHERE v.vid IS NULL),
+    lote AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings, lim WHERE vec_id >= corte),
+    lote_assigned AS (
+      SELECT vec_id, ev, nrm, cid, cos_cent FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos_cent DESC, cid) AS rn
+        FROM (
+          SELECT b.vec_id, b.ev, b.nrm, c.cid,
+            round(list_dot_product(c.cv, b.ev)
+                  / nullif(sqrt(list_dot_product(c.cv, c.cv)) * b.nrm, 0),
+                  6) AS cos_cent
+          FROM lote b CROSS JOIN cent c)) WHERE rn = 1),
+    dup_corpus AS (
+      SELECT DISTINCT b.vec_id
+      FROM lote_assigned b JOIN keepers k ON b.cid = k.cid
+      WHERE round(list_dot_product(b.ev, k.ev)
+              / nullif(b.nrm * k.nrm, 0), 6) >= {_COS_THRESHOLD}),
+    dup_lote AS (
+      SELECT DISTINCT b.vec_id
+      FROM lote_assigned b JOIN lote_assigned a
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.ev, b.ev)
+              / nullif(a.nrm * b.nrm, 0), 6) >= {_COS_THRESHOLD})
+    SELECT b.vec_id, CAST(b.cid AS BIGINT) AS cluster,
+           b.cos_cent AS sim_centroide,
+           CASE WHEN dc.vec_id IS NOT NULL THEN 'duplicado_corpus'
+                WHEN dl.vec_id IS NOT NULL THEN 'duplicado_lote'
+                ELSE 'mantido' END AS motivo,
+           dc.vec_id IS NULL AND dl.vec_id IS NULL AS mantido
+    FROM lote_assigned b
+    LEFT JOIN dup_corpus dc ON b.vec_id = dc.vec_id
+    LEFT JOIN dup_lote dl ON b.vec_id = dl.vec_id
+"""

@@ -544,6 +544,106 @@ def stream_admit_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ingest, ignore_errors=True)
 
 
+def _stream_admit_semdedup_oracle() -> str:
+    from agrobr_spark.queries.admission import _SEMDEDUP_ADMIT_ORACLE
+
+    return _SEMDEDUP_ADMIT_ORACLE
+
+
+@register(
+    "stream_admit_semdedup",
+    oracle=_stream_admit_semdedup_oracle(),
+    tags=("STREAM", "ADMISSION", "FOREACHBATCH", "SEMDEDUP", "INCREMENTAL"),
+)
+def stream_admit_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup as a STREAM (r8 VERDICT next #3) — the frozen-centroid
+    incremental twin of ``dedup_semdedup``, completing the streaming
+    admission family alongside the centroid (`stream_admit_batch`) and
+    LSH (`stream_admit_lsh`) paths. The corpus split is pruned once
+    with the paper rule (lowest centroid-similarity keeper) and its
+    keepers persisted; batch embeddings land as id-ranged ingest files
+    processed oldest-first, and every micro-batch runs
+    ``admit_semdedup_frame`` against the persisted state only:
+    broadcast frozen-centroid assignment, corpus-keeper veto,
+    smaller-id seen-arrival veto, MERGE-back of every judged arrival.
+
+    Stream ≡ one-shot holds by construction, not by scheduling luck:
+    both vetoes are pure pair predicates over (corpus keepers) and
+    (smaller-id arrivals), and with id-ranged oldest-first files every
+    smaller-id arrival is in the seen table (or the current frame)
+    when a vector is judged — so the oracle recomputes the identical
+    decision in one non-recursive SQL query. Per micro-batch the cost
+    is O(|batch| · cluster density): the corpus is never re-read."""
+    import os
+    import shutil
+    import tempfile
+
+    from agrobr_spark.io import load
+    from agrobr_spark.queries.admission import (
+        _split_params,
+        admit_semdedup_frame,
+        build_semdedup_index,
+    )
+    from agrobr_spark.store.fs import delete_path
+    from agrobr_spark.store.table import ParquetStore, compact
+
+    _COUNTER[0] += 1
+    store_dir = tempfile.mkdtemp(prefix="stream_sem_idx_")
+    ingest = tempfile.mkdtemp(prefix="stream_sem_in_")
+    try:
+        build_semdedup_index(spark, sf_dir, store_dir)
+        cut = _split_params(spark, sf_dir)[0]
+        staged = load(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") >= cut
+        )
+        max_id = staged.agg(F.max("vec_id")).collect()[0][0] or cut
+        n_files = 3
+        span = max(1, (int(max_id) - cut + n_files) // n_files)
+        t0 = 1_000_000_000  # fixed epoch base: mtime order == id order
+        for i in range(n_files):
+            lo, hi = cut + i * span, cut + (i + 1) * span
+            chunk = staged.filter(
+                (F.col("vec_id") >= lo)
+                & (F.col("vec_id") < (hi if i < n_files - 1 else 1 << 62))
+            )
+            tmp = f"{ingest}/.stage{i}"
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = f"{ingest}/chunk{i:05d}.parquet"
+            shutil.move(f"{tmp}/{part}", dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+
+        stream = (
+            spark.readStream.schema(staged.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ingest)
+        )
+
+        def handle(batch: DataFrame, batch_id: int) -> None:
+            admit_semdedup_frame(spark, batch, store_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+        store = ParquetStore(spark, f"{store_dir}/sem_seen", ("vec_id",))
+        compact(store)
+        out = store.read().filter(F.col("origem") == "lote").select(
+            "vec_id", "cluster", "sim_centroide", "motivo", "mantido"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        delete_path(spark, store_dir)
+        shutil.rmtree(ingest, ignore_errors=True)
+
+
 @register(
     "stream_export_shards",
     oracle=r"""

@@ -377,3 +377,83 @@ def test_lsh_occupancy_guard_warns_past_headroom():
         _lsh_occupancy_check(design * LSH_REBUILD_HEADROOM, p)
     with pytest.warns(RuntimeWarning, match="rebuild the index"):
         _lsh_occupancy_check(design * LSH_REBUILD_HEADROOM + 1, p)
+
+
+def test_semdedup_admit_replay_is_idempotent(spark):
+    """Streamed SemDeDup admission (r8 verdict next #3): re-admitting
+    the same batch must change nothing — verdicts are replay-STABLE
+    (the strict id< predicate excludes a re-delivered vector from its
+    own veto set, and larger-id arrivals can never veto), and the seen
+    store is PK-idempotent under the MERGE."""
+    from agrobr_spark.queries.admission import (
+        admit_semdedup_frame,
+        build_semdedup_index,
+    )
+
+    sf_dir = SF_SMOKE
+    cut = _split_params(spark, sf_dir)[0]
+    emb_b = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= cut)
+
+    def seen_state(d):
+        return {
+            (r["vec_id"], r["origem"], r["motivo"], r["mantido"])
+            for r in ParquetStore(spark, f"{d}/sem_seen", ("vec_id",))
+            .read()
+            .collect()
+        }
+
+    with tempfile.TemporaryDirectory(prefix="sem_replay_") as d:
+        build_semdedup_index(spark, sf_dir, d)
+        first = {
+            r["vec_id"]: r["motivo"]
+            for r in admit_semdedup_frame(spark, emb_b, d).collect()
+        }
+        state1 = seen_state(d)
+        second = {
+            r["vec_id"]: r["motivo"]
+            for r in admit_semdedup_frame(spark, emb_b, d).collect()
+        }
+        state2 = seen_state(d)
+
+    assert first == second  # verdicts identical, not merely same keys
+    assert state1 == state2
+    assert set(first) == {
+        r["vec_id"] for r in emb_b.select("vec_id").collect()
+    }
+
+
+def test_semdedup_admit_split_independent(spark):
+    """Feeding the batch as one frame or as two id-ranged halves must
+    produce identical decisions — the property that makes the
+    foreachBatch stream equal the one-shot oracle."""
+    from agrobr_spark.queries.admission import (
+        admit_semdedup_frame,
+        build_semdedup_index,
+    )
+
+    sf_dir = SF_SMOKE
+    cut = _split_params(spark, sf_dir)[0]
+    emb_b = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= cut)
+    mid = int(
+        emb_b.agg(F.min("vec_id") + (F.max("vec_id") - F.min("vec_id")) / 2)
+        .collect()[0][0]
+    )
+
+    with tempfile.TemporaryDirectory(prefix="sem_one_") as d:
+        build_semdedup_index(spark, sf_dir, d)
+        one = {
+            r["vec_id"]: (r["motivo"], r["cluster"])
+            for r in admit_semdedup_frame(spark, emb_b, d).collect()
+        }
+
+    with tempfile.TemporaryDirectory(prefix="sem_two_") as d:
+        build_semdedup_index(spark, sf_dir, d)
+        h1 = admit_semdedup_frame(
+            spark, emb_b.filter(F.col("vec_id") < mid), d
+        ).collect()
+        h2 = admit_semdedup_frame(
+            spark, emb_b.filter(F.col("vec_id") >= mid), d
+        ).collect()
+        two = {r["vec_id"]: (r["motivo"], r["cluster"]) for r in h1 + h2}
+
+    assert one == two
