@@ -33,6 +33,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from agrobr_spark.io import load
 
+# mix="dsir": fraction of the gated pool kept by DSIR score (the
+# paper's resample-to-size analog; score>0 thresholding is degenerate
+# on vocabulary-overlapping corpora)
+DSIR_KEEP_FRAC = 0.5
+
 
 def prepare_training_corpus(
     spark: SparkSession,
@@ -51,11 +56,16 @@ def prepare_training_corpus(
     ``mix`` picks the domain-reweighting rule: ``"weights"`` uses the
     pinned MIX_WEIGHTS table; ``"temperature"`` derives α=1/2 weights
     from the GATED corpus's per-source token mass (small sources gain
-    share — see ``pipeline_data_mix_temperature``)."""
+    share — see ``pipeline_data_mix_temperature``); ``"dsir"``
+    restricts the pool to DSIR-selected (target-like) gated docs and
+    budgets each source by its selected token mass (see
+    ``pipeline_dsir_weights``)."""
     from agrobr_spark.queries.pipeline_text import pipeline_keep_set
     from agrobr_spark.queries.training_prep import (
         MIX_FRACTION_DEN,
         MIX_WEIGHTS,
+        N_TOKENS_EXPR,
+        dsir_scores,
         mix_by_token_budget,
         o6_train_val_test,
         temperature_weights,
@@ -99,6 +109,36 @@ def prepare_training_corpus(
         # the shared α=1/2 rule over the gated docs — same canonical
         # tokenizer expression as the catalog's temperature entry
         weights = temperature_weights(gated_docs)
+    elif mix == "dsir":
+        # DSIR picks WHICH gated docs look most target-like, via the
+        # shared frame-level scorer behind the catalog's
+        # ``pipeline_dsir_weights`` (one scoring definition, no drift).
+        # The paper resamples to a target SIZE, not past a fixed score
+        # threshold — a threshold is degenerate when target and raw
+        # vocabularies overlap heavily (every log-ratio goes negative
+        # under smoothing) — so the pool shrinks to the top
+        # DSIR_KEEP_FRAC of gated docs by score (doc_id tie-break;
+        # orderBy+limit = TakeOrderedAndProject, no global sort), and
+        # each source's budget share follows its selected token mass.
+        # The global MIX_FRACTION_DEN budget fraction is unchanged.
+        n_pool = gated_docs.count()
+        k = max(1, int(n_pool * DSIR_KEEP_FRAC))
+        sel = (
+            dsir_scores(gated_docs)
+            .orderBy(F.desc("pontuacao_dsir"), "doc_id")
+            .limit(k)
+            .select("doc_id")
+        )
+        gated_docs = gated_docs.join(sel, "doc_id")
+        weights = {
+            r["source"]: max(1, int(r["t"]))
+            for r in gated_docs.select(
+                "source", F.expr(N_TOKENS_EXPR).alias("n")
+            )
+            .groupBy("source")
+            .agg(F.sum("n").alias("t"))
+            .collect()
+        }
     else:
         raise ValueError(f"unknown mix rule {mix!r}")
     mixed = mix_by_token_budget(gated_docs, weights, MIX_FRACTION_DEN)

@@ -1255,11 +1255,22 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream), a broadcast model join, one keyed agg — linear in token
     count, no window, no shuffle wider than the (doc, bucket) count.
     """
+    return dsir_scores(load(spark, sf_dir, "documents"))
+
+
+def dsir_scores(docs: DataFrame) -> DataFrame:
+    """Frame-level DSIR scorer: ``(doc_id, n_tokens, pontuacao_dsir,
+    selecionado)`` for any documents-shaped frame — the ONE scoring
+    definition behind both the catalog entry above and the end-to-end
+    pipeline's ``mix="dsir"``
+    (:func:`agrobr_spark.pipelines.prepare_training_corpus`), so the
+    chain's selection and the oracle-pinned entry cannot drift apart
+    (the ``temperature_weights`` single-sourcing pattern, r8 VERDICT
+    next #4). Math, determinism, and plan shape as documented on
+    ``pipeline_dsir_weights``."""
     from agrobr_spark.queries.pipeline_text import _tokens
 
-    d = load(spark, sf_dir, "documents").filter(
-        F.length(F.trim("text")) > 0
-    )
+    d = docs.filter(F.length(F.trim("text")) > 0)
     toks = d.select(
         "doc_id",
         (F.col("lang") == DSIR_TARGET_LANG).alias("alvo"),

@@ -289,3 +289,94 @@ def test_dsir_scores_target_like_docs_higher(spark, tmp_path):
     assert out[probe_t]["selecionado"] and not out[probe_r]["selecionado"]
     for i in range(30):  # target-language docs read target-like
         assert out[i]["selecionado"], i
+
+
+def test_dsir_scores_parity_with_catalog_entry(spark):
+    """ONE DSIR scoring definition (r8 VERDICT next #4): the shared
+    frame-level ``dsir_scores`` helper applied to the same fixture
+    must reproduce ``pipeline_dsir_weights`` exactly — the temperature
+    single-sourcing pattern applied to the importance path."""
+    from agrobr_spark.io import load
+    from agrobr_spark.queries.training_prep import (
+        dsir_scores,
+        pipeline_dsir_weights,
+    )
+
+    via_helper = dsir_scores(load(spark, SF_SMOKE, "documents"))
+    via_entry = pipeline_dsir_weights(spark, SF_SMOKE)
+    assert sorted(via_entry.columns) == sorted(via_helper.columns)
+    cols = sorted(via_helper.columns)
+    a = {tuple(r) for r in via_helper.select(*cols).collect()}
+    b = {tuple(r) for r in via_entry.select(*cols).collect()}
+    assert a == b
+
+
+def test_prepare_corpus_dsir_mix(spark, tmp_path):
+    """mix="dsir": the mixture pool is exactly the top-DSIR_KEEP_FRAC
+    of the gated docs by importance score, each source's budget
+    follows its selected token mass, and the accounting still
+    conserves through split assignment and shard export."""
+    import pyspark.sql.functions as F
+
+    from agrobr_spark.io import load
+    from agrobr_spark.pipelines import DSIR_KEEP_FRAC
+    from agrobr_spark.queries.pipeline_text import pipeline_keep_set
+    from agrobr_spark.queries.training_prep import (
+        MIX_FRACTION_DEN,
+        N_TOKENS_EXPR,
+        dsir_scores,
+        text_repetition_filter,
+        text_span_dedup,
+    )
+
+    out = str(tmp_path / "corpus_dsir")
+    s = prepare_training_corpus(spark, SF_SMOKE, out, n_shards=4, mix="dsir")
+
+    # rebuild the expected pool: top-fraction of gated by DSIR score
+    kept = (
+        pipeline_keep_set(spark, SF_SMOKE)
+        .filter(F.col("mantido"))
+        .select("doc_id")
+    )
+    rep = (
+        text_repetition_filter(spark, SF_SMOKE)
+        .filter(~F.col("repetitivo"))
+        .select("doc_id")
+    )
+    span = (
+        text_span_dedup(spark, SF_SMOKE)
+        .filter(~F.col("duplicado"))
+        .select("doc_id")
+    )
+    gated = load(spark, SF_SMOKE, "documents").join(
+        kept.join(rep, "doc_id").join(span, "doc_id"), "doc_id"
+    )
+    k = max(1, int(gated.count() * DSIR_KEEP_FRAC))
+    pool = gated.join(
+        dsir_scores(gated)
+        .orderBy(F.desc("pontuacao_dsir"), "doc_id")
+        .limit(k)
+        .select("doc_id"),
+        "doc_id",
+    )
+    totals = {
+        r["source"]: int(r["t"])
+        for r in pool.select("source", F.expr(N_TOKENS_EXPR).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("t"))
+        .collect()
+    }
+    assert totals, "fixture must select at least one doc"
+
+    # budget share == selected-token-mass share of the global fraction
+    w = {src: max(1, t) for src, t in totals.items()}
+    sw = sum(w.values())
+    grand = sum(totals.values())
+    for src, v in s["selected_per_source"].items():
+        assert v["budget"] == (w[src] * (grand // MIX_FRACTION_DEN)) // sw, src
+        assert v["tokens"] <= totals[src]  # mixture never exceeds the pool
+
+    # accounting conserves end to end
+    total_docs = sum(v["docs"] for v in s["selected_per_source"].values())
+    assert s["shards"]["row_count"] == total_docs
+    assert sum(s["per_split"].values()) == total_docs
