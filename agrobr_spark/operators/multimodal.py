@@ -129,15 +129,75 @@ def mp4_metadata(payload: bytes) -> dict:
     return {"duration_s": dur, "width": w, "height": h}
 
 
+def image_header_metadata(payload: bytes) -> dict:
+    """Stdlib image metadata: width/height parsed straight from the
+    container header — PNG ``IHDR``, JPEG ``SOFn`` (any
+    start-of-frame marker C0–CF except the DHT/arithmetic/ DAC ones),
+    GIF logical-screen descriptor — the image analog of the
+    stdlib-``wave``/MP4-box paths, so header metadata needs no PIL
+    for any of the three modalities (r8 VERDICT next #5; PIL remains
+    the pixel-decode upgrade). Returns ``{"width", "height"}``;
+    raises ``ValueError`` when the payload matches none of the three
+    signatures or the matching header is truncated."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # signature(8) + IHDR length/type(8) + width(4) height(4)
+        if len(payload) < 24 or payload[12:16] != b"IHDR":
+            raise ValueError("truncated PNG: no IHDR")
+        return {
+            "width": int.from_bytes(payload[16:20], "big"),
+            "height": int.from_bytes(payload[20:24], "big"),
+        }
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI, then marker segments
+        off = 2
+        n = len(payload)
+        while off + 4 <= n:
+            if payload[off] != 0xFF:  # resync over fill bytes
+                off += 1
+                continue
+            marker = payload[off + 1]
+            if marker == 0xFF:  # padding before a marker
+                off += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                off += 2  # standalone markers carry no length
+                continue
+            seg_len = int.from_bytes(payload[off + 2 : off + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                # SOFn payload: precision(1), height(2), width(2)
+                if off + 9 > n:
+                    break
+                return {
+                    "height": int.from_bytes(
+                        payload[off + 5 : off + 7], "big"
+                    ),
+                    "width": int.from_bytes(
+                        payload[off + 7 : off + 9], "big"
+                    ),
+                }
+            if marker == 0xDA:  # start-of-scan before any SOF: give up
+                break
+            off += 2 + seg_len
+        raise ValueError("truncated JPEG: no SOF marker before scan")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ValueError("truncated GIF header")
+        return {
+            "width": int.from_bytes(payload[6:8], "little"),
+            "height": int.from_bytes(payload[8:10], "little"),
+        }
+    raise ValueError("not a PNG/JPEG/GIF payload")
+
+
 def real_decode(payload: bytes, kind: str) -> dict:
     """Real-codec decoder with the same signature/contract as
     ``_fake_decode`` (r6 VERDICT next #6): inject via
     ``decode_features(media, decoder=real_decode)``.
 
-    - image: PIL (``NotImplementedError`` when the lib is absent,
-      same env-gating convention as the BigQuery connector); feature =
-      8 grayscale band means of an 8x1 thumbnail, width/height from
-      the real header.
+    - image: stdlib header parse (always available) — width/height
+      from the PNG ``IHDR`` / JPEG ``SOFn`` / GIF descriptor via
+      :func:`image_header_metadata`; the PIXEL feature (8 grayscale
+      band means of an 8x1 thumbnail) is the PIL upgrade and stays a
+      zero vector when the lib is absent.
     - audio: stdlib ``wave`` (always available) — duration from the
       real frame count / sample rate; feature = per-octile mean
       absolute amplitude of the first channel.
@@ -165,18 +225,22 @@ def real_decode(payload: bytes, kind: str) -> dict:
         "feature": [0.0] * 8,
     }
     if kind == "image":
+        # header metadata is pure stdlib (PNG IHDR / JPEG SOFn / GIF
+        # LSD — see image_header_metadata); PIL only upgrades the
+        # PIXEL feature vector, mirroring the video split where ffmpeg
+        # gates frames but never the header
+        meta.update(image_header_metadata(payload))
         try:
             from PIL import Image
-        except ImportError as e:  # env-gated, like sources.S7
-            raise NotImplementedError(
-                "image decode requires PIL (pip install pillow)"
-            ) from e
-        import io
+        except ImportError:
+            pass  # feature stays the zero vector until PIL is present
+        else:
+            import io
 
-        img = Image.open(io.BytesIO(payload))
-        meta["width"], meta["height"] = img.size
-        thumb = img.convert("L").resize((8, 1))
-        meta["feature"] = [px / 255.0 for px in thumb.getdata()]
+            img = Image.open(io.BytesIO(payload))
+            meta["width"], meta["height"] = img.size
+            thumb = img.convert("L").resize((8, 1))
+            meta["feature"] = [px / 255.0 for px in thumb.getdata()]
     elif kind == "audio":
         import io
         import wave

@@ -899,25 +899,75 @@ def test_real_decode_audio_wav(spark):
     assert row["width"] is None and row["height"] is None
 
 
-def test_real_decode_image_png(spark):
-    """PIL-backed image decode (skipped when pillow is absent): true
-    pixel dimensions from real PNG bytes."""
-    import pytest
+def _png_bytes(width: int, height: int) -> bytes:
+    """A valid minimal PNG built field by field with stdlib zlib:
+    signature + IHDR + one-scanline-per-row IDAT + IEND."""
+    import struct
+    import zlib
 
-    PIL_Image = pytest.importorskip("PIL.Image")
-    import io
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
 
-    from agrobr_spark.operators.multimodal import decode_features, real_decode
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # gray8
+    raw = b"".join(b"\x00" + bytes([128] * width) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
 
-    buf = io.BytesIO()
-    PIL_Image.new("RGB", (37, 21), (200, 10, 10)).save(buf, format="PNG")
+
+def _jpeg_header_bytes(width: int, height: int) -> bytes:
+    """SOI + APP0(JFIF) + SOF0 header — enough of a real JPEG for
+    header-metadata parsing (no scan data)."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof0)) + sof0
+    )
+
+
+def test_real_decode_image_headers(spark):
+    """Stdlib image-header decode (r8 VERDICT next #5, no PIL skip):
+    true pixel dimensions from real PNG/JPEG/GIF bytes through the
+    same mapInPandas plumbing; when PIL is present the pixel feature
+    upgrades in place, when absent it stays the zero vector — either
+    way dimensions come from the stdlib header parse."""
+    from agrobr_spark.operators.multimodal import (
+        decode_features,
+        image_header_metadata,
+        real_decode,
+    )
+
+    png = _png_bytes(37, 21)
+    jpg = _jpeg_header_bytes(123, 45)
+    gif = b"GIF89a" + (200).to_bytes(2, "little") + (99).to_bytes(2, "little")
+    assert image_header_metadata(jpg) == {"width": 123, "height": 45}
+    assert image_header_metadata(gif) == {"width": 200, "height": 99}
+
     df = spark.createDataFrame(
-        [(1, "image", bytearray(buf.getvalue()), "image/png")],
+        [(1, "image", bytearray(png), "image/png")],
         "media_id long, kind string, payload binary, mime string",
     )
     row = decode_features(df, decoder=real_decode).collect()[0]
     assert (row["width"], row["height"]) == (37, 21)
     assert len(row["feature"]) == 8
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        assert row["feature"] == [0.0] * 8  # header-only, no pixels
+    else:
+        assert any(f > 0.0 for f in row["feature"])  # real gray 128s
 
 
 def _mp4_bytes(duration_s=7.5, timescale=1000, width=320, height=180,
@@ -1006,9 +1056,9 @@ def test_real_decode_video_mp4(spark):
 
 
 def test_real_decode_env_gates():
-    """Frame extraction (no ffmpeg) gates; image gates exactly when
-    PIL is absent — the same NotImplementedError convention as S7.
-    Header-metadata video decode no longer gates (stdlib parser)."""
+    """Frame extraction (no ffmpeg) gates; header-metadata decode no
+    longer gates for ANY modality (stdlib parsers) — bad bytes raise
+    ValueError, never a lib gate."""
     import pytest
 
     from agrobr_spark.operators.multimodal import (
@@ -1019,12 +1069,11 @@ def test_real_decode_env_gates():
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         extract_video_frames(b"fake")
     with pytest.raises(ValueError, match="moov"):
-        real_decode(b"fake", "video")  # bad bytes, not a lib gate
-    try:
-        import PIL  # noqa: F401
-    except ImportError:
-        with pytest.raises(NotImplementedError, match="PIL"):
-            real_decode(b"fake-png", "image")
+        real_decode(b"fake", "video")
+    with pytest.raises(ValueError, match="PNG/JPEG/GIF"):
+        real_decode(b"fake-png", "image")
+    with pytest.raises(ValueError, match="SOF"):
+        real_decode(b"\xff\xd8\xff\xda\x00\x02", "image")  # scan, no SOF
 
 
 def test_hard_negatives_exclude_near_dups(spark):
