@@ -1540,3 +1540,186 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_indexed(
         spark, path, BM25_QUERY, BM25_TOPK, BM25_K1, BM25_B
     )
+
+
+# -- fuzzy decontamination: rank-fused lexical + semantic sweep ------
+
+FUZZY_SEM_FLOOR = 0.35  # candidate cosine floor (rounded 6dp, both engines)
+FUZZY_BENCH_DOCS = 10
+FUZZY_RRF_K = 60
+
+
+@register(
+    "text_contamination_fuzzy",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE len(string_split_regex(trim(text), '\s+')) >= 5),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
+               AS shingle
+      FROM toks, unnest(range(1, len(t) - 3)) AS r(i)),
+    bench_sh AS (
+      SELECT doc_id AS bid, shingle FROM sh
+      WHERE doc_id < {FUZZY_BENCH_DOCS}),
+    lex AS (
+      SELECT b.bid, s.doc_id, CAST(count(*) AS BIGINT) AS n_comum
+      FROM sh s JOIN bench_sh b USING (shingle)
+      WHERE s.doc_id >= {FUZZY_BENCH_DOCS}
+      GROUP BY b.bid, s.doc_id),
+    lexr AS (
+      SELECT bid, doc_id, n_comum,
+             CAST(row_number() OVER (
+               PARTITION BY bid ORDER BY n_comum DESC, doc_id)
+               AS INTEGER) AS posicao_lex
+      FROM lex),
+    qv AS (
+      SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {FUZZY_BENCH_DOCS}),
+    sem AS (
+      SELECT q.bid, e.vec_id AS doc_id,
+        round(list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+          / nullif(sqrt(list_dot_product(q.qv, q.qv))
+                   * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[]))),
+                   0), 6) AS cosseno
+      FROM embeddings e CROSS JOIN qv q
+      WHERE e.vec_id >= {FUZZY_BENCH_DOCS}),
+    semc AS (SELECT * FROM sem WHERE cosseno >= {FUZZY_SEM_FLOOR}),
+    semr AS (
+      SELECT bid, doc_id, cosseno,
+             CAST(row_number() OVER (
+               PARTITION BY bid ORDER BY cosseno DESC, doc_id)
+               AS INTEGER) AS posicao_sem
+      FROM semc),
+    fus AS (
+      SELECT coalesce(l.bid, s.bid) AS bid,
+             coalesce(l.doc_id, s.doc_id) AS doc_id,
+             l.n_comum, s.cosseno, l.posicao_lex, s.posicao_sem,
+             round(CAST(
+               coalesce(CAST(round(1.0 / ({FUZZY_RRF_K} + l.posicao_lex), 6)
+                             AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
+               + coalesce(CAST(round(1.0 / ({FUZZY_RRF_K} + s.posicao_sem), 6)
+                               AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
+               AS DOUBLE), 6) AS pontos_rrf
+      FROM lexr l FULL OUTER JOIN semr s
+        ON l.bid = s.bid AND l.doc_id = s.doc_id)
+    SELECT bid, doc_id, n_comum, cosseno, posicao_lex, posicao_sem,
+           pontos_rrf,
+           (posicao_lex IS NOT NULL AND posicao_sem IS NOT NULL)
+             OR coalesce(n_comum, 0) >= 3 AS contaminado_fuzzy
+    FROM fus
+    """,
+    tags=("TEXT", "CONTAMINATION", "RETRIEVAL", "RRF", "SCALE_DEFAULT"),
+)
+def text_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination sweep (r8 VERDICT next #7): the exact
+    shingle rule (`text_contamination`) misses paraphrased or
+    re-embedded benchmark leakage, so this composes the retrieval
+    stack against the benchmark set — per benchmark doc, a LEXICAL
+    ranking (shared distinct 5-gram shingles, the containment signal)
+    and a SEMANTIC ranking (embedding cosine at or above
+    {floor}) are fused by reciprocal rank fusion (k={k}, the
+    `sim_hybrid_rrf` discipline: per-ranker contributions rounded to
+    6dp and DECIMAL-summed). The verdict contract: a corpus doc is
+    ``contaminado_fuzzy`` when BOTH rankers nominate it (corroborated
+    fuzzy hit) or when it crosses the exact-containment bar
+    (n_comum >= 3) on the lexical side alone.
+
+    Plan: both candidate generators are broadcast sweeps against the
+    tiny benchmark side — bench shingles and bench vectors ship to
+    every task, the corpus is scanned once per signal with NO shuffle
+    wider than the candidate set — and every window runs per-bid over
+    candidates only (rows that actually share a shingle or clear the
+    cosine floor), never over the corpus. At 100 TB the candidate
+    generation scales as the exact sweep does (shingle semi-join /
+    IVF-prunable cosine) and the fusion stays candidate-sized."""
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+        .filter(F.size("t") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 5), i -> md5(concat_ws("
+                    "' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    bench_sh = sh.filter(F.col("doc_id") < FUZZY_BENCH_DOCS).select(
+        F.col("doc_id").alias("bid"), "shingle"
+    )
+    lex = (
+        sh.filter(F.col("doc_id") >= FUZZY_BENCH_DOCS)
+        .join(F.broadcast(bench_sh), "shingle")
+        .groupBy("bid", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_comum"))
+    )
+    wl = Window.partitionBy("bid").orderBy(F.desc("n_comum"), "doc_id")
+    lexr = lex.withColumn(
+        "posicao_lex", F.row_number().over(wl).cast("int")
+    )
+
+    from agrobr_spark.queries.similarity import _DOT, _NORM
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") < FUZZY_BENCH_DOCS).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("qv")
+    )
+    semc = (
+        e.filter(F.col("vec_id") >= FUZZY_BENCH_DOCS)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "bid",
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                F.expr(_DOT.format(a="qv", b="embedding"))
+                / F.nullif(
+                    F.expr(_NORM.format(a="qv"))
+                    * F.expr(_NORM.format(a="embedding")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("cosseno"),
+        )
+        .filter(F.col("cosseno") >= FUZZY_SEM_FLOOR)
+    )
+    ws = Window.partitionBy("bid").orderBy(F.desc("cosseno"), "doc_id")
+    semr = semc.withColumn(
+        "posicao_sem", F.row_number().over(ws).cast("int")
+    )
+
+    def contrib(col: str):
+        return F.coalesce(
+            F.round(1.0 / (F.lit(FUZZY_RRF_K) + F.col(col)), 6).cast(
+                "decimal(18,6)"
+            ),
+            F.lit(0).cast("decimal(18,6)"),
+        )
+
+    fus = lexr.join(semr, ["bid", "doc_id"], "full_outer").select(
+        "bid",
+        "doc_id",
+        "n_comum",
+        "cosseno",
+        "posicao_lex",
+        "posicao_sem",
+        F.round(
+            (contrib("posicao_lex") + contrib("posicao_sem")).cast("double"),
+            6,
+        ).alias("pontos_rrf"),
+    )
+    return fus.withColumn(
+        "contaminado_fuzzy",
+        (F.col("posicao_lex").isNotNull() & F.col("posicao_sem").isNotNull())
+        | (F.coalesce(F.col("n_comum"), F.lit(0)) >= 3),
+    )
+
+
+text_contamination_fuzzy.__doc__ = text_contamination_fuzzy.__doc__.format(
+    floor=FUZZY_SEM_FLOOR, k=FUZZY_RRF_K
+)

@@ -243,6 +243,20 @@ class TestRetrievalAndSampling:
         assert "documents" not in plan  # corpus untouched at query time
         assert "BatchEvalPython" not in plan
 
+    def test_contamination_fuzzy_broadcasts_benchmark(self, spark, cat):
+        """text_contamination_fuzzy (r8 verdict next #7): both
+        candidate generators ship the tiny benchmark side broadcast —
+        bench shingles into a BroadcastHashJoin, bench vectors into a
+        broadcast nested-loop sweep — and no plain CartesianProduct or
+        corpus-wide range sort exists; windows run per-bid over
+        candidates only."""
+        plan = plan_of(cat["text_contamination_fuzzy"].fn(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan, plan  # broadcast qv sweep
+        assert "CartesianProduct" not in plan
+        assert "Exchange rangepartitioning" not in plan
+        assert "BatchEvalPython" not in plan
+
     def test_rrf_fusion_never_sorts_corpus(self, spark, cat):
         """Both RRF ranker sides reduce via TakeOrderedAndProject
         before fusion; the only window sorts run on the ≤DEPTH-row
