@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "pipeline_dsir_weights",
     "j9_bloom_semi_join",
     "text_bm25_topk",
+    "text_bm25_indexed",
+    "text_contamination_fuzzy",
     "sim_hybrid_rrf",
     "o8_weighted_sample",
     "p4_date_range",
@@ -217,8 +219,16 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    # run id stamped into BOTH the detail file and the headline line
+    # (r8 verdict nit #2): a committed BENCH_DETAIL_r{N}.json can be
+    # matched to the official BENCH_r{N}.json record by id instead of
+    # by guessing from totals
+    import time
+
+    run_id = f"{int(time.time()):x}-{os.getpid():x}"
     detail = {
         "metric": "headline_queries_total",
+        "run_id": run_id,
         "value": total,
         "unit": "sec",
         "sf": sf_val,
@@ -235,6 +245,7 @@ def main() -> None:
     # full per-query record is in BENCH_DETAIL.json)
     out = {
         "metric": "headline_queries_total",
+        "run_id": run_id,
         "value": total,
         "unit": "sec",
         "queries": {

@@ -109,6 +109,14 @@ PROBE_QUERIES = [
     "sim_hybrid_rrf",
     # sequential-Poisson weighted sample: narrow map + top-k heap
     "o8_weighted_sample",
+    # round-9 additions: indexed BM25 (best-of-2 reports the bucket-
+    # pruned QUERY path — the build amortizes into run 1), fuzzy
+    # contamination (broadcast-bench candidate generation + RRF over
+    # candidates only), streamed SemDeDup admission (frozen centroids,
+    # per-batch cluster-local gating)
+    "text_bm25_indexed",
+    "text_contamination_fuzzy",
+    "stream_admit_semdedup",
 ]
 
 # every table any probe query loads
