@@ -95,6 +95,7 @@ def build_posting_index(
         .groupBy()
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("dl").cast("bigint").alias("sum_dl"),
             (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
         )
     )
@@ -106,6 +107,61 @@ def build_posting_index(
     }
     with open(f"{path}/manifest.json", "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)
+
+
+def update_posting_index(
+    docs_new: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incrementally fold a batch of NEW documents into an existing
+    index — the retrieval-store analog of the admission pipelines'
+    MERGE-back (and of the reference's incremental accumulate loop,
+    ref: agrobr/cepea/api.py:119-187): the corpus is never
+    re-tokenized; only the batch's posting rows are written, appended
+    into their term buckets at the n_buckets FROZEN in the manifest
+    (batch and corpus can never hash at different widths).
+
+    Corpus stats fold exactly: the stats row carries ``sum_dl``
+    alongside ``n``, so the updated ``avgdl`` is
+    ``(sum_dl + sum_dl_batch) / (n + n_batch)`` — byte-identical to a
+    full rebuild over corpus ∪ batch, which is what the parity test
+    pins (build+update ≡ rebuild, query-result equality).
+
+    Contract: ``docs_new`` holds ids not already indexed (the
+    admission pipelines guarantee this — a doc is indexed at most
+    once); re-appending an id would double-count its postings, the
+    same append-only semantics as the survivor MERGE's staging input.
+    """
+    man = read_manifest(path)
+    nb = int(man["n_buckets"])
+    postings = tokenize_postings(docs_new, id_col, text_col)
+    bucket = F.pmod(F.xxhash64(F.col("termo")), F.lit(nb))
+    (
+        postings.withColumn("bucket", bucket.cast("int"))
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    spark = docs_new.sparkSession
+    old = spark.read.parquet(f"{path}/stats").collect()[0]
+    batch = (
+        postings.groupBy(id_col)
+        .agg(F.first("dl").alias("dl"))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(F.sum("dl").cast("bigint"), F.lit(0)).alias("sum_dl"),
+        )
+        .collect()[0]
+    )
+    n = int(old["n"]) + int(batch["n"])
+    sum_dl = int(old["sum_dl"]) + int(batch["sum_dl"])
+    spark.createDataFrame(
+        [(n, sum_dl, sum_dl / n if n else 0.0)],
+        "n bigint, sum_dl bigint, avgdl double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
 
 def read_manifest(path: str) -> dict:

@@ -326,3 +326,50 @@ def test_posting_index_build_and_query(spark, tmp_path):
     exp1 = round(score(1, 4, 2) + score(2, 4, 1), 6)
     exp2 = round(score(2, 3, 2), 6)
     assert got == {1: (2, exp1), 2: (1, exp2)}
+
+
+def test_posting_index_incremental_update_equals_rebuild(spark, tmp_path):
+    """update_posting_index: corpus build + batch update must be
+    query-identical to one rebuild over corpus ∪ batch — postings
+    appended at the frozen bucket width, stats folded exactly from the
+    carried (n, sum_dl)."""
+    from agrobr_spark.store.posting import (
+        bm25_topk_indexed,
+        build_posting_index,
+        update_posting_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta beta gamma"),
+            (2, "alpha alpha delta"),
+            (3, "epsilon zeta alpha"),
+            (4, "beta beta beta epsilon"),
+            (5, "gamma delta"),
+        ],
+        "doc_id bigint, text string",
+    )
+    corpus = docs.filter("doc_id <= 3")
+    batch = docs.filter("doc_id > 3")
+    terms = ("alpha", "beta", "epsilon")
+
+    inc = str(tmp_path / "inc")
+    build_posting_index(corpus, inc, n_buckets=8)
+    update_posting_index(batch, inc)
+
+    full = str(tmp_path / "full")
+    build_posting_index(docs, full, n_buckets=8)
+
+    def answer(path):
+        return [
+            tuple(r)
+            for r in bm25_topk_indexed(
+                spark, path, terms, 10, 1.2, 0.75
+            ).collect()
+        ]
+
+    assert answer(inc) == answer(full)
+    s_inc = spark.read.parquet(f"{inc}/stats").collect()[0]
+    s_full = spark.read.parquet(f"{full}/stats").collect()[0]
+    assert (s_inc["n"], s_inc["sum_dl"]) == (s_full["n"], s_full["sum_dl"])
+    assert s_inc["avgdl"] == s_full["avgdl"]
