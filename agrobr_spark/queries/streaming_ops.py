@@ -762,6 +762,110 @@ def stream_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ingest, ignore_errors=True)
 
 
+def _stream_bm25_oracle() -> str:
+    from agrobr_spark.queries.pipeline_text import (
+        BM25_SCORES_CTE,
+        BM25_TOPK,
+    )
+
+    return f"""
+    WITH {BM25_SCORES_CTE}
+    SELECT doc_id, n_termos, pontos FROM bm25
+    ORDER BY pontos DESC, doc_id LIMIT {BM25_TOPK}
+    """
+
+
+@register(
+    "stream_bm25_index_update",
+    oracle=_stream_bm25_oracle(),
+    tags=("STREAM", "RETRIEVAL", "BM25", "INDEX", "FOREACHBATCH"),
+)
+def stream_bm25_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The posting index maintained as a STREAM: the corpus split
+    builds the term-bucketed index once, batch documents land as
+    id-ranged ingest files, and every micro-batch folds its postings
+    in via ``store/posting.update_posting_index`` — appended at the
+    bucket width frozen in the manifest, stats folded exactly from
+    the carried (n, sum_dl), and the foreachBatch ``batch_id``
+    recorded in the manifest so a replayed epoch is a no-op
+    (the sinks' ``applied_batch_ids`` guard applied to the index:
+    effectively-exactly-once append). The final frame answers the
+    fixed BM25 query from the incrementally-built index; the oracle
+    is the one-shot full-corpus BM25 — build+update ≡ rebuild is the
+    driver-hash-checked identity, and the corpus split is never
+    re-tokenized after its build."""
+    import os
+    import shutil
+    import tempfile
+
+    from agrobr_spark.io import load
+    from agrobr_spark.queries.admission import _split_params
+    from agrobr_spark.queries.pipeline_text import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        BM25_TOPK,
+    )
+    from agrobr_spark.store.posting import (
+        bm25_topk_indexed,
+        build_posting_index,
+        update_posting_index,
+    )
+
+    _COUNTER[0] += 1
+    store_dir = tempfile.mkdtemp(prefix="stream_bm25_idx_")
+    ingest = tempfile.mkdtemp(prefix="stream_bm25_in_")
+    try:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        cut = _split_params(spark, sf_dir)[0]
+        build_posting_index(docs.filter(F.col("doc_id") < cut), store_dir)
+        staged = docs.filter(F.col("doc_id") >= cut)
+        max_id = staged.agg(F.max("doc_id")).collect()[0][0] or cut
+        n_files = 3
+        span = max(1, (int(max_id) - cut + n_files) // n_files)
+        t0 = 1_000_000_000
+        for i in range(n_files):
+            lo, hi = cut + i * span, cut + (i + 1) * span
+            chunk = staged.filter(
+                (F.col("doc_id") >= lo)
+                & (F.col("doc_id") < (hi if i < n_files - 1 else 1 << 62))
+            )
+            tmp = f"{ingest}/.stage{i}"
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = f"{ingest}/chunk{i:05d}.parquet"
+            shutil.move(f"{tmp}/{part}", dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+
+        stream = (
+            spark.readStream.schema(staged.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ingest)
+        )
+
+        def handle(batch: DataFrame, batch_id: int) -> None:
+            update_posting_index(batch, store_dir, batch_id=batch_id)
+
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+        out = bm25_topk_indexed(
+            spark, store_dir, BM25_QUERY, BM25_TOPK, BM25_K1, BM25_B
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+        shutil.rmtree(ingest, ignore_errors=True)
+
+
 @register(
     "stream_dedup_exact",
     oracle="""

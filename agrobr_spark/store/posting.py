@@ -114,6 +114,7 @@ def update_posting_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_id: int | None = None,
 ) -> None:
     """Incrementally fold a batch of NEW documents into an existing
     index — the retrieval-store analog of the admission pipelines'
@@ -133,8 +134,17 @@ def update_posting_index(
     admission pipelines guarantee this — a doc is indexed at most
     once); re-appending an id would double-count its postings, the
     same append-only semantics as the survivor MERGE's staging input.
+    For streaming callers, pass the foreachBatch ``batch_id``: applied
+    epochs are recorded in the manifest and a replayed epoch is a
+    no-op instead of a double-count (the sinks' ``applied_batch_ids``
+    guard applied to the index), making the stream
+    effectively-exactly-once.
     """
     man = read_manifest(path)
+    if batch_id is not None and int(batch_id) in man.get(
+        "applied_batch_ids", []
+    ):
+        return
     nb = int(man["n_buckets"])
     postings = tokenize_postings(docs_new, id_col, text_col)
     bucket = F.pmod(F.xxhash64(F.col("termo")), F.lit(nb))
@@ -162,6 +172,10 @@ def update_posting_index(
         [(n, sum_dl, sum_dl / n if n else 0.0)],
         "n bigint, sum_dl bigint, avgdl double",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    if batch_id is not None:
+        man.setdefault("applied_batch_ids", []).append(int(batch_id))
+        with open(f"{path}/manifest.json", "w", encoding="utf-8") as fh:
+            json.dump(man, fh)
 
 
 def read_manifest(path: str) -> dict:

@@ -373,3 +373,42 @@ def test_posting_index_incremental_update_equals_rebuild(spark, tmp_path):
     s_full = spark.read.parquet(f"{full}/stats").collect()[0]
     assert (s_inc["n"], s_inc["sum_dl"]) == (s_full["n"], s_full["sum_dl"])
     assert s_inc["avgdl"] == s_full["avgdl"]
+
+
+def test_posting_index_batchid_replay_is_noop(spark, tmp_path):
+    """Streaming exactly-once for the posting index: re-applying an
+    epoch with the same batch_id must change neither postings nor
+    stats; a NEW batch_id with the same rows double-counts (the
+    documented append contract — the guard is the batch id, not row
+    content)."""
+    from agrobr_spark.store.posting import (
+        build_posting_index,
+        read_manifest,
+        update_posting_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(3, "alpha alpha delta")], "doc_id bigint, text string"
+    )
+    path = str(tmp_path / "idx")
+    build_posting_index(corpus, path, n_buckets=8)
+
+    def state():
+        stats = spark.read.parquet(f"{path}/stats").collect()[0]
+        rows = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{path}/postings").collect()
+        )
+        return (stats["n"], stats["sum_dl"], rows)
+
+    update_posting_index(batch, path, batch_id=0)
+    s1 = state()
+    update_posting_index(batch, path, batch_id=0)  # replayed epoch
+    assert state() == s1
+    assert read_manifest(path)["applied_batch_ids"] == [0]
+    update_posting_index(batch, path, batch_id=1)  # new epoch: applied
+    assert state()[0] == s1[0] + 1
