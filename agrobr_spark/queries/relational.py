@@ -1721,3 +1721,93 @@ def j9_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 j9_bloom_semi_join.__doc__ = j9_bloom_semi_join.__doc__.format(
     floor=J9_PRICE_FLOOR
 )
+
+
+# -- A18: approximate distinct-count profiling (HLL++), self-verified --
+
+_A18_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_shipdate",
+    "l_returnflag",
+)
+_A18_RSD = 0.02
+_A18_TOL = 3.0 * _A18_RSD  # contract: |approx - exact| <= 3·rsd · exact
+
+
+@register(
+    "a18_approx_distinct",
+    # Self-verifying oracle shape (the a13 pattern): Spark's HLL++
+    # sketch and any DuckDB sketch never match bit-for-bit, so the
+    # Spark side checks its OWN sketch against the exact distinct
+    # count in-query and emits one boolean per column; the oracle
+    # pins the exact counts plus the all-TRUE frame. HLL++ is
+    # deterministic for a given dataset, so the booleans are stable
+    # per fixture — probed at sf0.001/0.01/0.1 and bound-tested in
+    # tests/test_operators.py.
+    oracle="""
+    SELECT * FROM (
+      SELECT 'l_orderkey' AS coluna,
+        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exato,
+        TRUE AS dentro FROM lineitem
+      UNION ALL SELECT 'l_partkey',
+        CAST(count(DISTINCT l_partkey) AS BIGINT), TRUE FROM lineitem
+      UNION ALL SELECT 'l_suppkey',
+        CAST(count(DISTINCT l_suppkey) AS BIGINT), TRUE FROM lineitem
+      UNION ALL SELECT 'l_shipdate',
+        CAST(count(DISTINCT l_shipdate) AS BIGINT), TRUE FROM lineitem
+      UNION ALL SELECT 'l_returnflag',
+        CAST(count(DISTINCT l_returnflag) AS BIGINT), TRUE FROM lineitem)
+    """,
+    tags=("A18", "PROFILE", "APPROX", "SCALE_DEFAULT"),
+)
+def a18_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct-count profiling (Deequ's
+    ``ApproxCountDistinct`` analyzer): per profiled column, the HLL++
+    sketch estimate checked in-query against the exact distinct count
+    — ``dentro`` is TRUE when the estimate lands within 3·rsd
+    (rsd={rsd}) of the truth, the repo's standard self-verifying
+    shape for sketches the oracle engine cannot replicate bit-level.
+
+    At 100 TB the production call is the approx row ALONE: one scan,
+    mergeable sketches per partition, no expand — exact
+    count(DISTINCT) over five columns multiplies the scan through
+    Spark's Expand operator and shuffles every distinct value, which
+    is exactly what a profiler cannot afford on a fact table. The
+    verification join here costs one extra aggregate and exists so
+    the sketch's error contract is driver-hash-checked per fixture
+    (the a13 discipline), not trusted from documentation."""
+    li = load(spark, sf_dir, "lineitem")
+    aprox = li.agg(
+        *[
+            F.approx_count_distinct(c, rsd=_A18_RSD).alias(f"a_{c}")
+            for c in _A18_COLS
+        ]
+    )
+    exato = li.agg(
+        *[
+            F.countDistinct(c).cast("bigint").alias(f"e_{c}")
+            for c in _A18_COLS
+        ]
+    )
+    j = exato.crossJoin(F.broadcast(aprox))
+    stack = ", ".join(f"'{c}', e_{c}, a_{c}" for c in _A18_COLS)
+    linhas = j.select(
+        F.expr(
+            f"stack({len(_A18_COLS)}, {stack}) AS (coluna, n_exato, n_aprox)"
+        )
+    )
+    return linhas.select(
+        "coluna",
+        F.col("n_exato").cast("bigint").alias("n_exato"),
+        (
+            F.abs(F.col("n_aprox") - F.col("n_exato"))
+            <= F.lit(_A18_TOL) * F.col("n_exato")
+        ).alias("dentro"),
+    )
+
+
+a18_approx_distinct.__doc__ = a18_approx_distinct.__doc__.format(
+    rsd=_A18_RSD
+)

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "a15_profile_columns",
     "a16_profile_histogram",
     "a17_profile_correlation",
+    "a18_approx_distinct",
     "corpus_source_divergence",
     "o7_stratified_sample_exact",
     "dedup_semdedup",

@@ -1341,3 +1341,20 @@ def test_bloom_semi_join_exact_and_bitmap_bounds(spark):
     assert want <= cand  # never drops a true match
     # 8 bits/key, 2 hashes -> FPR ~ 5%; allow generous slack
     assert len(cand) <= len(want) + 0.25 * (5000 - len(want))
+
+
+def test_approx_distinct_within_bound_at_all_fixture_scales(spark):
+    """a18's 3·rsd contract must hold on every fixture scale the
+    driver and probes use — HLL++ is deterministic per dataset, so
+    these booleans are stable, and a Spark-version sketch change that
+    breaks the bound fails here before it fails the oracle."""
+    from agrobr_spark.queries.relational import a18_approx_distinct
+    from tests.conftest import SF_SMOKE
+
+    rows = a18_approx_distinct(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    assert all(r["dentro"] for r in rows), rows
+    # sanity: exact counts are the fixture's known cardinalities
+    got = {r["coluna"]: r["n_exato"] for r in rows}
+    assert got["l_returnflag"] == 3
+    assert got["l_suppkey"] == 10
