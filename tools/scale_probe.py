@@ -117,6 +117,13 @@ PROBE_QUERIES = [
     "text_bm25_indexed",
     "text_contamination_fuzzy",
     "stream_admit_semdedup",
+    # streamed posting maintenance (per-batch tokenize + bucketed
+    # append; corpus never re-tokenized), HLL profile (one scan +
+    # exact-verify aggregate), PQ ANN (codes join + LUT sum; the
+    # size-adaptive shortlist keeps the re-rank a fixed fraction)
+    "stream_bm25_index_update",
+    "a18_approx_distinct",
+    "sim_pq_ann",
 ]
 
 # every table any probe query loads
