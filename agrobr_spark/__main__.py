@@ -153,6 +153,43 @@ def cmd_bench(args) -> int:
     return subprocess.call([sys.executable, "bench.py"], env=env)
 
 
+def cmd_index(args) -> int:
+    """Posting-index lifecycle from the shell: build it from a
+    documents table, fold a new batch in, or answer a BM25 query from
+    the bucket-pruned read — the retrieval-store counterpart of the
+    store-facing `doctor`/`freshness` commands."""
+    from agrobr_spark.queries.pipeline_text import BM25_B, BM25_K1
+    from agrobr_spark.store.posting import (
+        bm25_topk_indexed,
+        build_posting_index,
+        update_posting_index,
+    )
+
+    spark = _spark()
+    if args.action in ("build", "update"):
+        src = args.docs or f"{args.sf}/documents.parquet"
+        docs = spark.read.parquet(src).select("doc_id", "text")
+        if args.action == "build":
+            build_posting_index(docs, args.path, n_buckets=args.buckets)
+            print(f"built {args.path} (n_buckets={args.buckets})")
+        else:
+            update_posting_index(docs, args.path)
+            print(f"updated {args.path}")
+        return 0
+    if not args.terms:
+        print("error: query requires --terms", file=sys.stderr)
+        return 2
+    terms = tuple(t.strip().lower() for t in args.terms.split(",") if t.strip())
+    out = bm25_topk_indexed(spark, args.path, terms, args.k, BM25_K1, BM25_B)
+    rows = out.collect()
+    if args.json:
+        print(json.dumps([r.asDict() for r in rows], default=str))
+    else:
+        for r in rows:
+            print(f"{r['doc_id']}\t{r['n_termos']}\t{r['pontos']}")
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     """Library benchmark suites (ref: the reference's
     run_contract_benchmarks / run_semantic_benchmarks CLI surface,
@@ -222,6 +259,18 @@ def main(argv: list[str] | None = None) -> int:
     fr.add_argument("history")
     fr.add_argument("--source-col", default="source")
     fr.add_argument("--date-col", default="data")
+    ix = sub.add_parser("index")
+    ix.add_argument("action", choices=("build", "update", "query"))
+    ix.add_argument("path", help="posting-index directory")
+    ix.add_argument("--docs", default=None,
+                    help="parquet path/dir with (doc_id, text) rows "
+                         "(build/update); defaults to --sf documents")
+    ix.add_argument("--sf", default="/root/testdata/sf0.001")
+    ix.add_argument("--terms", default=None,
+                    help="comma-separated query terms (query)")
+    ix.add_argument("--k", type=int, default=10)
+    ix.add_argument("--buckets", type=int, default=64)
+    ix.add_argument("--json", action="store_true")
     b = sub.add_parser("bench")
     b.add_argument("--sf")
     bm = sub.add_parser("benchmark")
@@ -243,6 +292,7 @@ def main(argv: list[str] | None = None) -> int:
         "doctor": cmd_doctor,
         "sla": cmd_sla,
         "freshness": cmd_freshness,
+        "index": cmd_index,
         "bench": cmd_bench,
         "benchmark": cmd_benchmark,
     }[args.cmd](args)

@@ -104,3 +104,53 @@ def test_benchmark_suites_cmd(capsys):
     ]) == 0
     d = json.loads(capsys.readouterr().out)
     assert [r["name"] for r in d["results"]] == ["p1_project_rename"]
+
+
+def test_index_lifecycle_cmd(tmp_path, spark, capsys):
+    """index build → query → update → query from the shell: the
+    updated answer must reflect the folded batch, and query without
+    --terms errors instead of guessing."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma gamma")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(3, "gamma gamma gamma")], "doc_id bigint, text string"
+    )
+    corpus.write.parquet(str(tmp_path / "corpus.parquet"))
+    batch.write.parquet(str(tmp_path / "batch.parquet"))
+    idx = str(tmp_path / "idx")
+
+    assert cli.main(
+        ["index", "build", idx, "--docs", str(tmp_path / "corpus.parquet"),
+         "--buckets", "8"]
+    ) == 0
+    capsys.readouterr()
+    assert cli.main(
+        ["index", "query", idx, "--terms", "gamma", "--json"]
+    ) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert [r["doc_id"] for r in rows] == [2]
+
+    assert cli.main(
+        ["index", "update", idx, "--docs", str(tmp_path / "batch.parquet")]
+    ) == 0
+    capsys.readouterr()
+    assert cli.main(
+        ["index", "query", idx, "--terms", "gamma", "--json"]
+    ) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert {r["doc_id"] for r in rows} == {2, 3}
+
+    assert cli.main(["index", "query", idx]) == 2
+
+
+def test_benchmark_unknown_query_errors(capsys):
+    """r8 ADVICE #3: a typo'd --queries name must fail loudly (exit 2),
+    not silently benchmark a partial suite; whitespace around names is
+    tolerated."""
+    rc = cli.main(
+        ["benchmark", "queries", "--queries", "a1_rollup_sum, not_a_query"]
+    )
+    assert rc == 2
+    assert "not_a_query" in capsys.readouterr().err

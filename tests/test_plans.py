@@ -243,6 +243,19 @@ class TestRetrievalAndSampling:
         assert "documents" not in plan  # corpus untouched at query time
         assert "BatchEvalPython" not in plan
 
+    def test_pq_ann_broadcasts_codebook_and_lut(self, spark, cat):
+        """sim_pq_ann: the codebook, LUT, and query-vector sides all
+        reach the corpus as broadcast joins (the corpus is never
+        shuffled by value and never range-sorted); the only
+        nested-loop is the broadcast query×codebook cross join; no
+        Python in the hot path."""
+        plan = plan_of(cat["sim_pq_ann"].fn(spark, SF_SMOKE))
+        assert plan.count("BroadcastHashJoin") >= 3, plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "Exchange rangepartitioning" not in plan
+        assert "BatchEvalPython" not in plan
+
     def test_contamination_fuzzy_broadcasts_benchmark(self, spark, cat):
         """text_contamination_fuzzy (r8 verdict next #7): both
         candidate generators ship the tiny benchmark side broadcast —
