@@ -1723,3 +1723,72 @@ def text_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_contamination_fuzzy.__doc__ = text_contamination_fuzzy.__doc__.format(
     floor=FUZZY_SEM_FLOOR, k=FUZZY_RRF_K
 )
+
+
+# -- exact heavy hitters: Misra-Gries candidates + exact verify ------
+
+HH_SUPPORT = 0.02  # report tokens covering >= 2% of the token stream
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT lower(u.tok) AS termo
+      FROM (SELECT string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0) d,
+           unnest(d.t) AS u(tok)),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks)
+    SELECT termo, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / CAST(t.total AS DOUBLE), 6) AS freq
+    FROM toks, tot t
+    GROUP BY termo, t.total
+    HAVING count(*) >= ceil({HH_SUPPORT} * t.total)
+    """,
+    tags=("TEXT", "PROFILE", "HEAVY_HITTERS", "SCALE_DEFAULT"),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters over the token stream — every token
+    covering at least {s:.0%} of all tokens, with its exact count and
+    frequency — via the two-pass Misra-Gries shape: pass 1 runs
+    Spark's ``freqItems`` (per-partition bounded counter maps, ~1/s
+    counters each, merged associatively — guaranteed superset, no
+    false negatives), pass 2 exactly counts ONLY the ≤1/s candidate
+    tokens and drops the false positives at the ceil(s·N) bar. The
+    result is exact and deterministic, so the oracle pins it with a
+    plain GROUP BY ... HAVING — but the Spark plan never runs that
+    full group-by: at 100 TB aggregating every distinct token
+    (vocabulary-sized shuffle) is the cost this operator exists to
+    avoid, while the candidate pass shuffles at most 1/s keys.
+
+    The corpus stopword/vocab reports (`text_stopwords`,
+    `text_ngram_topk`) answer "what are the top tokens"; this answers
+    the stronger guarantee question "EVERY token above the support
+    bar, exactly" — the Deequ/stream-profiling heavy-hitter contract.
+    """
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = d.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+    ).select(F.lower("t").alias("termo"))
+    # pass 1: bounded-state candidates (list of <= ~1/s tokens)
+    cands = toks.stat.freqItems(["termo"], HH_SUPPORT).collect()[0][0]
+    tot = toks.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    return (
+        toks.filter(F.col("termo").isin(list(cands)))
+        .groupBy("termo")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n") >= F.ceil(F.lit(HH_SUPPORT) * F.col("total")))
+        .select(
+            "termo",
+            "n",
+            F.round(F.col("n") / F.col("total").cast("double"), 6).alias(
+                "freq"
+            ),
+        )
+    )
+
+
+text_heavy_hitters.__doc__ = text_heavy_hitters.__doc__.format(s=HH_SUPPORT)

@@ -1380,3 +1380,38 @@ def test_pq_ann_recall_vs_brute_force(spark):
         recalls = [len(truth[q] & got[q]) / len(truth[q]) for q in truth]
         mean = sum(recalls) / len(recalls)
         assert mean >= 0.80, f"{sf_dir}: mean recall {mean} ({recalls})"
+
+
+def test_heavy_hitters_exact_and_no_false_negatives(spark):
+    """text_heavy_hitters must equal the full group-by ground truth
+    exactly (the no-false-negative guarantee of the Misra-Gries
+    candidate pass is what makes the two-pass shape EXACT, not
+    approximate) — checked on the smoke fixture."""
+    from agrobr_spark.io import load
+    from agrobr_spark.queries.pipeline_text import (
+        HH_SUPPORT,
+        text_heavy_hitters,
+    )
+
+    d = load(spark, SF_SMOKE, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = d.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+    ).select(F.lower("t").alias("termo"))
+    total = toks.count()
+    import math
+
+    bar = math.ceil(HH_SUPPORT * total)
+    truth = {
+        r["termo"]: r["n"]
+        for r in toks.groupBy("termo")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") >= bar)
+        .collect()
+    }
+    got = {
+        r["termo"]: r["n"] for r in text_heavy_hitters(spark, SF_SMOKE).collect()
+    }
+    assert got == truth
+    assert truth, "fixture must have at least one heavy hitter"
