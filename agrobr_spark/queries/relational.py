@@ -1811,3 +1811,93 @@ def a18_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 a18_approx_distinct.__doc__ = a18_approx_distinct.__doc__.format(
     rsd=_A18_RSD
 )
+
+
+# -- J10: interval-interval overlap join ------------------------------
+
+_J10_BUCKET_DAYS = 16
+
+
+@register(
+    "j10_interval_overlap",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+        (CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS ini,
+        (CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+          + 1 + CAST(l_suppkey % 14 AS BIGINT) AS fim
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE)
+              BETWEEN DATE '1997-01-01' AND DATE '1997-03-31'),
+    jan AS (
+      SELECT o_orderkey,
+        (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS ini,
+        (CAST(o_orderdate AS DATE) - DATE '1970-01-01') + 14 AS fim,
+        CAST(o_orderdate AS DATE) AS data_pedido
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE)
+              BETWEEN DATE '1997-01-01' AND DATE '1997-01-07')
+    SELECT j.o_orderkey, j.data_pedido,
+           CAST(count(*) AS BIGINT) AS n_envios_sobrepostos
+    FROM jan j JOIN li ON li.ini < j.fim AND j.ini < li.fim
+    GROUP BY j.o_orderkey, j.data_pedido
+    """,
+    tags=("J10", "RANGE", "INTERVAL", "SCALE_DEFAULT"),
+)
+def j10_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-interval overlap join: per first-week-of-1997 order
+    (its fulfillment window = order date + 14 days), how many Q1
+    shipments were IN TRANSIT (ship date plus a per-supplier
+    1-14-day transit window — the fixture has no receipt column, so
+    transit derives deterministically from l_suppkey) at some point
+    inside that window — the logistics/occupancy question every
+    interval analytics layer answers (room bookings, ad flights,
+    sensor validity windows).
+
+    Plan: ``operators/range_join.interval_overlap_join`` — both
+    interval sides explode to their {w}-day buckets and meet in a
+    hash equi-join on the bucket id; the exact overlap predicate and
+    the canonical-bucket rule (pair emitted only at the overlap's
+    left edge) make the result exact with no DISTINCT and no
+    nested-loop: the naive theta join the oracle runs is the O(n·m)
+    plan this operator exists to avoid at scale."""
+    from agrobr_spark.operators.range_join import interval_overlap_join
+
+    li = load(spark, sf_dir, "lineitem")
+    epoch = F.lit("1970-01-01")
+    ship = F.col("l_shipdate").cast("date")
+    a = (
+        li.filter(ship.between("1997-01-01", "1997-03-31"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(ship, epoch).alias("ini_a"),
+            (
+                F.datediff(ship, epoch)
+                + 1
+                + (F.col("l_suppkey") % 14).cast("bigint")
+            ).alias("fim_a"),
+        )
+    )
+    od = F.col("o_orderdate").cast("date")
+    b = (
+        load(spark, sf_dir, "orders")
+        .filter(od.between("1997-01-01", "1997-01-07"))
+        .select(
+            "o_orderkey",
+            F.datediff(od, epoch).alias("ini_b"),
+            (F.datediff(od, epoch) + 14).alias("fim_b"),
+            od.alias("data_pedido"),
+        )
+    )
+    pares = interval_overlap_join(
+        a, b, "ini_a", "fim_a", "ini_b", "fim_b", _J10_BUCKET_DAYS
+    )
+    return pares.groupBy("o_orderkey", "data_pedido").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_envios_sobrepostos")
+    )
+
+
+j10_interval_overlap.__doc__ = j10_interval_overlap.__doc__.format(
+    w=_J10_BUCKET_DAYS
+)

@@ -1415,3 +1415,33 @@ def test_heavy_hitters_exact_and_no_false_negatives(spark):
     }
     assert got == truth
     assert truth, "fixture must have at least one heavy hitter"
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Bucketized interval-interval overlap must equal the naive
+    theta join exactly — including multi-bucket spans (no double
+    emission thanks to the canonical left-edge bucket rule), zero
+    overlap sharing only an endpoint (closed-open: NOT a match), and
+    containment."""
+    from agrobr_spark.operators.range_join import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 0, 40), (2, 10, 12), (3, 30, 31), (4, 5, 6)],
+        "aid int, ia long, fa long",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 35), (2, 6, 10), (3, 39, 50), (4, 0, 100)],
+        "bid int, ib long, fb long",
+    )
+    naive = a.join(
+        b, (a.ia < b.fb) & (b.ib < a.fa)
+    ).select("aid", "bid")
+    fast = interval_overlap_join(
+        a, b, "ia", "fa", "ib", "fb", bucket_width=7
+    ).select("aid", "bid")
+    got = sorted(map(tuple, fast.collect()))
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want
+    # sanity on semantics: (2: 10..12) vs (2: 6..10) touch at 10 only
+    assert (2, 2) not in got  # closed-open endpoints do not overlap
+    assert (1, 4) in got      # containment matches once
