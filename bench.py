@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "j2_full_outer_mirror",
     "j7_asof_join",
     "j8_range_join",
+    "j10_interval_overlap",
     "a11_grouping_sets",
     "a15_profile_columns",
     "a16_profile_histogram",
@@ -94,6 +95,7 @@ BENCH_QUERIES = [
     "pipeline_df_index_update",
     "corpus_overlap_matrix",
     "text_tfidf_topk",
+    "text_heavy_hitters",
     "w8_funnel",
     "w10_rolling_7d",
     "w12_mad_anomalies",

@@ -124,6 +124,10 @@ PROBE_QUERIES = [
     "stream_bm25_index_update",
     "a18_approx_distinct",
     "sim_pq_ann",
+    # exact heavy hitters (bounded-state candidates + candidate-only
+    # verify agg) and the bucketized interval-interval overlap join
+    "text_heavy_hitters",
+    "j10_interval_overlap",
 ]
 
 # every table any probe query loads
