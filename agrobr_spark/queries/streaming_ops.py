@@ -1092,3 +1092,187 @@ def stream_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(ingest, ignore_errors=True)
+
+
+def _stream_hh_oracle() -> str:
+    from agrobr_spark.queries.pipeline_text import HH_SUPPORT
+
+    return rf"""
+    WITH toks AS (
+      SELECT lower(u.tok) AS termo
+      FROM (SELECT string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0) d,
+           unnest(d.t) AS u(tok)),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks)
+    SELECT termo, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / CAST(t.total AS DOUBLE), 6) AS freq
+    FROM toks, tot t
+    GROUP BY termo, t.total
+    HAVING count(*) >= ceil({HH_SUPPORT} * t.total)
+    """
+
+
+@register(
+    "stream_heavy_hitters",
+    oracle=_stream_hh_oracle(),
+    tags=("STREAM", "HEAVY_HITTERS", "FOREACHBATCH", "MISRA_GRIES"),
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters maintained as a STREAM — the candidate pass of
+    ``text_heavy_hitters`` run incrementally: each micro-batch's token
+    counts MERGE into a persisted counter table, and whenever the
+    table exceeds the Misra-Gries capacity (4/support counters) every
+    counter is decremented by the (cap+1)-th largest count and
+    non-positive counters drop — the classic MG decrement executed
+    set-orientedly (one per-batch threshold aggregate, one filter),
+    which preserves the no-false-negative guarantee: a token with true
+    frequency above the support bar cannot be decremented to zero at
+    this capacity. Replayed epochs are no-ops via the manifest's
+    applied_batch_ids guard (the posting-index pattern).
+
+    At read time the surviving candidates (≤ cap rows) take ONE exact
+    counting pass — so the answer is EXACT and the oracle is the same
+    plain GROUP BY ... HAVING that pins the batch entry. The stream's
+    point is state: per-batch cost is O(batch tokens + cap), the
+    counter table never exceeds cap rows however large the corpus
+    grows, and no corpus re-scan happens until someone asks."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from agrobr_spark.io import load
+    from agrobr_spark.queries.pipeline_text import HH_SUPPORT
+
+    cap = int(4 / HH_SUPPORT)
+    _COUNTER[0] += 1
+    store_dir = tempfile.mkdtemp(prefix="stream_hh_")
+    ingest = tempfile.mkdtemp(prefix="stream_hh_in_")
+    counters = f"{store_dir}/counters"
+    manifest = f"{store_dir}/manifest.json"
+    try:
+        docs = (
+            load(spark, sf_dir, "documents")
+            .filter(F.length(F.trim("text")) > 0)
+            .select("doc_id", "text")
+        )
+        # id-ranged files, one per micro-batch (the family convention)
+        max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+        n_files = 3
+        span = max(1, (int(max_id) + n_files) // n_files)
+        t0 = 1_000_000_000
+        for i in range(n_files):
+            lo = i * span
+            chunk = docs.filter(
+                (F.col("doc_id") >= lo)
+                & (
+                    F.col("doc_id")
+                    < ((i + 1) * span if i < n_files - 1 else 1 << 62)
+                )
+            )
+            tmp = f"{ingest}/.stage{i}"
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = f"{ingest}/chunk{i:05d}.parquet"
+            shutil.move(f"{tmp}/{part}", dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+
+        spark.createDataFrame([], "termo string, cnt bigint").write.mode(
+            "overwrite"
+        ).parquet(counters)
+        with open(manifest, "w", encoding="utf-8") as fh:
+            _json.dump({"applied_batch_ids": []}, fh)
+
+        def handle(batch: DataFrame, batch_id: int) -> None:
+            with open(manifest, encoding="utf-8") as fh:
+                man = _json.load(fh)
+            if int(batch_id) in man["applied_batch_ids"]:
+                return
+            bc = (
+                batch.select(
+                    F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+                )
+                .select(F.lower("t").alias("termo"))
+                .groupBy("termo")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("bc"))
+            )
+            prev = spark.read.parquet(counters)
+            merged = (
+                prev.join(bc, "termo", "full_outer")
+                .select(
+                    "termo",
+                    (
+                        F.coalesce(F.col("cnt"), F.lit(0))
+                        + F.coalesce(F.col("bc"), F.lit(0))
+                    ).alias("cnt"),
+                )
+            ).localCheckpoint(eager=True)
+            n_rows = merged.count()
+            if n_rows > cap:
+                # MG decrement: subtract the (cap+1)-th largest count
+                # from everyone, drop the non-positive — one ordered
+                # scalar read (cap+1 bounded) + one narrow map
+                kth = (
+                    merged.orderBy(F.desc("cnt"), "termo")
+                    .limit(cap + 1)
+                    .orderBy(F.asc("cnt"), F.desc("termo"))
+                    .limit(1)
+                    .collect()[0]["cnt"]
+                )
+                merged = merged.select(
+                    "termo", (F.col("cnt") - F.lit(kth)).alias("cnt")
+                ).filter(F.col("cnt") > 0)
+            merged.localCheckpoint(eager=True).write.mode(
+                "overwrite"
+            ).parquet(counters)
+            man["applied_batch_ids"].append(int(batch_id))
+            with open(manifest, "w", encoding="utf-8") as fh:
+                _json.dump(man, fh)
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ingest)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+
+        # read-time exact verify: ≤ cap candidates, one counting pass
+        cands = [
+            r["termo"] for r in spark.read.parquet(counters).collect()
+        ]
+        toks = docs.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+        ).select(F.lower("t").alias("termo"))
+        tot = toks.groupBy().agg(
+            F.count(F.lit(1)).cast("bigint").alias("total")
+        )
+        out = (
+            toks.filter(F.col("termo").isin(cands))
+            .groupBy("termo")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .crossJoin(F.broadcast(tot))
+            .filter(
+                F.col("n") >= F.ceil(F.lit(HH_SUPPORT) * F.col("total"))
+            )
+            .select(
+                "termo",
+                "n",
+                F.round(
+                    F.col("n") / F.col("total").cast("double"), 6
+                ).alias("freq"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+        shutil.rmtree(ingest, ignore_errors=True)

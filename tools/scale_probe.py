@@ -128,6 +128,9 @@ PROBE_QUERIES = [
     # verify agg) and the bucketized interval-interval overlap join
     "text_heavy_hitters",
     "j10_interval_overlap",
+    # streamed MG heavy hitters: per-batch merge into a <=cap counter
+    # table + one read-time exact verify
+    "stream_heavy_hitters",
 ]
 
 # every table any probe query loads
