@@ -1901,3 +1901,110 @@ def j10_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 j10_interval_overlap.__doc__ = j10_interval_overlap.__doc__.format(
     w=_J10_BUCKET_DAYS
 )
+
+
+# -- W13: calendar gap-fill with last-observation-carried-forward ----
+
+
+@register(
+    "w13_gap_fill_locf",
+    oracle="""
+    WITH serie AS (
+      SELECT CASE l_suppkey % 4 WHEN 0 THEN 'soja' WHEN 1 THEN 'milho'
+                  WHEN 2 THEN 'boi' ELSE 'cafe' END AS produto,
+             CAST(l_shipdate AS DATE) AS data,
+             l_extendedprice / 1000.0 AS valor
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE)
+              BETWEEN DATE '1997-01-01' AND DATE '1997-03-31'),
+    diario AS (
+      SELECT produto, data,
+        CAST(sum(CAST(valor AS DECIMAL(18,5))) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) AS valor
+      FROM serie GROUP BY produto, data),
+    lim AS (
+      SELECT produto, min(data) AS d0, max(data) AS d1
+      FROM diario GROUP BY produto),
+    grade AS (
+      SELECT l.produto, CAST(u.d AS DATE) AS data
+      FROM lim l, unnest(generate_series(l.d0, l.d1, INTERVAL 1 DAY))
+        AS u(d)),
+    juntado AS (
+      SELECT g.produto, g.data, d.valor,
+             d.valor IS NULL AS preenchido
+      FROM grade g LEFT JOIN diario d
+        ON d.produto = g.produto AND d.data = g.data)
+    SELECT produto, data,
+      coalesce(valor, last_value(valor IGNORE NULLS) OVER (
+        PARTITION BY produto ORDER BY data
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS valor,
+      preenchido
+    FROM juntado
+    """,
+    tags=("W13", "W3", "GAPFILL", "TIMESERIES", "SCALE_DEFAULT"),
+)
+def w13_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill with last-observation-carried-forward: the
+    companion to W3's gap DETECTION (ref:
+    agrobr/validators/semantic.py:184-228 flags the holes; a consumer
+    of a daily price series needs them FILLED) — per product, a
+    complete daily spine from its first to last observation, missing
+    days carrying the previous day's value and flagged
+    ``preenchido`` so downstream consumers can distinguish observed
+    from imputed points.
+
+    Plan: the observed series aggregates per (produto, data)
+    (decimal-exact mean), per-product bounds collapse to one tiny
+    frame, the spine is ``sequence(d0, d1)`` EXPLODED per product (no
+    calendar table, no cross join), and the fill is ONE
+    last-non-null window per product ordered by date — the same
+    keyed-window family as W1/W4, shuffling once on the product key.
+    At 100 TB the spine explode adds O(days-per-key) rows and the
+    single window is the only wide operation."""
+    li = load(spark, sf_dir, "lineitem")
+    ship = F.col("l_shipdate").cast("date")
+    prod = F.element_at(
+        F.array(F.lit("soja"), F.lit("milho"), F.lit("boi"), F.lit("cafe")),
+        (F.col("l_suppkey") % 4 + 1).cast("int"),
+    )
+    diario = (
+        li.filter(ship.between("1997-01-01", "1997-03-31"))
+        .select(
+            prod.alias("produto"),
+            ship.alias("data"),
+            (F.col("l_extendedprice") / 1000.0).alias("valor"),
+        )
+        .groupBy("produto", "data")
+        .agg(
+            (
+                F.sum(F.col("valor").cast("decimal(18,5)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("valor")
+        )
+    )
+    grade = (
+        diario.groupBy("produto")
+        .agg(F.min("data").alias("d0"), F.max("data").alias("d1"))
+        .select(
+            "produto",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias(
+                "data"
+            ),
+        )
+    )
+    juntado = grade.join(diario, ["produto", "data"], "left").withColumn(
+        "preenchido", F.col("valor").isNull()
+    )
+    w = (
+        Window.partitionBy("produto")
+        .orderBy("data")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return juntado.select(
+        "produto",
+        "data",
+        F.coalesce(
+            F.col("valor"), F.last("valor", ignorenulls=True).over(w)
+        ).alias("valor"),
+        "preenchido",
+    )

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "p4_date_range",
     "w1_pct_change",
     "w4_latest_per_key",
+    "w13_gap_fill_locf",
     "w7_sessionize",
     "m1_merge_upsert",
     "f7_unit_conversion",
@@ -113,6 +114,7 @@ HEADLINE_QUERIES = [
     "a1_rollup_sum",
     "j1_fact_dim_enrich",
     "w4_latest_per_key",
+    "w13_gap_fill_locf",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "stream_tumbling_daily",

@@ -1445,3 +1445,33 @@ def test_interval_overlap_join_matches_naive(spark):
     # sanity on semantics: (2: 10..12) vs (2: 6..10) touch at 10 only
     assert (2, 2) not in got  # closed-open endpoints do not overlap
     assert (1, 4) in got      # containment matches once
+
+
+def test_gap_fill_locf_semantics(spark):
+    """w13: every product's spine is complete (no date holes), filled
+    rows carry exactly the previous observed value, and observed rows
+    pass through unflagged."""
+    import datetime as _dt
+
+    from agrobr_spark.queries.relational import w13_gap_fill_locf
+
+    rows = w13_gap_fill_locf(spark, SF_SMOKE).collect()
+    by_prod: dict[str, list] = {}
+    for r in rows:
+        by_prod.setdefault(r["produto"], []).append(r)
+    assert by_prod
+    for prod, rs in by_prod.items():
+        rs.sort(key=lambda r: r["data"])
+        # complete daily spine
+        for a, b in zip(rs, rs[1:]):
+            assert (b["data"] - a["data"]) == _dt.timedelta(days=1), prod
+        # LOCF: a filled row equals the nearest earlier observed value
+        last_obs = None
+        for r in rs:
+            if r["preenchido"]:
+                assert r["valor"] == last_obs, (prod, r)
+            else:
+                last_obs = r["valor"]
+        # first row of each product is always observed (spine starts
+        # at min(data))
+        assert not rs[0]["preenchido"]
