@@ -131,6 +131,8 @@ PROBE_QUERIES = [
     # streamed MG heavy hitters: per-batch merge into a <=cap counter
     # table + one read-time exact verify
     "stream_heavy_hitters",
+    # calendar gap-fill: sequence-explode spine + one LOCF window
+    "w13_gap_fill_locf",
 ]
 
 # every table any probe query loads
