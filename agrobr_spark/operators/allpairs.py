@@ -510,3 +510,101 @@ def semdedup_flags(
             F.col("_vid").isNull().alias("mantido"),
         )
     )
+
+
+def knn_graph_edges(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int | None = None,
+    centroid_fit: str = "kmeans",
+    n_probe: int = 2,
+    extra_cols: tuple[str, ...] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Approximate k-NN graph: each row's top-``k`` cosine neighbors,
+    via the same IVF cluster blocking as ``cluster_cosine_pairs`` —
+    the building block semantic clustering, SemDeDup-style pruning,
+    and diversity sampling start from.
+
+    Every row plays two roles: corpus member (lives in its single
+    nearest cluster) and query (probes its ``n_probe`` nearest
+    clusters). Candidates form by a plain hash EQUI-join between the
+    member and probe tables on the cluster key — a (node, neighbor)
+    candidate meets at most once because a member has exactly one home
+    cluster, so there is no DISTINCT stage — and the final ranking is
+    a per-node window over cluster-local candidates. Total pair work
+    is Σ|cluster|·|probes of cluster| ≈ n^1.5 under the
+    ``n_probe·sqrt(n)`` auto-sizing; nothing materializes n² rows and
+    the query side is never broadcast (it IS the corpus).
+
+    ``centroid_fit`` follows ``cluster_cosine_pairs``: ``"kmeans"``
+    (default) is the real sampled fit — use it; ``"lowest_id"`` is the
+    deterministic stand-in pure-SQL oracles can replicate (its recall
+    on id-uncorrelated data is the documented weakness, measured by
+    ``tests/test_operators.py::test_knn_graph_recall``).
+
+    Output: (``id``, ``neighbor_id``, ``neighbor_<c>`` for each extra
+    col, ``posicao`` 1..k, ``cosseno``), ordered nowhere — callers
+    sort. Nodes whose probed clusters hold fewer than ``k`` other
+    members return what exists (no padding)."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        *[F.col(c).alias(f"_x_{c}") for c in extra_cols],
+    ).withColumn("_norm", F.sqrt(_dot("_vec", "_vec")))
+    if n_centroids is None:
+        n_centroids = max(4, int(int(n_probe) * df.count() ** 0.5))
+    if centroid_fit == "kmeans":
+        cent = fit_centroids_kmeans(df, id_col, vec_col, int(n_centroids))
+    elif centroid_fit == "lowest_id":
+        cent = (
+            base.orderBy("_id")
+            .limit(int(n_centroids))
+            .select(F.col("_id").alias("_cid"), F.col("_vec").alias("_cv"))
+        )
+    else:
+        raise ValueError(f"unknown centroid_fit: {centroid_fit!r}")
+    cos_cent = _dot("_cv", "_vec") / F.nullif(
+        F.sqrt(_dot("_cv", "_cv")) * F.col("_norm"), F.lit(0.0)
+    )
+    if round_to is not None:
+        cos_cent = F.round(cos_cent, round_to)
+    w_assign = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), "_cid")
+    ranked = (
+        base.crossJoin(F.broadcast(cent))
+        .withColumn("_cos", cos_cent)
+        .withColumn("_rn", F.row_number().over(w_assign))
+    )
+    members = ranked.filter(F.col("_rn") == 1).select(
+        F.col("_id").alias("_mid"),
+        F.col("_vec").alias("_mv"),
+        F.col("_norm").alias("_mn"),
+        *[F.col(f"_x_{c}").alias(f"_m_{c}") for c in extra_cols],
+        F.col("_cid"),
+    )
+    probes = ranked.filter(F.col("_rn") <= int(n_probe)).select(
+        F.col("_id").alias("_qid"),
+        F.col("_vec").alias("_qv"),
+        F.col("_norm").alias("_qn"),
+        F.col("_cid"),
+    )
+    cos = _dot("_qv", "_mv") / F.nullif(F.col("_qn") * F.col("_mn"), F.lit(0.0))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    w_rank = Window.partitionBy("id").orderBy(F.col("cosseno").desc(), "neighbor_id")
+    return (
+        probes.join(members, "_cid")
+        .filter(F.col("_mid") != F.col("_qid"))
+        .select(
+            F.col("_qid").alias("id"),
+            F.col("_mid").alias("neighbor_id"),
+            *[F.col(f"_m_{c}").alias(f"neighbor_{c}") for c in extra_cols],
+            cos.alias("cosseno"),
+        )
+        .withColumn("posicao", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("posicao") <= int(k))
+    )

@@ -846,3 +846,239 @@ sim_pq_ann.__doc__ = sim_pq_ann.__doc__.format(
     m=PQ_M, sub=PQ_SUB, k=PQ_K, smin=PQ_SHORT_MIN, sdiv=PQ_SHORT_DIV,
     topk=TOP_K,
 )
+
+
+# -- k-NN graph: every vector's top-K neighbors (the clustering /
+#    SemDeDup / diversity-sampling building block) ------------------
+
+GRAPH_K = 5        # neighbors kept per node
+GRAPH_PROBE = 2    # clusters probed per node (query role)
+
+
+@register(
+    "sim_knn_graph",
+    oracle=f"""
+    WITH cent AS (
+      SELECT cid, cv FROM (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv,
+               row_number() OVER (ORDER BY vec_id) AS rn,
+               count(*) OVER () AS n
+        FROM embeddings)
+      WHERE rn <= greatest(4, CAST(floor({GRAPH_PROBE} * sqrt(CAST(n AS DOUBLE)))
+                              AS BIGINT))),
+    base AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev,
+        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    scored AS (
+      SELECT b.vec_id, b.label, b.ev, b.nrm, c.cid,
+        round(list_dot_product(c.cv, b.ev)
+              / nullif(sqrt(list_dot_product(c.cv, c.cv)) * b.nrm, 0),
+              6) AS cos_cent
+      FROM base b CROSS JOIN cent c),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos_cent DESC, cid) AS rn
+      FROM scored),
+    members AS (
+      SELECT vec_id, label, ev, nrm, cid FROM ranked WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS qid, ev AS qv, nrm AS qn, cid
+      FROM ranked WHERE rn <= {GRAPH_PROBE}),
+    cand AS (
+      SELECT p.qid, m.vec_id AS neighbor_id, m.label AS neighbor_label,
+        round(list_dot_product(p.qv, m.ev) / nullif(p.qn * m.nrm, 0),
+              6) AS cosseno
+      FROM probes p JOIN members m
+        ON m.cid = p.cid AND m.vec_id <> p.qid),
+    rk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cosseno DESC, neighbor_id) AS rn
+      FROM cand)
+    SELECT qid AS vec_id, neighbor_id, neighbor_label,
+           CAST(rn AS INTEGER) AS posicao, cosseno
+    FROM rk WHERE rn <= {GRAPH_K}
+    """,
+    tags=("SIMILARITY", "ANN", "KNN_GRAPH", "SCALE_DEFAULT"),
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph over the whole corpus: each vector's top-{k}
+    neighbors by cosine — the building block semantic clustering,
+    SemDeDup-style pruning, and diversity sampling all start from.
+    `sim_ivf_ann` answers a handful of external queries; here EVERY
+    vector is a query, so the query side can never be broadcast and
+    the plan must co-locate instead.
+
+    Plan: one broadcast centroid assignment (lowest-id stand-in,
+    ~{p}·sqrt(n) centroids — the multiprobe-work-neutral sizing rule
+    from `operators/allpairs.cluster_cosine_pairs`), then a plain hash
+    EQUI-join on the cluster key between cluster members (home cluster
+    only, rn = 1) and per-node probes (top-{p} clusters) — every
+    (node, neighbor) candidate meets at most once because a member
+    lives in exactly one home cluster, so no DISTINCT stage. Ranking
+    is a per-node window over cluster-local candidates; total pair
+    work stays ~n^1.5 and nothing ever materializes n² rows.
+
+    At 100 TB: centroids come from the sampled k-means fit
+    (`operators/allpairs.fit_centroids_kmeans`) and the member table
+    is written bucketed by `cid`, so graph refreshes skip the assign
+    shuffle; a pathological giant cluster is an AQE skew-join split
+    (the per-node ranking window partitions on the NODE key, which is
+    uniform, not on the skewed cluster key). Neighbors missed across
+    unprobed cluster boundaries are the standard IVF recall trade —
+    the same lever (`n_probe`, centroid count) measured by
+    `dedup_blocking_recall_paths`; nodes in clusters with < {k} + 1
+    members return what exists (no padding rows).
+
+    Determinism: 6dp-rounded cosines with id tie-breaks at both the
+    assignment and the ranking, so the oracle pins the exact graph
+    rows (the `near_dup_embeddings` convention, not a recall
+    contract). Ref surface: the reference has no embedding operators;
+    this extends the LLM-pipeline surface (SURVEY §2 extension).
+
+    Catalog pin: lowest-id centroid stand-in so the oracle replicates
+    the graph exactly (the `near_dup_embeddings` convention); the
+    library default (`operators/allpairs.knn_graph_edges`) is the
+    sampled k-means fit, whose measured recall the suite floors in
+    tests/test_operators.py::test_knn_graph_recall."""
+    from agrobr_spark.operators.allpairs import knn_graph_edges
+    from agrobr_spark.queries.dedup import _embeddings_count
+
+    n = _embeddings_count(spark, sf_dir)
+    g = knn_graph_edges(
+        load(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        k=GRAPH_K,
+        n_centroids=max(4, int(GRAPH_PROBE * n**0.5)),
+        centroid_fit="lowest_id",
+        n_probe=GRAPH_PROBE,
+        extra_cols=("label",),
+    )
+    return g.select(
+        F.col("id").alias("vec_id"),
+        "neighbor_id",
+        "neighbor_label",
+        "posicao",
+        "cosseno",
+    )
+
+
+sim_knn_graph.__doc__ = sim_knn_graph.__doc__.format(k=GRAPH_K, p=GRAPH_PROBE)
+
+
+# -- ANN recall report: the evidence chain for the whole ANN family --
+
+#: (variant, floor): measured recall@10 operating points at sf0.01 /
+#: sf0.1 are ivf 0.92/0.98, rp_lsh 0.70/0.68, pq 1.00/0.88; floors sit
+#: >=0.05 under the worst measured point (the blocking-recall margin
+#: discipline, SCALING.md round 8).
+ANN_RECALL_FLOORS = (("ivf", 0.85), ("pq", 0.80), ("rp_lsh", 0.60))
+
+
+def _ann_recall_oracle() -> str:
+    from agrobr_spark.queries import _REGISTRY
+
+    ex = _REGISTRY["sim_cosine_topk"].oracle
+    ivf = _REGISTRY["sim_ivf_ann"].oracle
+    rp = _REGISTRY["sim_rp_lsh_ann"].oracle
+    pq = _REGISTRY["sim_pq_ann"].oracle
+    floors = " UNION ALL ".join(
+        f"SELECT '{v}' AS variant, CAST({f} AS DOUBLE) AS piso"
+        for v, f in ANN_RECALL_FLOORS
+    )
+    return f"""
+    WITH exact AS (SELECT query_id, vec_id FROM ({ex})),
+    appr AS (
+      SELECT 'ivf' AS variant, query_id, vec_id FROM ({ivf})
+      UNION ALL
+      SELECT 'rp_lsh' AS variant, query_id, vec_id FROM ({rp})
+      UNION ALL
+      SELECT 'pq' AS variant, query_id, vec_id FROM ({pq})),
+    hits AS (
+      SELECT a.variant, count(*) AS n_hits
+      FROM appr a JOIN exact e
+        ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+      GROUP BY a.variant),
+    tot AS (SELECT count(*) AS n_exact FROM exact),
+    floors AS ({floors})
+    SELECT f.variant,
+           CAST(t.n_exact AS BIGINT) AS n_exact,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) / CAST(t.n_exact AS DOUBLE), 4)
+             AS recall_at_k,
+           f.piso,
+           round(coalesce(h.n_hits, 0) / CAST(t.n_exact AS DOUBLE), 4)
+             >= f.piso AS ok
+    FROM floors f
+    CROSS JOIN tot t
+    LEFT JOIN hits h ON h.variant = f.variant
+    """
+
+
+@register(
+    "sim_ann_recall_report",
+    oracle=_ann_recall_oracle(),
+    tags=("SIMILARITY", "ANN", "QUALITY_REPORT"),
+)
+def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@{k} of every ANN variant (IVF, RP-LSH, PQ)
+    against the exact brute-force top-{k} on the same query set, as a
+    first-class catalog query — the evidence chain for the whole ANN
+    family in one frame (the `dedup_lsh_quality_report` pattern
+    applied to retrieval). One row per variant: exact-set size, hits,
+    recall, the documented floor, and the floor check — so a pipeline
+    can gate an index rebuild on `ok` exactly like a data-quality
+    certification, instead of trusting a README number.
+
+    Every input ranking is itself oracle-pinned (the variants' own
+    catalog entries), so this report is deterministic end-to-end and
+    hash-verified — floors are the only judgment call, and they sit
+    >=0.05 under the worst measured fixture point (ANN_RECALL_FLOORS).
+
+    Plan: the three variant rankings and the exact baseline all
+    reduce to <= |queries|·{k} rows before anything joins — the
+    recall join and per-variant counts run on ~tens of rows however
+    large the corpus is; cost is dominated by the variants themselves
+    (each individually scale-audited in SCALING.md)."""
+    exact = sim_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    appr = None
+    for v, fn in (
+        ("ivf", sim_ivf_ann),
+        ("rp_lsh", sim_rp_lsh_ann),
+        ("pq", sim_pq_ann),
+    ):
+        part = fn(spark, sf_dir).select(
+            F.lit(v).alias("variant"), "query_id", "vec_id"
+        )
+        appr = part if appr is None else appr.unionAll(part)
+    hits = (
+        appr.join(exact, ["query_id", "vec_id"])
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    floors = spark.createDataFrame(
+        list(ANN_RECALL_FLOORS), "variant string, piso double"
+    )
+    recall = F.round(
+        F.coalesce(F.col("n_hits"), F.lit(0))
+        / F.col("n_exact").cast("double"),
+        4,
+    )
+    return (
+        floors.crossJoin(F.broadcast(tot))
+        .join(hits, "variant", "left")
+        .select(
+            "variant",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            recall.alias("recall_at_k"),
+            "piso",
+            (recall >= F.col("piso")).alias("ok"),
+        )
+    )
+
+
+sim_ann_recall_report.__doc__ = sim_ann_recall_report.__doc__.format(k=TOP_K)

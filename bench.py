@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "sim_ivf_ann",
     "sim_rp_lsh_ann",
     "sim_pq_ann",
+    "sim_knn_graph",
+    "sim_ann_recall_report",
     "sim_hard_negatives",
     "stream_tumbling_daily",
     "stream_stateful_dod",

@@ -1475,3 +1475,85 @@ def test_gap_fill_locf_semantics(spark):
         # first row of each product is always observed (spine starts
         # at min(data))
         assert not rs[0]["preenchido"]
+
+
+def test_knn_graph_recall_on_clustered_corpus(spark, tmp_path):
+    """knn_graph_edges with the library k-means fit must recover the
+    true top-5 neighborhood on an actually-clustered corpus (what real
+    embedding spaces look like): measured 0.88 mean recall@5 at the
+    auto-sized ~2*sqrt(n) centroids / 2 probes — floored at 0.80
+    (>=0.05 margin discipline). The isotropic sf fixtures are the
+    documented hard case (near-random vectors have no cluster-local
+    neighborhoods for ANY blocking scheme); the catalog entry pins the
+    oracle-replicable lowest-id stand-in, this test measures the real
+    fit."""
+    import math
+    import random
+
+    from agrobr_spark.operators.allpairs import knn_graph_edges
+
+    rng = random.Random(7)
+    dim = 64
+    cents = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(10)]
+    rows = []
+    for i in range(400):
+        c = cents[i % 10]
+        v = [x + 0.25 * rng.gauss(0, 1) for x in c]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [float(x / n) for x in v], i % 10))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    # exact top-5 per node (brute force on the driver — 400 vectors)
+    import numpy as np
+
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    np.fill_diagonal(S, -2)
+    order = np.argsort(-np.round(S, 6), axis=1, kind="stable")
+    truth = {i: {int(j) for j in order[i, :5]} for i in range(400)}
+
+    got: dict[int, set] = {}
+    for r in knn_graph_edges(
+        df, "vec_id", "embedding", k=5, centroid_fit="kmeans", n_probe=2
+    ).collect():
+        got.setdefault(r.id, set()).add(r.neighbor_id)
+    recalls = [len(truth[q] & got.get(q, set())) / 5 for q in truth]
+    assert sum(recalls) / len(recalls) >= 0.80, sum(recalls) / len(recalls)
+
+
+def test_knn_graph_shape(spark):
+    """sim_knn_graph structural contract: no self-loops, per-node
+    posicao is contiguous from 1 (at most GRAPH_K), cosines bounded,
+    and every node of the corpus appears (the fixture's probed
+    clusters always hold >= K other members)."""
+    from agrobr_spark.queries.similarity import GRAPH_K, sim_knn_graph
+
+    rows = sim_knn_graph(spark, SF_SMOKE).collect()
+    by_node: dict[int, list] = {}
+    for r in rows:
+        assert r.neighbor_id != r.vec_id
+        assert -1.000001 <= r.cosseno <= 1.000001
+        by_node.setdefault(r.vec_id, []).append(r.posicao)
+    n_nodes = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert len(by_node) == n_nodes
+    for node, pos in by_node.items():
+        assert sorted(pos) == list(range(1, len(pos) + 1)), node
+        assert len(pos) <= GRAPH_K
+
+
+def test_ann_recall_report_all_green(spark):
+    """sim_ann_recall_report: one row per ANN variant, every variant
+    above its documented floor on the oracle fixture — the report's
+    `ok` gate is what a pipeline would act on, so it must hold here
+    (the oracle hash-pins the VALUES; this pins the JUDGMENT)."""
+    from agrobr_spark.queries.similarity import sim_ann_recall_report
+    from tests.conftest import SF_ORACLE
+
+    rows = {r.variant: r for r in sim_ann_recall_report(spark, SF_ORACLE).collect()}
+    assert set(rows) == {"ivf", "rp_lsh", "pq"}
+    for v, r in rows.items():
+        assert r.ok, (v, r.recall_at_k, r.piso)
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.n_hits <= r.n_exact

@@ -289,3 +289,16 @@ class TestRetrievalAndSampling:
         # the only acceptable shuffle is the single-partition exchange
         # feeding the ≤k-row ranking window, never a corpus shuffle
         assert "Exchange hashpartitioning" not in plan, plan
+
+    def test_knn_graph_is_cluster_equi_join(self, spark, cat):
+        """sim_knn_graph: the corpus-vs-corpus candidate stage is a
+        plain hash/sort-merge EQUI-join on the cluster key — never a
+        CartesianProduct and never a broadcast of the query side
+        (which IS the corpus); the only nested-loop is the broadcast
+        centroid assignment; no Python in the hot path."""
+        plan = plan_of(cat["sim_knn_graph"].fn(spark, SF_SMOKE))
+        assert re.search(r"(SortMergeJoin|ShuffledHashJoin)", plan), plan
+        assert re.search(r"Left keys \[1\]: \[_cid", plan), plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "Exchange rangepartitioning" not in plan
