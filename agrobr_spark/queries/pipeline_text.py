@@ -1792,3 +1792,101 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_heavy_hitters.__doc__ = text_heavy_hitters.__doc__.format(s=HH_SUPPORT)
+
+
+# -- phrase search over positional postings --------------------------
+
+#: fixture-present 3-token phrases (distinct per-phrase tokens, so
+#: occurrence counts are overlap-unambiguous)
+PHRASES = ("table part hash", "scan query big", "order data column")
+
+_PHRASE_TERMS = [
+    (frase, termo, off)
+    for frase in PHRASES
+    for off, termo in enumerate(frase.split())
+]
+_PHRASE_VALUES = ", ".join(
+    f"('{f}', '{t}', {o})" for f, t, o in _PHRASE_TERMS
+)
+
+
+@register(
+    "text_phrase_match",
+    oracle=rf"""
+    WITH toksl AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+             ELSE string_split_regex(trim(text), '\s+') END AS t
+      FROM documents),
+    toks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+      FROM toksl, unnest(range(1, len(t) + 1)) AS u(i)),
+    terms AS (
+      SELECT * FROM (VALUES {_PHRASE_VALUES})
+        AS v(frase, termo, deslocamento)),
+    lens AS (
+      SELECT frase, count(*) AS comprimento FROM terms GROUP BY frase),
+    m AS (
+      SELECT k.doc_id, t.frase, k.pos - t.deslocamento AS inicio
+      FROM toks k JOIN terms t ON k.tok = t.termo),
+    cheio AS (
+      SELECT doc_id, frase, inicio, count(*) AS c
+      FROM m GROUP BY doc_id, frase, inicio),
+    hits AS (
+      SELECT f.doc_id, f.frase
+      FROM cheio f JOIN lens l USING (frase)
+      WHERE f.c = l.comprimento)
+    SELECT doc_id, frase, CAST(count(*) AS BIGINT) AS n_ocorrencias
+    FROM hits GROUP BY doc_id, frase
+    """,
+    tags=("TEXT", "RETRIEVAL", "PHRASE", "POSTING"),
+)
+def text_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search via positional postings — the inverted-
+    index primitive BM25 can't express (term order matters). Each
+    query phrase is decomposed into (term, offset) rows; a token at
+    position p matching a phrase term at offset o votes for candidate
+    start p − o, and a start with ALL offsets satisfied is one
+    occurrence. Output: (doc_id, frase, n_ocorrencias), only docs
+    that contain the phrase.
+
+    Plan: the tiny (phrase, term, offset) table joins the positional
+    token stream BROADCAST — only tokens matching some query term
+    survive, BEFORE any shuffle (the posting-list property
+    `text_bm25_topk` uses, extended with positions); the completeness
+    check is a partial-agg-friendly groupBy on (doc, phrase, start)
+    whose groups are at most |phrase| rows each. At 100 TB the
+    positional posting table (termo, doc_id, pos) is the indexed
+    form — disk-partitioned by term bucket exactly like
+    `store/posting.py`, so a phrase query reads |query terms|
+    buckets; this catalog entry is the scan-path twin. The phrase
+    list pins distinct-token phrases so occurrence counting is
+    overlap-unambiguous; a start position can satisfy an offset at
+    most once, so HAVING count = |phrase| is exact for repeated-token
+    phrases too."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos", "tok")
+    )
+    termdf = spark.createDataFrame(
+        _PHRASE_TERMS, "frase string, termo string, deslocamento int"
+    )
+    lens = termdf.groupBy("frase").agg(
+        F.count(F.lit(1)).alias("comprimento")
+    )
+    m = toks.join(
+        F.broadcast(termdf), toks["tok"] == termdf["termo"]
+    ).select(
+        "doc_id",
+        "frase",
+        (F.col("pos") - F.col("deslocamento")).alias("inicio"),
+    )
+    cheio = m.groupBy("doc_id", "frase", "inicio").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    hits = cheio.join(F.broadcast(lens), "frase").filter(
+        F.col("c") == F.col("comprimento")
+    )
+    return hits.groupBy("doc_id", "frase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ocorrencias")
+    )

@@ -1082,3 +1082,140 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sim_ann_recall_report.__doc__ = sim_ann_recall_report.__doc__.format(k=TOP_K)
+
+
+# -- mutual-kNN edges: the robust-edge filter over the graph ---------
+
+
+def _mutual_knn_oracle() -> str:
+    from agrobr_spark.queries import _REGISTRY
+
+    g = _REGISTRY["sim_knn_graph"].oracle
+    return f"""
+    WITH g AS (SELECT vec_id, neighbor_id, cosseno FROM ({g}))
+    SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b, a.cosseno
+    FROM g a JOIN g b
+      ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+    WHERE a.vec_id < a.neighbor_id
+    """
+
+
+@register(
+    "sim_mutual_knn",
+    oracle=_mutual_knn_oracle(),
+    tags=("SIMILARITY", "KNN_GRAPH", "MUTUAL"),
+)
+def sim_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN edges: (a, b) kept only when a is in b's top-k AND
+    b is in a's top-k — the standard robust-edge filter that strips
+    hub-dominated one-way edges before community detection or
+    agglomerative clustering runs on the graph (one-way edges to a
+    popular hub say little; mutual edges mark genuinely close pairs).
+
+    Plan: one self equi-join of the k·n-row edge frame on the
+    REVERSED (vec_id, neighbor_id) composite key, canonicalized to
+    vec_a < vec_b so each mutual pair surfaces exactly once — cost is
+    a hash join on a frame k× the corpus row count, trivial next to
+    building the graph itself (scale-audited as `sim_knn_graph`).
+    `cosseno` is byte-identical in both directions (6dp-rounded
+    symmetric dot), so either side's value is THE value — the oracle
+    hash proves it by pinning the pair set and scores."""
+    # the edge frame feeds BOTH sides of the reversed-key self-join —
+    # pin it (house pattern: admission.py) so the IVF graph build runs
+    # once, not once per branch; at 100 TB the graph is a persisted
+    # table and this is the single-query analog of reading it back
+    g = (
+        sim_knn_graph(spark, sf_dir)
+        .select("vec_id", "neighbor_id", "cosseno")
+        .localCheckpoint(eager=True)
+    )
+    a = g.alias("a")
+    b = g.select(
+        F.col("vec_id").alias("b_vec"), F.col("neighbor_id").alias("b_nb")
+    ).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.b_nb"))
+            & (F.col("a.neighbor_id") == F.col("b.b_vec")),
+        )
+        .filter(F.col("a.vec_id") < F.col("a.neighbor_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("a.neighbor_id").alias("vec_b"),
+            F.col("a.cosseno").alias("cosseno"),
+        )
+    )
+
+
+# -- graph clustering: components over the mutual-kNN edges ----------
+
+
+def _graph_clusters_oracle() -> str:
+    from agrobr_spark.queries import _REGISTRY
+
+    g = _REGISTRY["sim_knn_graph"].oracle
+    return f"""
+    WITH RECURSIVE g AS (
+      SELECT vec_id, neighbor_id FROM ({g})),
+    mut AS (
+      SELECT a.vec_id AS va, a.neighbor_id AS vb
+      FROM g a JOIN g b
+        ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+      WHERE a.vec_id < a.neighbor_id),
+    arestas AS (
+      SELECT va AS a, vb AS b FROM mut
+      UNION SELECT vb, va FROM mut),
+    alcance AS (
+      SELECT a AS id, b AS peer FROM arestas
+      UNION
+      SELECT r.id, e.b FROM alcance r JOIN arestas e ON r.peer = e.a),
+    comp AS (
+      SELECT id, least(id, min(peer)) AS componente
+      FROM alcance GROUP BY id)
+    SELECT e.vec_id,
+           coalesce(c.componente, e.vec_id) AS grupo,
+           CAST(count(*) OVER (
+             PARTITION BY coalesce(c.componente, e.vec_id)) AS BIGINT)
+             AS tamanho
+    FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+    """
+
+
+@register(
+    "sim_graph_clusters",
+    oracle=_graph_clusters_oracle(),
+    tags=("SIMILARITY", "KNN_GRAPH", "COMPONENTS", "ITERATIVE"),
+)
+def sim_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering by connected components over the
+    MUTUAL-kNN edges — the classic graph-clustering recipe (build a
+    kNN graph, keep mutual edges, take components) that needs no
+    cluster-count knob and no iteration-until-convergence fit: hubs
+    lose their one-way edges, so components follow genuinely dense
+    regions. Every vector gets a cluster: members of no mutual edge
+    become singletons labeled by their own id. Output: (vec_id,
+    grupo, tamanho).
+
+    Plan: mutual edges are one reversed-key self equi-join of the
+    k·n edge frame; components run via `operators/components.py`
+    min-label propagation with pointer-doubling (O(log n) rounds on
+    path graphs); the singleton fill is a left join from the corpus
+    on its primary key. The oracle computes the identical fixpoint
+    as a DuckDB recursive CTE over the same mutual edge set — the
+    `dedup_components` discipline applied to the retrieval graph, so
+    even the iterative stage stays hash-verified end to end."""
+    from pyspark.sql import Window as W
+
+    from agrobr_spark.operators.components import connected_components
+
+    mut = sim_mutual_knn(spark, sf_dir).select("vec_a", "vec_b")
+    comp = connected_components(mut, "vec_a", "vec_b")
+    e = load(spark, sf_dir, "embeddings").select("vec_id")
+    grupo = F.coalesce(F.col("componente"), F.col("vec_id"))
+    w = W.partitionBy("grupo")
+    return (
+        e.join(comp, e["vec_id"] == comp["id"], "left")
+        .select("vec_id", grupo.alias("grupo"))
+        .withColumn("tamanho", F.count(F.lit(1)).over(w))
+    )

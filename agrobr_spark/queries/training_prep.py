@@ -1313,3 +1313,146 @@ def dsir_scores(docs: DataFrame) -> DataFrame:
 pipeline_dsir_weights.__doc__ = pipeline_dsir_weights.__doc__.format(
     target=DSIR_TARGET_LANG, b=DSIR_BUCKETS
 )
+
+
+# -- cluster-balanced diversity sampling --------------------------------
+
+CLUSTER_SAMPLE_DEN = 10   # target sample ~ corpus_rows / 10
+CLUSTER_SAMPLE_SUB = 8    # sub-blocks for the two-level per-cluster cut
+
+
+@register(
+    "pipeline_cluster_sample",
+    oracle=f"""
+    WITH cent AS (
+      SELECT cid, cv FROM (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv,
+               row_number() OVER (ORDER BY vec_id) AS rn,
+               count(*) OVER () AS n
+        FROM embeddings)
+      WHERE rn <= greatest(4, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT))),
+    base AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev,
+        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    scored AS (
+      SELECT b.vec_id, b.label, c.cid,
+        round(list_dot_product(c.cv, b.ev)
+              / nullif(sqrt(list_dot_product(c.cv, c.cv)) * b.nrm, 0),
+              6) AS cos_cent
+      FROM base b CROSS JOIN cent c),
+    assigned AS (
+      SELECT vec_id, label, cid FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos_cent DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+    tot AS (SELECT count(*) AS n FROM embeddings),
+    nclust AS (SELECT count(DISTINCT cid) AS nc FROM assigned),
+    cota AS (
+      SELECT greatest(1, (n // {CLUSTER_SAMPLE_DEN}) // nc) AS q
+      FROM tot, nclust),
+    ranked AS (
+      SELECT vec_id, label, cid,
+        CAST(row_number() OVER (
+          PARTITION BY cid
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER)
+          AS pos_cluster
+      FROM assigned)
+    SELECT r.vec_id, r.label, r.cid, r.pos_cluster,
+           CAST(c.q AS BIGINT) AS cota
+    FROM ranked r, cota c
+    WHERE r.pos_cluster <= c.q
+    """,
+    tags=("PIPELINE", "SAMPLING", "DIVERSITY", "EMBEDDING"),
+)
+def pipeline_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sample: assign every embedding to
+    its nearest of ~sqrt(n) centroids, then keep an EQUAL quota of
+    rows per cluster (content-hash order, no rand()) — the
+    DataComp-style curation move that downweights over-represented
+    regions of embedding space instead of sampling them
+    proportionally (`o5_deterministic_sample` is uniform,
+    `o7_stratified_sample_exact` stratifies on GIVEN columns; here
+    the strata are DERIVED from the vectors).
+
+    Quota = max(1, (n / {den}) / n_clusters) over clusters that
+    actually have members, so the sample is ~n/{den} rows spread
+    evenly across semantic clusters; selection within a cluster is
+    md5(vec_id) order — deterministic, re-runnable, and exactly what
+    the oracle replicates (the `pipeline_data_mix` convention).
+
+    Plan + 100 TB: one broadcast centroid assignment, two tiny scalar
+    aggregates (corpus count, live-cluster count), then the
+    per-cluster cut runs TWO-LEVEL to kill cluster skew: a first
+    row_number caps each (cluster, xxhash64 sub-block) at the quota —
+    so no task ever sorts a giant cluster, each sees ~1/{sub} of it —
+    and a second window ranks only the ≤ {sub}·quota survivors per
+    cluster. The union of per-sub-block top-q contains the global
+    top-q by the same total order, so the two-level result is
+    IDENTICAL to the direct window (the oracle uses the direct form;
+    the hash-equality proves the equivalence every run). Catalog pin:
+    lowest-id centroid stand-in; feed `fit_centroids_kmeans` output
+    for the library path exactly as in `cluster_cosine_pairs`."""
+    from agrobr_spark.operators.allpairs import assign_to_centroids
+
+    e = load(spark, sf_dir, "embeddings")
+    from agrobr_spark.queries.dedup import _embeddings_count
+
+    n = _embeddings_count(spark, sf_dir)
+    n_cent = max(4, int(n**0.5))
+    base = e.select(
+        F.col("vec_id").alias("_id"),
+        F.col("embedding").alias("_vec"),
+        F.col("label").alias("_x_label"),
+    ).withColumn(
+        "_norm",
+        F.sqrt(
+            F.expr(
+                "aggregate(_vec, CAST(0.0 AS DOUBLE),"
+                " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+            )
+        ),
+    )
+    cent = (
+        base.orderBy("_id")
+        .limit(n_cent)
+        .select(F.col("_id").alias("_cid"), F.col("_vec").alias("_cv"))
+    )
+    assigned = assign_to_centroids(base, cent, 6, 1).select(
+        F.col("_id").alias("vec_id"),
+        F.col("_x_label").alias("label"),
+        F.col("_blk").alias("cid"),
+    )
+    stats = (
+        assigned.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("cid").alias("nc"),
+        )
+    ).collect()[0]
+    quota = max(1, (int(stats["n"]) // CLUSTER_SAMPLE_DEN) // int(stats["nc"]))
+
+    k = F.md5(F.col("vec_id").cast("string"))
+    sub = F.pmod(F.xxhash64("vec_id"), F.lit(CLUSTER_SAMPLE_SUB))
+    w_local = Window.partitionBy("cid", "_sub").orderBy("_k", "vec_id")
+    w_final = Window.partitionBy("cid").orderBy("_k", "vec_id")
+    return (
+        assigned.withColumn("_k", k)
+        .withColumn("_sub", sub)
+        .withColumn("_rl", F.row_number().over(w_local))
+        .filter(F.col("_rl") <= quota)
+        .withColumn("pos_cluster", F.row_number().over(w_final).cast("int"))
+        .filter(F.col("pos_cluster") <= quota)
+        .select(
+            "vec_id",
+            "label",
+            "cid",
+            "pos_cluster",
+            F.lit(quota).cast("long").alias("cota"),
+        )
+    )
+
+
+pipeline_cluster_sample.__doc__ = pipeline_cluster_sample.__doc__.format(
+    den=CLUSTER_SAMPLE_DEN, sub=CLUSTER_SAMPLE_SUB
+)

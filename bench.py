@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "j9_bloom_semi_join",
     "text_bm25_topk",
     "text_bm25_indexed",
+    "text_phrase_match",
     "text_contamination_fuzzy",
     "sim_hybrid_rrf",
     "o8_weighted_sample",
@@ -83,6 +84,7 @@ BENCH_QUERIES = [
     "text_span_dedup",
     "text_containment",
     "pipeline_data_mix",
+    "pipeline_cluster_sample",
     "pipeline_pack_chunks",
     "sim_cosine_topk",
     "sim_ivf_ann",
@@ -90,6 +92,8 @@ BENCH_QUERIES = [
     "sim_pq_ann",
     "sim_knn_graph",
     "sim_ann_recall_report",
+    "sim_mutual_knn",
+    "sim_graph_clusters",
     "sim_hard_negatives",
     "stream_tumbling_daily",
     "stream_stateful_dod",

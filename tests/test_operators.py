@@ -1557,3 +1557,94 @@ def test_ann_recall_report_all_green(spark):
         assert r.ok, (v, r.recall_at_k, r.piso)
         assert 0.0 <= r.recall_at_k <= 1.0
         assert r.n_hits <= r.n_exact
+
+
+def test_cluster_sample_balanced_quota(spark):
+    """pipeline_cluster_sample: every cluster contributes at most the
+    (single, shared) quota; pos_cluster is contiguous from 1 within a
+    cluster; the total sample is bounded by quota * live clusters."""
+    from agrobr_spark.queries.training_prep import pipeline_cluster_sample
+    from tests.conftest import SF_ORACLE
+
+    rows = pipeline_cluster_sample(spark, SF_ORACLE).collect()
+    assert rows
+    quotas = {r.cota for r in rows}
+    assert len(quotas) == 1
+    q = quotas.pop()
+    by_c: dict[int, list] = {}
+    for r in rows:
+        by_c.setdefault(r.cid, []).append(r.pos_cluster)
+    for cid, pos in by_c.items():
+        assert len(pos) <= q, (cid, len(pos))
+        assert sorted(pos) == list(range(1, len(pos) + 1)), cid
+    assert len(rows) <= q * len(by_c)
+
+
+def test_phrase_match_against_independent_like(spark):
+    """text_phrase_match cross-checked by a DIFFERENT algorithm:
+    whitespace-normalized substring containment. The positional-
+    posting result must flag exactly the docs whose normalized text
+    contains ' <phrase> ' (counts are the posting path's extra
+    information; presence must agree)."""
+    import pyspark.sql.functions as F
+
+    from agrobr_spark.io import load
+    from agrobr_spark.queries.pipeline_text import PHRASES, text_phrase_match
+
+    got: dict[str, set] = {}
+    for r in text_phrase_match(spark, SF_SMOKE).collect():
+        assert r.n_ocorrencias >= 1
+        got.setdefault(r.frase, set()).add(r.doc_id)
+    d = load(spark, SF_SMOKE, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(" "),
+            F.regexp_replace(F.trim(F.col("text")), r"\s+", " "),
+            F.lit(" "),
+        ).alias("norm"),
+    )
+    for frase in PHRASES:
+        expect = {
+            r.doc_id
+            for r in d.filter(
+                F.col("norm").contains(f" {frase} ")
+            ).collect()
+        }
+        assert got.get(frase, set()) == expect, frase
+
+
+def test_mutual_knn_is_symmetric_subset(spark):
+    """sim_mutual_knn: every edge is canonical (a < b), appears in
+    the kNN graph in BOTH directions, and no mutual pair is missed."""
+    from agrobr_spark.queries.similarity import sim_knn_graph, sim_mutual_knn
+
+    graph = {
+        (r.vec_id, r.neighbor_id)
+        for r in sim_knn_graph(spark, SF_SMOKE).collect()
+    }
+    mutual = {
+        (r.vec_a, r.vec_b) for r in sim_mutual_knn(spark, SF_SMOKE).collect()
+    }
+    expect = {(a, b) for (a, b) in graph if a < b and (b, a) in graph}
+    assert mutual == expect
+    assert mutual  # fixture yields a non-trivial mutual set
+
+
+def test_graph_clusters_partition_property(spark):
+    """sim_graph_clusters: `grupo` is a valid partition — every vector
+    labeled exactly once, representative = min member id, sizes
+    consistent, and every mutual edge lands inside one cluster."""
+    from agrobr_spark.queries.similarity import sim_graph_clusters, sim_mutual_knn
+
+    rows = sim_graph_clusters(spark, SF_SMOKE).collect()
+    label = {r.vec_id: r.grupo for r in rows}
+    assert len(label) == len(rows)  # exactly one row per vector
+    by_g: dict[int, set] = {}
+    for r in rows:
+        by_g.setdefault(r.grupo, set()).add(r.vec_id)
+    for r in rows:
+        assert r.tamanho == len(by_g[r.grupo])
+    for g, members in by_g.items():
+        assert g == min(members)
+    for e in sim_mutual_knn(spark, SF_SMOKE).collect():
+        assert label[e.vec_a] == label[e.vec_b], (e.vec_a, e.vec_b)

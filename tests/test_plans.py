@@ -302,3 +302,14 @@ class TestRetrievalAndSampling:
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
         assert "Exchange rangepartitioning" not in plan
+
+    def test_phrase_match_filters_before_shuffle(self, spark, cat):
+        """text_phrase_match: the (phrase, term, offset) table and the
+        per-phrase length table both reach the token stream broadcast,
+        so only query-term tokens survive to the first aggregation —
+        no SortMergeJoin, no cartesian, no Python."""
+        plan = plan_of(cat["text_phrase_match"].fn(spark, SF_SMOKE))
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan

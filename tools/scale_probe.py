@@ -133,6 +133,18 @@ PROBE_QUERIES = [
     "stream_heavy_hitters",
     # calendar gap-fill: sequence-explode spine + one LOCF window
     "w13_gap_fill_locf",
+    # corpus-wide kNN graph: cluster equi-join, ~n^1.5 pair family
+    "sim_knn_graph",
+    # ANN recall report: sum of the variants + tiny top-k-row joins
+    "sim_ann_recall_report",
+    # cluster-balanced diversity sample: assignment + two-level cut
+    "pipeline_cluster_sample",
+    # positional phrase search: broadcast term filter before any shuffle
+    "text_phrase_match",
+    # mutual-kNN edge filter: self-join of the k·n edge frame
+    "sim_mutual_knn",
+    # components over mutual edges: pointer-doubling on a sparse graph
+    "sim_graph_clusters",
 ]
 
 # every table any probe query loads
