@@ -2008,3 +2008,252 @@ def w13_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valor"),
         "preenchido",
     )
+
+
+# -- W14/W15: series smoothing + anomaly scoring over the daily feed --
+
+_SERIE_DIARIA_SQL = """
+    serie AS (
+      SELECT CASE l_suppkey % 4 WHEN 0 THEN 'soja' WHEN 1 THEN 'milho'
+                  WHEN 2 THEN 'boi' ELSE 'cafe' END AS produto,
+             CAST(l_shipdate AS DATE) AS data,
+             l_extendedprice / 1000.0 AS valor
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE)
+              BETWEEN DATE '1997-01-01' AND DATE '1997-03-31'),
+    diario AS (
+      SELECT produto, data,
+        CAST(sum(CAST(valor AS DECIMAL(18,5))) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) AS valor
+      FROM serie GROUP BY produto, data)"""
+
+W14_LAGS = 8  # truncation depth of the exponential window
+
+_W14_NUM_SQL = " + ".join(
+    f"coalesce(lag(valor, {i}) OVER w, 0) * {0.5 ** i!r}"
+    for i in range(W14_LAGS)
+)
+_W14_DEN_SQL = " + ".join(
+    f"(CASE WHEN lag(valor, {i}) OVER w IS NULL THEN 0 ELSE 1 END)"
+    f" * {0.5 ** i!r}"
+    for i in range(W14_LAGS)
+)
+
+
+def _serie_diaria(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily product price series W13 established (mean
+    extendedprice/1000 per (produto, data) over Q1-97, decimal-exact
+    mean) — the one fixture series every time-series operator in this
+    block runs on, so W13/W14/W15 stay comparable."""
+    li = load(spark, sf_dir, "lineitem")
+    ship = F.col("l_shipdate").cast("date")
+    prod = F.element_at(
+        F.array(F.lit("soja"), F.lit("milho"), F.lit("boi"), F.lit("cafe")),
+        (F.col("l_suppkey") % 4 + 1).cast("int"),
+    )
+    return (
+        li.filter(ship.between("1997-01-01", "1997-03-31"))
+        .select(
+            prod.alias("produto"),
+            ship.alias("data"),
+            (F.col("l_extendedprice") / 1000.0).alias("valor"),
+        )
+        .groupBy("produto", "data")
+        .agg(
+            (
+                F.sum(F.col("valor").cast("decimal(18,5)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("valor")
+        )
+    )
+
+
+@register(
+    "w14_ewma_smooth",
+    oracle=f"""
+    WITH {_SERIE_DIARIA_SQL}
+    SELECT * FROM (
+      SELECT produto, data, valor,
+        CAST(count(*) OVER (PARTITION BY produto ORDER BY data
+          ROWS BETWEEN {W14_LAGS - 1} PRECEDING AND CURRENT ROW)
+          AS INTEGER) AS n_obs,
+        round(({_W14_NUM_SQL}) / ({_W14_DEN_SQL}), 6) AS ewma
+      FROM diario
+      WINDOW w AS (PARTITION BY produto ORDER BY data))
+    WHERE n_obs >= 2
+    """,
+    tags=("W14", "TIMESERIES", "EWMA", "SCALE_DEFAULT"),
+)
+def w14_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average over the daily price
+    series (ref: the reference smooths its CEPEA indicator feeds with
+    pandas ``ewm`` before publishing, agrobr/cepea/api.py series
+    post-processing; this is that smoother as a window expression) —
+    per product, EWMA with alpha = 1/2 truncated at {k} lags and
+    RE-NORMALIZED over the lags that exist (pandas ``adjust=True``
+    semantics under truncation), so the head of each series is an
+    average of what's observed, not biased toward zero.
+
+    Cross-engine determinism is arranged, not hoped for: the weights
+    are 0.5**i — exact dyadic doubles, so each product w_i*x_i is an
+    EXACT binary scaling — and the numerator/denominator are the same
+    left-associated {k}-term sums in both engines, making the IEEE
+    result bit-identical before the single 6dp round. Each series'
+    FIRST row is excluded (``n_obs >= 2``): there the EWMA
+    degenerates to the input value itself, which sits on the
+    decimal lattice of the daily-mean quotient — exactly the 6dp
+    half-boundary where Spark's shortest-repr HALF_UP and the
+    oracle's scaled-binary round can legitimately disagree; every
+    surviving row divides by a non-dyadic weight sum (1.5, 1.75, …),
+    pushing the quotient off any decimal grid.
+
+    Plan + 100 TB: the series aggregation shuffles once on
+    (produto, data); the EWMA itself is {k} ``lag`` reads inside ONE
+    window spec per product key — no self-join, no explode, state =
+    {k} rows per partition stream. A window over a keyed daily series
+    is millions of independent short partitions, the shape Spark's
+    window operator scales linearly on."""
+    w = Window.partitionBy("produto").orderBy("data")
+    num = None
+    den = None
+    for i in range(W14_LAGS):
+        x = F.lag("valor", i).over(w) if i else F.col("valor")
+        peso = F.lit(0.5**i)
+        n_i = F.coalesce(x, F.lit(0.0)) * peso
+        d_i = F.when(x.isNull(), F.lit(0)).otherwise(F.lit(1)) * peso
+        num = n_i if num is None else num + n_i
+        den = d_i if den is None else den + d_i
+    frame = w.rowsBetween(-(W14_LAGS - 1), 0)
+    return (
+        _serie_diaria(spark, sf_dir)
+        .select(
+            "produto",
+            "data",
+            "valor",
+            F.count(F.lit(1)).over(frame).cast("int").alias("n_obs"),
+            F.round(num / den, 6).alias("ewma"),
+        )
+        .filter(F.col("n_obs") >= 2)
+    )
+
+
+w14_ewma_smooth.__doc__ = w14_ewma_smooth.__doc__.format(k=W14_LAGS)
+
+
+W15_FRAME = 15    # trailing window: rows -15 .. -1 (current row excluded)
+W15_MIN_OBS = 8   # minimum trailing observations before scoring
+W15_Z_LIMIT = 2.5
+
+
+@register(
+    "w15_rolling_zscore",
+    oracle=f"""
+    WITH {_SERIE_DIARIA_SQL},
+    arred AS (
+      SELECT produto, data,
+             CAST(sum(CAST(valor AS DECIMAL(18,5))) AS DECIMAL(18,5)) AS x
+      FROM serie GROUP BY produto, data),
+    janela AS (
+      SELECT produto, data, x,
+        CAST(count(x) OVER w AS BIGINT) AS n,
+        CAST(sum(x) OVER w AS DOUBLE) AS sx,
+        CAST(sum(x * x) OVER w AS DOUBLE) AS sxx
+      FROM arred
+      WINDOW w AS (PARTITION BY produto ORDER BY data
+                   ROWS BETWEEN {W15_FRAME} PRECEDING AND 1 PRECEDING))
+    SELECT produto, data, CAST(x AS DOUBLE) AS valor, n,
+      round((CAST(x AS DOUBLE) - sx / n)
+            / sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS z,
+      abs(round((CAST(x AS DOUBLE) - sx / n)
+            / sqrt((sxx - sx * sx / n) / (n - 1)), 4)) > {W15_Z_LIMIT}
+        AS atipico
+    FROM janela
+    WHERE n >= {W15_MIN_OBS} AND sxx - sx * sx / n > 0
+    """,
+    tags=("W15", "TIMESERIES", "ANOMALY", "MONITOR", "SCALE_DEFAULT"),
+)
+def w15_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flag over the daily traded-value
+    series — each day's total scored against the TRAILING {f}-day
+    window (current day excluded, so the anomaly can't dilute its own
+    baseline), flagged ``atipico`` when |z| > {lim}: the spike
+    monitor the reference's sanity validators approximate with static
+    band checks (ref: agrobr/validators/sanity.py price-range rules —
+    this is the adaptive version that learns each product's local
+    level).
+
+    Cross-engine determinism: window SUMS over doubles are
+    association-order-dependent (DuckDB aggregates frames via segment
+    trees, Spark streams them), so the scored series is the EXACT
+    DECIMAL(18,5) daily sum — no quotient, no re-round, so the
+    windowed Σx and Σx² are exact and order-independent — and
+    mean/variance/z derive from those exact sums through an identical
+    double expression in both engines. Variance is the textbook
+    (Σx² − (Σx)²/n)/(n−1) on exact inputs, not a streaming estimator,
+    so no engine's accumulation order can leak in. Scored only where
+    the trailing window holds ≥ {m} observations and positive
+    variance.
+
+    Plan + 100 TB: one shuffle on the product key, then a single
+    bounded-frame window — state per partition stream is {f} decimal
+    rows; no self-join against the calendar, no second pass to fetch
+    the mean (both moments ride the same frame)."""
+    li = load(spark, sf_dir, "lineitem")
+    ship = F.col("l_shipdate").cast("date")
+    prod = F.element_at(
+        F.array(F.lit("soja"), F.lit("milho"), F.lit("boi"), F.lit("cafe")),
+        (F.col("l_suppkey") % 4 + 1).cast("int"),
+    )
+    arred = (
+        li.filter(ship.between("1997-01-01", "1997-03-31"))
+        .select(
+            prod.alias("produto"),
+            ship.alias("data"),
+            (F.col("l_extendedprice") / 1000.0).alias("valor"),
+        )
+        .groupBy("produto", "data")
+        .agg(
+            F.sum(F.col("valor").cast("decimal(18,5)"))
+            .cast("decimal(18,5)")
+            .alias("x")
+        )
+    )
+    w = (
+        Window.partitionBy("produto")
+        .orderBy("data")
+        .rowsBetween(-W15_FRAME, -1)
+    )
+    jan = arred.select(
+        "produto",
+        "data",
+        "x",
+        F.count("x").over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("double").alias("sxx"),
+    )
+    xd = F.col("x").cast("double")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = F.round(
+        (xd - F.col("sx") / F.col("n")) / F.sqrt(var), 4
+    )
+    return (
+        jan.filter(
+            (F.col("n") >= W15_MIN_OBS)
+            & (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n") > 0)
+        )
+        .select(
+            "produto",
+            "data",
+            xd.alias("valor"),
+            "n",
+            z.alias("z"),
+            (F.abs(z) > W15_Z_LIMIT).alias("atipico"),
+        )
+    )
+
+
+w15_rolling_zscore.__doc__ = w15_rolling_zscore.__doc__.format(
+    f=W15_FRAME, lim=W15_Z_LIMIT, m=W15_MIN_OBS
+)

@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "w1_pct_change",
     "w4_latest_per_key",
     "w13_gap_fill_locf",
+    "w14_ewma_smooth",
+    "w15_rolling_zscore",
     "w7_sessionize",
     "m1_merge_upsert",
     "f7_unit_conversion",

@@ -1648,3 +1648,49 @@ def test_graph_clusters_partition_property(spark):
         assert g == min(members)
     for e in sim_mutual_knn(spark, SF_SMOKE).collect():
         assert label[e.vec_a] == label[e.vec_b], (e.vec_a, e.vec_b)
+
+
+def test_ewma_bounded_by_trailing_extremes(spark):
+    """w14: every EWMA is a convex combination of the current value
+    and up to 7 trailing observations, so it must lie within the
+    [min, max] of that 8-row window; head rows are excluded."""
+    from collections import defaultdict
+
+    from agrobr_spark.queries.relational import (
+        W14_LAGS,
+        _serie_diaria,
+        w14_ewma_smooth,
+    )
+    from tests.conftest import SF_SMOKE
+
+    serie = defaultdict(list)
+    for r in _serie_diaria(spark, SF_SMOKE).collect():
+        serie[r.produto].append((r.data, r.valor))
+    for v in serie.values():
+        v.sort()
+    got = w14_ewma_smooth(spark, SF_SMOKE).collect()
+    assert got
+    idx = {p: {d: i for i, (d, _) in enumerate(v)} for p, v in serie.items()}
+    for r in got:
+        i = idx[r.produto][r.data]
+        assert i >= 1  # n_obs >= 2 excluded the head row
+        window = [v for _, v in serie[r.produto][max(0, i - W14_LAGS + 1): i + 1]]
+        assert min(window) - 1e-6 <= r.ewma <= max(window) + 1e-6, r
+
+
+def test_rolling_zscore_flags_match_reported_z(spark):
+    """w15: atipico is exactly |z| > limit; every scored row has a
+    trailing window of at least the minimum observations."""
+    from agrobr_spark.queries.relational import (
+        W15_MIN_OBS,
+        W15_Z_LIMIT,
+        w15_rolling_zscore,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = w15_rolling_zscore(spark, SF_SMOKE).collect()
+    assert rows
+    assert any(r.atipico for r in rows) or len(rows) < 50
+    for r in rows:
+        assert r.n >= W15_MIN_OBS
+        assert r.atipico == (abs(r.z) > W15_Z_LIMIT), r

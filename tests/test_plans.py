@@ -313,3 +313,15 @@ class TestRetrievalAndSampling:
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+    def test_timeseries_windows_shuffle_once(self, spark, cat):
+        """w14/w15: after the daily aggregation, the lag/frame window
+        runs on the SAME product-key partitioning — exactly two
+        hash exchanges total (series agg + window key), no range
+        exchange (no global sort), no cartesian, no Python."""
+        for q in ("w14_ewma_smooth", "w15_rolling_zscore"):
+            plan = plan_of(cat[q].fn(spark, SF_SMOKE))
+            assert plan.count("Exchange hashpartitioning") <= 2, (q, plan)
+            assert "Exchange rangepartitioning" not in plan, q
+            assert "CartesianProduct" not in plan, q
+            assert "BatchEvalPython" not in plan, q

@@ -133,6 +133,10 @@ PROBE_QUERIES = [
     "stream_heavy_hitters",
     # calendar gap-fill: sequence-explode spine + one LOCF window
     "w13_gap_fill_locf",
+    # EWMA smoothing: one keyed window, 8 lag reads, dyadic weights
+    "w14_ewma_smooth",
+    # rolling z-score: one bounded-frame window over exact decimals
+    "w15_rolling_zscore",
     # corpus-wide kNN graph: cluster equi-join, ~n^1.5 pair family
     "sim_knn_graph",
     # ANN recall report: sum of the variants + tiny top-k-row joins
