@@ -2257,3 +2257,111 @@ def w15_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 w15_rolling_zscore.__doc__ = w15_rolling_zscore.__doc__.format(
     f=W15_FRAME, lim=W15_Z_LIMIT, m=W15_MIN_OBS
 )
+
+
+# -- A19: approximate quantile profiling (GK sketch), self-verified --
+
+_A19_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+_A19_QS = (0.25, 0.5, 0.75, 0.95)
+_A19_ACC = 10000  # GK accuracy: rank error <= n / accuracy
+
+_A19_COLS_SQL = "\n      UNION ALL ".join(
+    f"SELECT '{c}' AS coluna, "
+    f"quantile_cont({c}, {list(_A19_QS)}) AS ps, "
+    f"CAST(count({c}) AS BIGINT) AS n FROM lineitem"
+    for c in _A19_COLS
+)
+_A19_QS_SQL = ", ".join(f"({i + 1}, {q})" for i, q in enumerate(_A19_QS))
+
+
+@register(
+    "a19_approx_quantiles",
+    # Self-verifying oracle shape (the a18 pattern): Spark's
+    # Greenwald-Khanna sketch and DuckDB's exact quantile never agree
+    # bit-level, so the Spark side checks its OWN sketch against the
+    # exact ranks in-query and emits one boolean per (column,
+    # quantile); the oracle pins the exact interpolated percentile,
+    # the count, and the all-TRUE frame.
+    oracle=f"""
+    WITH cols AS (
+      {_A19_COLS_SQL}),
+    qs AS (SELECT * FROM (VALUES {_A19_QS_SQL}) AS t(i, quantil))
+    SELECT c.coluna, q.quantil, c.n,
+           round(c.ps[q.i], 6) AS p_exato, TRUE AS dentro
+    FROM cols c, qs q
+    """,
+    tags=("A19", "PROFILE", "APPROX", "QUANTILE", "SCALE_DEFAULT"),
+)
+def a19_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantile profiling (Deequ's ``ApproxQuantile``
+    analyzer): per profiled column, the Greenwald-Khanna sketch
+    estimate at accuracy {acc} checked in-query against the EXACT
+    rank of the returned value — ``dentro`` is TRUE when the
+    estimate's rank lands within the documented n/accuracy rank-error
+    band (+2 slack for boundary/interpolation), the repo's standard
+    self-verifying shape for sketches the oracle engine cannot
+    replicate bit-level (a18's HLL discipline applied to quantiles).
+
+    At 100 TB the production call is the approx row ALONE: GK
+    sketches are bounded-size, mergeable per partition, one scan for
+    every (column, quantile) pair — exact percentiles would buffer
+    whole columns per task, which is exactly what a profiler cannot
+    afford on a fact table. The exact interpolated percentile and
+    the rank-verification melt exist so the sketch's error contract
+    is driver-hash-checked per fixture, not trusted from
+    documentation. ``p_exato`` doubles as the cross-engine pin:
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` compute the
+    same (n-1)·q linear interpolation."""
+    li = load(spark, sf_dir, "lineitem")
+    qs = list(_A19_QS)
+    stack = ", ".join(f"'{c}', {c}" for c in _A19_COLS)
+    linhas = li.select(
+        F.expr(f"stack({len(_A19_COLS)}, {stack}) AS (coluna, valor)")
+    ).filter(F.col("valor").isNotNull())
+    per_col = linhas.groupBy("coluna").agg(
+        F.percentile_approx("valor", qs, F.lit(_A19_ACC)).alias("vs"),
+        F.expr(f"percentile(valor, array({', '.join(map(str, qs))}))").alias(
+            "ps"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    alvo = per_col.select(
+        "coluna",
+        "n",
+        F.posexplode(F.arrays_zip("vs", "ps")).alias("i", "par"),
+    ).select(
+        "coluna",
+        "n",
+        F.element_at(F.lit(qs), F.col("i") + 1).alias("quantil"),
+        F.col("par.vs").alias("v_aprox"),
+        F.round(F.col("par.ps"), 6).alias("p_exato"),
+    )
+    postos = (
+        linhas.join(F.broadcast(alvo), "coluna")
+        .groupBy("coluna", "quantil", "n", "p_exato", "v_aprox")
+        .agg(
+            F.sum((F.col("valor") <= F.col("v_aprox")).cast("long")).alias(
+                "le"
+            ),
+            F.sum((F.col("valor") < F.col("v_aprox")).cast("long")).alias(
+                "lt"
+            ),
+        )
+    )
+    tol = F.lit(2.0) + F.col("n") / F.lit(float(_A19_ACC))
+    alvo_posto = F.col("quantil") * F.col("n")
+    return postos.select(
+        "coluna",
+        "quantil",
+        "n",
+        "p_exato",
+        (
+            (F.col("le") >= alvo_posto - tol)
+            & (F.col("lt") <= alvo_posto + tol)
+        ).alias("dentro"),
+    )
+
+
+a19_approx_quantiles.__doc__ = a19_approx_quantiles.__doc__.format(
+    acc=_A19_ACC
+)

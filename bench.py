@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "w4_latest_per_key",
     "w13_gap_fill_locf",
     "w14_ewma_smooth",
+    "a19_approx_quantiles",
     "w15_rolling_zscore",
     "w7_sessionize",
     "m1_merge_upsert",

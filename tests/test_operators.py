@@ -1694,3 +1694,23 @@ def test_rolling_zscore_flags_match_reported_z(spark):
     for r in rows:
         assert r.n >= W15_MIN_OBS
         assert r.atipico == (abs(r.z) > W15_Z_LIMIT), r
+
+
+def test_approx_quantiles_contract_and_monotone(spark):
+    """a19: every sketch estimate is inside its rank-error band, and
+    the exact percentiles are monotone in the quantile per column."""
+    from collections import defaultdict
+
+    from agrobr_spark.queries.relational import a19_approx_quantiles
+    from tests.conftest import SF_SMOKE
+
+    rows = a19_approx_quantiles(spark, SF_SMOKE).collect()
+    assert len(rows) == 12
+    by_col = defaultdict(list)
+    for r in rows:
+        assert r.dentro, r
+        by_col[r.coluna].append((r.quantil, r.p_exato))
+    for col, pairs in by_col.items():
+        pairs.sort()
+        vals = [p for _, p in pairs]
+        assert vals == sorted(vals), (col, vals)

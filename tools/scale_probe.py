@@ -133,6 +133,8 @@ PROBE_QUERIES = [
     "stream_heavy_hitters",
     # calendar gap-fill: sequence-explode spine + one LOCF window
     "w13_gap_fill_locf",
+    # approx-quantile profiler: GK sketch + fixture-only exact verify
+    "a19_approx_quantiles",
     # EWMA smoothing: one keyed window, 8 lag reads, dyadic weights
     "w14_ewma_smooth",
     # rolling z-score: one bounded-frame window over exact decimals
