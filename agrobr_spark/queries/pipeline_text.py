@@ -1810,9 +1810,7 @@ _PHRASE_VALUES = ", ".join(
 )
 
 
-@register(
-    "text_phrase_match",
-    oracle=rf"""
+_PHRASE_ORACLE = rf"""
     WITH toksl AS (
       SELECT doc_id,
         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
@@ -1838,7 +1836,12 @@ _PHRASE_VALUES = ", ".join(
       WHERE f.c = l.comprimento)
     SELECT doc_id, frase, CAST(count(*) AS BIGINT) AS n_ocorrencias
     FROM hits GROUP BY doc_id, frase
-    """,
+    """
+
+
+@register(
+    "text_phrase_match",
+    oracle=_PHRASE_ORACLE,
     tags=("TEXT", "RETRIEVAL", "PHRASE", "POSTING"),
 )
 def text_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1890,3 +1893,49 @@ def text_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("doc_id", "frase").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_ocorrencias")
     )
+
+
+_PHRASE_INDEX_CACHE: dict[str, str] = {}
+
+
+def _phrase_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    path = _PHRASE_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        from agrobr_spark.store.posting import build_positional_index
+
+        path = tempfile.mkdtemp(prefix="phrase_idx_")
+        docs = load(spark, sf_dir, "documents")
+        build_positional_index(docs, path)
+        _PHRASE_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+@register(
+    "text_phrase_indexed",
+    oracle=_PHRASE_ORACLE,
+    tags=("TEXT", "RETRIEVAL", "PHRASE", "POSTING", "INDEX"),
+)
+def text_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_phrase_match`` answered from the POSITIONAL posting
+    index (``store/posting.py build_positional_index``) instead of a
+    corpus re-tokenize — the disk-partitioned (termo, doc_id, pos)
+    form the scan path's docstring promises, completing the
+    BM25-scan/BM25-indexed pairing for phrase search. Same oracle
+    string as the scan path, so indexed ≡ scan is driver-hash-checked
+    every round, not asserted.
+
+    Plan: the phrases' distinct terms map to buckets via the build's
+    own xxhash64 (one tiny job); the posting read lists and scans
+    ONLY those partitions (``bucket IN`` partition pruning +
+    ``termo IN`` pushed filter — plan-tested); the candidate-start
+    vote and completeness check then run over posting rows of the
+    query terms alone. Query cost is O(positional rows of the
+    phrases' terms), flat as the corpus grows — the reference's
+    indexed-cache-scan property (ref:
+    agrobr/cache/duckdb_store.py:339-400) on the phrase surface."""
+    from agrobr_spark.store.posting import phrase_match_indexed
+
+    path = _phrase_index_dir(spark, sf_dir)
+    return phrase_match_indexed(spark, path, PHRASES)

@@ -253,3 +253,134 @@ def bm25_topk_indexed(
         .orderBy(F.desc("pontos"), id_col)
         .limit(int(k))
     )
+
+
+# -- positional postings: the phrase-search index ---------------------
+
+
+def tokenize_positional(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Positional posting rows ``(doc_id, pos, termo)`` — the raw
+    whitespace tokenizer of the phrase scan path
+    (``queries/pipeline_text.text_phrase_match``) with 0-based token
+    offsets kept, so indexed ≡ scan holds byte-for-byte. Unlike the
+    BM25 rows there is no per-(doc, term) aggregation: order IS the
+    payload."""
+    return (
+        docs.filter(F.length(F.trim(text_col)) > 0)
+        .select(
+            id_col,
+            F.posexplode(F.split(F.trim(text_col), r"\s+")).alias(
+                "pos", "termo"
+            ),
+        )
+        .select(id_col, F.col("pos").cast("bigint").alias("pos"), "termo")
+    )
+
+
+def build_positional_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the positional index at ``path``: parquet
+    disk-partitioned by ``bucket = pmod(xxhash64(termo), n_buckets)``
+    exactly like the BM25 index, rows ``(termo, doc_id, pos)``. A
+    phrase query reads |distinct phrase terms| buckets however large
+    the corpus grows — the inverted-index property extended with
+    positions. One corpus pass, no driver-side data beyond the
+    manifest."""
+    rows = tokenize_positional(docs, id_col, text_col)
+    bucket = F.pmod(F.xxhash64(F.col("termo")), F.lit(int(n_buckets)))
+    (
+        rows.withColumn("bucket", bucket.cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    manifest = {
+        "n_buckets": int(n_buckets),
+        "tokenizer_version": TOKENIZER_VERSION,
+        "id_col": id_col,
+        "kind": "positional",
+    }
+    with open(f"{path}/manifest.json", "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh)
+
+
+def update_positional_index(
+    docs_new: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_id: int | None = None,
+) -> None:
+    """Fold NEW documents into an existing positional index: batch
+    rows append into their term buckets at the manifest-frozen
+    n_buckets; a replayed ``batch_id`` is a no-op (the
+    ``applied_batch_ids`` guard of ``update_posting_index``). Same
+    append-only contract: ids must not already be indexed."""
+    man = read_manifest(path)
+    if batch_id is not None and int(batch_id) in man.get(
+        "applied_batch_ids", []
+    ):
+        return
+    nb = int(man["n_buckets"])
+    rows = tokenize_positional(docs_new, id_col, text_col)
+    bucket = F.pmod(F.xxhash64(F.col("termo")), F.lit(nb))
+    (
+        rows.withColumn("bucket", bucket.cast("int"))
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    if batch_id is not None:
+        man.setdefault("applied_batch_ids", []).append(int(batch_id))
+        with open(f"{path}/manifest.json", "w", encoding="utf-8") as fh:
+            json.dump(man, fh)
+
+
+def phrase_match_indexed(
+    spark: SparkSession,
+    path: str,
+    phrases: tuple[str, ...],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase occurrences answered from the positional index —
+    the scan path's candidate-start vote (token at position p
+    matching phrase offset o votes for start p − o; a start with ALL
+    offsets present is one occurrence) run over ONLY the pruned
+    posting read of the phrases' terms. Output
+    ``(doc_id, frase, n_ocorrencias)``, identical to
+    ``text_phrase_match`` — the catalog pins the identity against one
+    shared oracle."""
+    terms = [
+        (frase, termo, off)
+        for frase in phrases
+        for off, termo in enumerate(frase.split())
+    ]
+    postings = query_postings(
+        spark, path, tuple(sorted({t for _, t, _ in terms}))
+    )
+    termdf = spark.createDataFrame(
+        terms, "frase string, termo string, deslocamento int"
+    )
+    lens = termdf.groupBy("frase").agg(
+        F.count(F.lit(1)).alias("comprimento")
+    )
+    m = postings.join(F.broadcast(termdf), "termo").select(
+        id_col,
+        "frase",
+        (F.col("pos") - F.col("deslocamento")).alias("inicio"),
+    )
+    cheio = m.groupBy(id_col, "frase", "inicio").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        cheio.join(F.broadcast(lens), "frase")
+        .filter(F.col("c") == F.col("comprimento"))
+        .groupBy(id_col, "frase")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ocorrencias"))
+    )

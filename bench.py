@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "text_bm25_topk",
     "text_bm25_indexed",
     "text_phrase_match",
+    "text_phrase_indexed",
     "text_contamination_fuzzy",
     "sim_hybrid_rrf",
     "o8_weighted_sample",

@@ -325,3 +325,19 @@ class TestRetrievalAndSampling:
             assert "Exchange rangepartitioning" not in plan, q
             assert "CartesianProduct" not in plan, q
             assert "BatchEvalPython" not in plan, q
+
+    def test_phrase_indexed_prunes_buckets(self, spark, cat):
+        """text_phrase_indexed: the positional posting read is
+        partition-pruned to the phrases' distinct terms' buckets with
+        the termo IN filter pushed into the pruned scan; the (phrase,
+        term, offset) and length tables broadcast; the documents
+        corpus never appears at query time."""
+        plan = plan_of(cat["text_phrase_indexed"].fn(spark, SF_SMOKE))
+        m = re.search(r"PartitionFilters: \[bucket[^\]]*IN \(([^)]*)\)", plan)
+        assert m, plan
+        # 9 distinct phrase terms → at most 9 buckets, never all 64
+        assert len(m.group(1).split(",")) <= 9
+        assert re.search(r"PushedFilters: \[In\(termo", plan), plan
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "documents" not in plan
+        assert "BatchEvalPython" not in plan

@@ -456,3 +456,73 @@ def test_zorder_write_clusters_both_columns(spark, tmp_path):
     # and the rewrite is lossless
     back = spark.read.parquet(zpath)
     assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_positional_index_build_query_and_phrase(spark, tmp_path):
+    """store/posting.py positional extension: positions survive the
+    bucketed round-trip, the phrase path counts occurrences (incl.
+    repeats) exactly, and an incremental update plus replay guard
+    matches a full rebuild."""
+    from agrobr_spark.store.posting import (
+        build_positional_index,
+        phrase_match_indexed,
+        query_postings,
+        read_manifest,
+        update_positional_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big scan query big scan query big"),
+            (2, "scan query"),
+            (3, "  "),
+        ],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "pidx")
+    build_positional_index(docs, path, n_buckets=8)
+    assert read_manifest(path)["kind"] == "positional"
+
+    got = {
+        (r["pos"], r["termo"])
+        for r in query_postings(spark, path, ("big",)).collect()
+        if r["doc_id"] == 1
+    }
+    assert got == {(0, "big"), (3, "big"), (6, "big")}
+
+    hits = {
+        (r["doc_id"], r["frase"]): r["n_ocorrencias"]
+        for r in phrase_match_indexed(
+            spark, path, ("scan query big", "scan query")
+        ).collect()
+    }
+    assert hits == {
+        (1, "scan query big"): 2,
+        (1, "scan query"): 2,
+        (2, "scan query"): 1,
+    }
+
+    # incremental fold: new doc appended into the frozen buckets ...
+    novo = spark.createDataFrame(
+        [(9, "scan query big")], "doc_id bigint, text string"
+    )
+    update_positional_index(novo, path, batch_id=1)
+    # ... and a replayed epoch is a no-op, not a double-count
+    update_positional_index(novo, path, batch_id=1)
+    hits2 = {
+        (r["doc_id"], r["frase"]): r["n_ocorrencias"]
+        for r in phrase_match_indexed(
+            spark, path, ("scan query big",)
+        ).collect()
+    }
+    assert hits2 == {(1, "scan query big"): 2, (9, "scan query big"): 1}
+
+    full = str(tmp_path / "pidx_full")
+    build_positional_index(docs.union(novo), full, n_buckets=8)
+    direto = {
+        (r["doc_id"], r["frase"]): r["n_ocorrencias"]
+        for r in phrase_match_indexed(
+            spark, full, ("scan query big",)
+        ).collect()
+    }
+    assert direto == hits2

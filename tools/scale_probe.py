@@ -147,6 +147,8 @@ PROBE_QUERIES = [
     "pipeline_cluster_sample",
     # positional phrase search: broadcast term filter before any shuffle
     "text_phrase_match",
+    # phrase search from the positional index: |terms|-bucket pruned read
+    "text_phrase_indexed",
     # mutual-kNN edge filter: self-join of the k·n edge frame
     "sim_mutual_knn",
     # components over mutual edges: pointer-doubling on a sparse graph
