@@ -1276,3 +1276,206 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(store_dir, ignore_errors=True)
         shutil.rmtree(ingest, ignore_errors=True)
+
+
+# -- streaming DSIR: frozen importance models score each micro-batch --
+
+
+def _stream_dsir_oracle() -> str:
+    from agrobr_spark.queries.training_prep import (
+        _DSIR_B_DUCK,
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+    )
+
+    return rf"""
+    WITH lim AS (
+      SELECT CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT) AS corte
+      FROM documents),
+    toks AS (
+      SELECT d.doc_id, d.alvo, lower(u.tok) AS termo
+      FROM (SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS alvo,
+                   string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0) d,
+           unnest(d.t) AS u(tok)),
+    db AS (
+      SELECT doc_id, alvo, {_DSIR_B_DUCK} AS balde,
+             CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY doc_id, alvo, 3),
+    modelo AS (
+      SELECT balde, CAST(sum(n) AS BIGINT) AS cr,
+             CAST(sum(CASE WHEN alvo THEN n ELSE 0 END) AS BIGINT) AS ct
+      FROM db, lim WHERE doc_id < corte GROUP BY balde),
+    tot AS (
+      SELECT CAST(sum(cr) AS BIGINT) AS r_total,
+             CAST(sum(ct) AS BIGINT) AS t_total
+      FROM modelo),
+    pontos AS (
+      SELECT d.doc_id, d.n,
+        CAST(round(d.n * (
+          log2(CAST(coalesce(m.ct, 0) + 1 AS DOUBLE)
+               / (tot.t_total + {DSIR_BUCKETS}))
+          - log2(CAST(coalesce(m.cr, 0) + 1 AS DOUBLE)
+                 / (tot.r_total + {DSIR_BUCKETS}))), 6)
+          AS DECIMAL(18,6)) AS p
+      FROM db d LEFT JOIN modelo m USING (balde), tot, lim
+      WHERE d.doc_id >= lim.corte)
+    SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+      CAST(sum(p) AS DOUBLE) AS pontuacao_dsir,
+      CAST(sum(p) AS DOUBLE) > 0 AS selecionado
+    FROM pontos GROUP BY doc_id
+    """
+
+
+@register(
+    "stream_dsir_weights",
+    oracle=_stream_dsir_oracle(),
+    tags=("STREAM", "DSIR", "MIX", "INCREMENTAL"),
+)
+def stream_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring as a STREAM: the hashed-unigram target
+    and raw models are FROZEN from the historical corpus (docs below
+    the admission cut) and every arriving micro-batch is scored
+    against them — the production shape where the importance model is
+    fit once on the curated corpus and new crawl batches get weights
+    on arrival (Xie et al. 2023 §3: the estimator is fit before
+    selection; ``pipeline_dsir_weights`` is the one-shot twin).
+
+    Frozen-model discipline (the ``stream_source_divergence``
+    pattern): the {b}-bucket model table and its two totals are
+    computed ONCE and broadcast into every ``foreachBatch`` call —
+    per-batch cost is one explode + one (doc, bucket) aggregation +
+    a broadcast join against ≤{b} rows, independent of corpus size.
+    Buckets the frozen model never saw score through the same
+    Laplace floor via LEFT join + coalesce(0) — identical expression
+    in the oracle, so the smoothing at the model boundary is
+    hash-checked, not assumed. Per-doc rows append to a parquet
+    result table (never the driver); scores are deterministic decimal
+    sums, so the final whole-row dedupe makes a replayed epoch
+    harmless. The score itself is batch-independent by construction —
+    which is exactly what the one-shot oracle proves."""
+    import os
+    import shutil
+    import tempfile
+
+    from agrobr_spark.io import load
+    from agrobr_spark.queries.admission import _split_params
+    from agrobr_spark.queries.training_prep import (
+        _DSIR_B_SPARK,
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+    )
+
+    _COUNTER[0] += 1
+    ingest = tempfile.mkdtemp(prefix="stream_dsir_in_")
+    scores_dir = tempfile.mkdtemp(prefix="stream_dsir_out_")
+    try:
+        cut = _split_params(spark, sf_dir)[0]
+        docs = load(spark, sf_dir, "documents")
+
+        # frozen models: (balde, cr, ct) + totals from the corpus side
+        toks = (
+            docs.filter(
+                (F.length(F.trim("text")) > 0) & (F.col("doc_id") < cut)
+            )
+            .select(
+                "doc_id",
+                (F.col("lang") == DSIR_TARGET_LANG).alias("alvo"),
+                F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+            )
+            .select("doc_id", "alvo", F.lower("tok").alias("termo"))
+        )
+        modelo = (
+            toks.groupBy(F.expr(_DSIR_B_SPARK).alias("balde"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cr"),
+                F.sum(F.when(F.col("alvo"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("ct"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        tot = modelo.agg(
+            F.sum("cr").alias("r"), F.sum("ct").alias("t")
+        ).collect()[0]
+        r_total, t_total = int(tot["r"] or 0), int(tot["t"] or 0)
+
+        staged = docs.filter(F.col("doc_id") >= cut).select("doc_id", "text")
+        max_id = staged.agg(F.max("doc_id")).collect()[0][0] or cut
+        n_files = 3
+        span = max(1, (int(max_id) - cut + n_files) // n_files)
+        t0 = 1_000_000_000
+        for i in range(n_files):
+            lo, hi = cut + i * span, cut + (i + 1) * span
+            chunk = staged.filter(
+                (F.col("doc_id") >= lo)
+                & (F.col("doc_id") < (hi if i < n_files - 1 else 1 << 62))
+            )
+            tmp = f"{ingest}/.stage{i}"
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = f"{ingest}/chunk{i:05d}.parquet"
+            shutil.move(f"{tmp}/{part}", dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+
+        p_t = (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double") / F.lit(
+            t_total + DSIR_BUCKETS
+        )
+        p_r = (F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double") / F.lit(
+            r_total + DSIR_BUCKETS
+        )
+        contrib = F.round(
+            F.col("n") * (F.log2(p_t) - F.log2(p_r)), 6
+        ).cast("decimal(18,6)")
+
+        def handle(batch: DataFrame, batch_id: int) -> None:
+            db = (
+                batch.filter(F.length(F.trim("text")) > 0)
+                .select(
+                    "doc_id",
+                    F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+                )
+                .select("doc_id", F.lower("tok").alias("termo"))
+                .groupBy("doc_id", F.expr(_DSIR_B_SPARK).alias("balde"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            )
+            pontos = db.join(F.broadcast(modelo), "balde", "left").select(
+                "doc_id", "n", contrib.alias("p")
+            )
+            (
+                pontos.groupBy("doc_id")
+                .agg(
+                    F.sum("n").cast("bigint").alias("n_tokens"),
+                    F.sum("p").cast("double").alias("pontuacao_dsir"),
+                    (F.sum("p").cast("double") > 0).alias("selecionado"),
+                )
+                .write.mode("append")
+                .parquet(scores_dir)
+            )
+
+        stream = (
+            spark.readStream.schema(staged.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ingest)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+        out = spark.read.parquet(scores_dir).dropDuplicates(["doc_id"])
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ingest, ignore_errors=True)
+        shutil.rmtree(scores_dir, ignore_errors=True)
+
+
+from agrobr_spark.queries.training_prep import DSIR_BUCKETS as _DSIR_B
+
+stream_dsir_weights.__doc__ = stream_dsir_weights.__doc__.format(b=_DSIR_B)

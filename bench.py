@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "sim_hard_negatives",
     "stream_tumbling_daily",
     "stream_stateful_dod",
+    "stream_dsir_weights",
     "stream_dedup_exact",
     "stream_source_divergence",
     "pipeline_df_index_update",

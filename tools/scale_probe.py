@@ -153,6 +153,8 @@ PROBE_QUERIES = [
     "sim_mutual_knn",
     # components over mutual edges: pointer-doubling on a sparse graph
     "sim_graph_clusters",
+    # streamed DSIR: frozen 1024-bucket models broadcast per micro-batch
+    "stream_dsir_weights",
 ]
 
 # every table any probe query loads
