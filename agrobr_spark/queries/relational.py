@@ -2365,3 +2365,74 @@ def a19_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 a19_approx_quantiles.__doc__ = a19_approx_quantiles.__doc__.format(
     acc=_A19_ACC
 )
+
+
+# -- J11: salted skew join as a catalog query -------------------------
+
+_J11_SALTS = 16
+_J11_DIM = (
+    ("A", "devolvido"),
+    ("N", "normal"),
+    ("R", "reembolsado"),
+)
+_J11_DIM_SQL = ", ".join(f"('{k}', '{v}')" for k, v in _J11_DIM)
+
+
+@register(
+    "j11_salted_skew_join",
+    oracle=f"""
+    WITH dim AS (
+      SELECT * FROM (VALUES {_J11_DIM_SQL}) AS t(l_returnflag, descricao))
+    SELECT l.l_returnflag, d.descricao,
+      CAST(count(*) AS BIGINT) AS n_itens,
+      CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS receita
+    FROM lineitem l JOIN dim d USING (l_returnflag)
+    GROUP BY l.l_returnflag, d.descricao
+    """,
+    tags=("J11", "SKEW", "SALT", "SCALE_DEFAULT"),
+)
+def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join via explicit salting
+    (``operators/skew.salted_join``): the fact table joins a
+    3-key dimension — the textbook pathological shuffle, where a
+    plain hash join lands the ENTIRE fact table on 3 reducers — with
+    the fact side salted {s} ways (deterministic ``pmod(hash(row),
+    {s})``, no rand()) and the dim replicated once per salt, so each
+    hot key spreads over {s} reducers and the join key becomes
+    (key, salt). Result ≡ the plain join, which is the oracle.
+
+    The dim side carries a SHUFFLE_HASH hint: the demo must exercise
+    the shuffle path the salt exists for (a broadcast would hide the
+    skew AND the fix; at real scale this dim is a large
+    non-broadcastable enrichment table whose key histogram is
+    skewed). The aggregation after the join needs no manual
+    second level: Spark's partial hash aggregation over the salted
+    partitions IS the two-stage rollup, and the money sum is
+    decimal-exact so reducer order can't leak in.
+
+    When to salt instead of trusting AQE: the skew is known ahead of
+    time (key histogram from profiling — `a16`'s job), the join feeds
+    a window AQE can't split, or the plan must be stable across runs
+    (AQE re-plans per execution). ref: the reference hand-chunks its
+    hot UF×year extracts for the same reason
+    (agrobr/comexstat/api.py chunked fetch loop)."""
+    from agrobr_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    dim = spark.createDataFrame(
+        list(_J11_DIM), "l_returnflag string, descricao string"
+    ).hint("shuffle_hash")
+    j = salted_join(li, dim, ["l_returnflag"], salt=_J11_SALTS)
+    return j.groupBy("l_returnflag", "descricao").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_itens"),
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "receita"),
+    )
+
+
+j11_salted_skew_join.__doc__ = j11_salted_skew_join.__doc__.format(
+    s=_J11_SALTS
+)
+

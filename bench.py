@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "j7_asof_join",
     "j8_range_join",
     "j10_interval_overlap",
+    "j11_salted_skew_join",
     "a11_grouping_sets",
     "a15_profile_columns",
     "a16_profile_histogram",

@@ -341,3 +341,16 @@ class TestRetrievalAndSampling:
         assert plan.count("BroadcastHashJoin") >= 2
         assert "documents" not in plan
         assert "BatchEvalPython" not in plan
+
+    def test_salted_join_spreads_hot_keys(self, spark, cat):
+        """j11: the salted join must take the SHUFFLE path (a
+        broadcast would hide both the skew and the fix) on the
+        composite (key, salt) key, with the dim replicated via
+        explode and partial aggregation before the final exchange."""
+        plan = plan_of(cat["j11_salted_skew_join"].fn(spark, SF_SMOKE))
+        assert "ShuffledHashJoin" in plan, plan
+        assert "__salt" in plan
+        assert "Generate" in plan and "explode(" in plan
+        assert "partial_count" in plan or "HashAggregate" in plan
+        assert "BroadcastHashJoin" not in plan
+        assert "CartesianProduct" not in plan

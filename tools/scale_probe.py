@@ -155,6 +155,8 @@ PROBE_QUERIES = [
     "sim_graph_clusters",
     # streamed DSIR: frozen 1024-bucket models broadcast per micro-batch
     "stream_dsir_weights",
+    # salted skew join: fact side salted 16 ways, dim exploded per salt
+    "j11_salted_skew_join",
 ]
 
 # every table any probe query loads
