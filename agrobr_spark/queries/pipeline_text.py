@@ -9,6 +9,8 @@ hot path — so the same plan scales to 100 TB of text.
 
 from __future__ import annotations
 
+import hashlib
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -449,13 +451,14 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _keep_set_oracle() -> str:
-    """Composed keep-set oracle: survivorship CTE from the dedup module
-    + token/contamination gates, same precedence as the Spark side."""
+def _gates_cte() -> str:
+    """Shared admission-gate CTE chain (survivorship losers +
+    tokens + contamination) used by the keep-set oracle and the
+    per-doc evidence-matrix oracle, so both verdicts come from ONE
+    SQL definition of each gate."""
     from agrobr_spark.queries.dedup import _COMPONENTS_CTE
 
-    return f"""
-    WITH RECURSIVE {_COMPONENTS_CTE},
+    return f"""{_COMPONENTS_CTE},
     ranqueado AS (
       SELECT c.id AS doc_id,
              row_number() OVER (
@@ -478,7 +481,14 @@ def _keep_set_oracle() -> str:
     contaminados AS (
       SELECT s.doc_id FROM sh s JOIN bench b ON s.shingle = b.shingle
       WHERE s.doc_id >= 10
-      GROUP BY s.doc_id HAVING count(*) >= 3),
+      GROUP BY s.doc_id HAVING count(*) >= 3)"""
+
+
+def _keep_set_oracle() -> str:
+    """Composed keep-set oracle: survivorship CTE from the dedup module
+    + token/contamination gates, same precedence as the Spark side."""
+    return f"""
+    WITH RECURSIVE {_gates_cte()},
     decisao AS (
       SELECT tk.doc_id,
         CASE WHEN tk.n_tokens < 5 THEN 'curto'
@@ -1939,3 +1949,848 @@ def text_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _phrase_index_dir(spark, sf_dir)
     return phrase_match_indexed(spark, path, PHRASES)
+
+
+# -- Gopher quality rules ----------------------------------------------
+
+# Rae et al. 2021 (Gopher), table A1: the document-level heuristic
+# rule set most open pipelines (MassiveText, RefinedWeb, Dolma)
+# start from. Thresholds are the paper's.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2
+
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+# the 7 rule predicates over the (rounded) signal columns — shared
+# verbatim by the count and the AND so they cannot drift
+_GOPHER_RULES_SQL = (
+    f"n_palavras BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}",
+    f"comp_medio BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN}",
+    f"razao_simbolo <= {GOPHER_MAX_SYMBOL_RATIO}",
+    f"frac_bullet <= {GOPHER_MAX_BULLET_FRAC}",
+    f"frac_reticencias <= {GOPHER_MAX_ELLIPSIS_FRAC}",
+    f"frac_alfa >= {GOPHER_MIN_ALPHA_FRAC}",
+    f"n_stop_gopher >= {GOPHER_MIN_STOPWORDS}",
+)
+_GOPHER_COUNT_SQL = " + ".join(
+    f"CAST(({r}) AS INT)" for r in _GOPHER_RULES_SQL
+)
+_GOPHER_APPROVE_SQL = "(" + " AND ".join(_GOPHER_RULES_SQL) + ")"
+
+
+@register(
+    "text_gopher_rules",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0
+             THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(trim(text), '\s+') END AS toks,
+        string_split(text, chr(10)) AS linhas,
+        length(text) - length(replace(text, '#', '')) AS n_hash,
+        (length(text) - length(replace(text, '...', ''))) / 3 AS n_pontos
+      FROM documents),
+    sinais AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_palavras,
+        round(CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)
+              / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS comp_medio,
+        round(CAST(n_hash + n_pontos AS DOUBLE)
+              / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS razao_simbolo,
+        round(CAST(len(list_filter(linhas,
+                l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+              / CAST(greatest(len(linhas), 1) AS DOUBLE), 6) AS frac_bullet,
+        round(CAST(len(list_filter(linhas,
+                l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+              / CAST(greatest(len(linhas), 1) AS DOUBLE), 6)
+          AS frac_reticencias,
+        round(CAST(len(list_filter(toks,
+                w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+              / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS frac_alfa,
+        CAST(len(list_filter([{_GOPHER_STOP_SQL}],
+                s -> list_contains(list_transform(toks, w -> lower(w)), s)))
+             AS INT) AS n_stop_gopher
+      FROM base)
+    SELECT *, CAST({_GOPHER_COUNT_SQL} AS INT) AS n_regras_ok,
+      {_GOPHER_APPROVE_SQL} AS aprovado FROM sinais
+    """,
+    tags=("TEXT", "QUALITY", "GOPHER", "SCALE_DEFAULT"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher heuristic rule set (Rae et al. 2021, table A1)
+    as one document-quality verdict: word-count bounds, mean-word-
+    length bounds, symbol-to-word ratio (``#`` and ``...``), bullet-
+    line and ellipsis-line fractions, fraction of words with an
+    alphabetic character, and the >= 2-of-8 stopword presence test —
+    per-rule signals plus the final ``aprovado`` AND. This is the
+    admission-filter companion of ``text_quality_score`` (which emits
+    raw signals, not a paper-pinned verdict) and the rule-based
+    counterpart of ``pipeline_dsir_weights``'s learned selection.
+
+    Determinism: every signal is an exact-integer count divided as
+    double and rounded to 6dp; the verdict is computed from the SAME
+    rounded columns in both engines, so no comparison ever sits on an
+    unrounded boundary.
+
+    Scale: one narrow projection — per-document array expressions,
+    no explode, no shuffle at all (the plan is a single
+    WholeStageCodegen scan stage; asserted in ``tests/test_plans.py``).
+    At 100 TB this is the cheapest possible shape: every rule folds
+    into the same pass over ``text``."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    linhas = F.split(F.col("text"), "\n")
+    g = lambda c: F.greatest(c, F.lit(1)).cast("double")  # noqa: E731
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_pontos = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / 3
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_palavras"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+            ).cast("double")
+            / g(F.size(toks)),
+            6,
+        ).alias("comp_medio"),
+        F.round((n_hash + n_pontos).cast("double") / g(F.size(toks)), 6).alias(
+            "razao_simbolo"
+        ),
+        F.round(
+            F.size(
+                F.filter(linhas, lambda l: F.ltrim(l).rlike(r"^[-*•]"))
+            ).cast("double")
+            / g(F.size(linhas)),
+            6,
+        ).alias("frac_bullet"),
+        F.round(
+            F.size(
+                F.filter(
+                    linhas, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")
+                )
+            ).cast("double")
+            / g(F.size(linhas)),
+            6,
+        ).alias("frac_reticencias"),
+        F.round(
+            F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))).cast(
+                "double"
+            )
+            / g(F.size(toks)),
+            6,
+        ).alias("frac_alfa"),
+        F.size(
+            F.filter(
+                stop_arr,
+                lambda s: F.array_contains(
+                    F.transform(toks, lambda w: F.lower(w)), s
+                ),
+            )
+        )
+        .cast("int")
+        .alias("n_stop_gopher"),
+    )
+    regras = [
+        (F.col("n_palavras") >= GOPHER_MIN_WORDS)
+        & (F.col("n_palavras") <= GOPHER_MAX_WORDS),
+        (F.col("comp_medio") >= GOPHER_MIN_MEAN_LEN)
+        & (F.col("comp_medio") <= GOPHER_MAX_MEAN_LEN),
+        F.col("razao_simbolo") <= GOPHER_MAX_SYMBOL_RATIO,
+        F.col("frac_bullet") <= GOPHER_MAX_BULLET_FRAC,
+        F.col("frac_reticencias") <= GOPHER_MAX_ELLIPSIS_FRAC,
+        F.col("frac_alfa") >= GOPHER_MIN_ALPHA_FRAC,
+        F.col("n_stop_gopher") >= GOPHER_MIN_STOPWORDS,
+    ]
+    n_ok = regras[0].cast("int")
+    aprovado = regras[0]
+    for r in regras[1:]:
+        n_ok = n_ok + r.cast("int")
+        aprovado = aprovado & r
+    return base.withColumn("n_regras_ok", n_ok.cast("int")).withColumn(
+        "aprovado", aprovado
+    )
+
+
+# -- hashed-feature linear quality classifier ---------------------------
+
+# Externally-trained fasttext-style scorer: 256 hashed-unigram weights
+# in [-1, 1] at 3dp. The catalog pins a deterministic md5-derived
+# table (so both engines share it as a literal); production swaps in
+# trained weights with the same shape. Bias pinned likewise.
+CLS_BUCKETS = 256
+CLS_WEIGHTS = tuple(
+    round(
+        (int(hashlib.md5(str(b).encode()).hexdigest()[:6], 16) % 2001 - 1000)
+        / 1000.0,
+        3,
+    )
+    for b in range(CLS_BUCKETS)
+)
+CLS_BIAS = 0.31  # pinned so the demo verdict splits the fixture
+
+_CLS_B_SPARK = (
+    "pmod(CAST(conv(substring(md5(termo), 1, 6), 16, 10) AS INT), "
+    f"{CLS_BUCKETS})"
+)
+_CLS_B_DUCK = (
+    "CAST(('0x' || substring(md5(termo), 1, 6))::UBIGINT "
+    f"% {CLS_BUCKETS} AS INT)"
+)
+_CLS_W_SQL = ", ".join(
+    f"({b}, {w})" for b, w in enumerate(CLS_WEIGHTS)
+)
+
+
+@register(
+    "text_quality_classifier",
+    oracle=rf"""
+    WITH pesos AS (
+      SELECT * FROM (VALUES {_CLS_W_SQL}) AS t(balde, peso)),
+    toks AS (
+      SELECT d.doc_id, lower(u.tok) AS termo
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0) d,
+           unnest(d.t) AS u(tok)),
+    pontua AS (
+      SELECT t.doc_id,
+        CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(CAST(p.peso AS DECIMAL(18,6))) AS DOUBLE) AS soma_pesos
+      FROM toks t JOIN pesos p ON {_CLS_B_DUCK} = p.balde
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_tokens,
+      round({CLS_BIAS} + soma_pesos / CAST(n_tokens AS DOUBLE), 6)
+        AS logito,
+      round({CLS_BIAS} + soma_pesos / CAST(n_tokens AS DOUBLE), 6) > 0
+        AS aprovado
+    FROM pontua
+    """,
+    tags=("TEXT", "QUALITY", "CLASSIFIER", "SCALE_DEFAULT"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over hashed unigram features — the
+    "fasttext filter" admission step (CCNet / DCLM-style pipelines):
+    logit = bias + mean over tokens of w[bucket(token)], with the
+    {b}-bucket weight table BROADCAST against the token stream and the
+    md5 bucket hash shared bit-exactly by both engines (the
+    ``pipeline_dsir_weights`` feature-hash discipline; DSIR derives
+    its two models FROM the corpus, this applies an externally-trained
+    one). The verdict thresholds the LOGIT, not sigmoid(logit):
+    the sigmoid is monotone, so ``logito > 0`` is exactly
+    ``p > 0.5`` — and skipping ``exp`` keeps the score free of the
+    one cross-engine libm difference that could flip a hash.
+
+    Determinism: 3dp weights summed as DECIMAL(18,6)
+    (order-independent), one double division by the exact token
+    count, rounded to 6dp before the threshold in both engines.
+
+    Scale: one explode, one broadcast hash join against {b} rows, one
+    keyed aggregation — linear in token count, the weight table never
+    shuffles, and swapping in a real trained model is a data change,
+    not a plan change."""
+    d = load(spark, sf_dir, "documents")
+    pesos = spark.createDataFrame(
+        list(enumerate(CLS_WEIGHTS)), "balde int, peso double"
+    )
+    toks = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+        )
+        .select("doc_id", F.lower("tok").alias("termo"))
+        .select("doc_id", F.expr(_CLS_B_SPARK).alias("balde"))
+    )
+    pontua = (
+        toks.join(F.broadcast(pesos), "balde")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("peso").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("soma_pesos"),
+        )
+    )
+    logito = F.round(
+        F.lit(CLS_BIAS)
+        + F.col("soma_pesos") / F.col("n_tokens").cast("double"),
+        6,
+    )
+    return pontua.select(
+        "doc_id",
+        "n_tokens",
+        logito.alias("logito"),
+        (logito > 0).alias("aprovado"),
+    )
+
+
+# -- snippet extraction: best query-term window per document ----------
+
+SNIPPET_WINDOW = 20  # snippet width in tokens
+
+
+@register(
+    "text_snippets",
+    oracle=rf"""
+    WITH docs AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+             ELSE string_split_regex(trim(text), '\s+') END AS t
+      FROM documents),
+    toks AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, lower(t[i]) AS termo
+      FROM docs, unnest(range(1, len(t) + 1)) AS u(i)),
+    hits AS (
+      SELECT doc_id, pos, termo FROM toks
+      WHERE termo IN ({_BM25_TERMS_SQL})),
+    cand AS (
+      SELECT h1.doc_id, h1.pos AS inicio,
+        CAST(count(DISTINCT h2.termo) AS INT) AS n_termos,
+        CAST(count(*) AS BIGINT) AS n_hits
+      FROM hits h1 JOIN hits h2
+        ON h1.doc_id = h2.doc_id
+        AND h2.pos BETWEEN h1.pos AND h1.pos + {SNIPPET_WINDOW} - 1
+      GROUP BY h1.doc_id, h1.pos),
+    melhor AS (
+      SELECT doc_id, inicio, n_termos, n_hits,
+        row_number() OVER (PARTITION BY doc_id
+          ORDER BY n_termos DESC, n_hits DESC, inicio) AS rn
+      FROM cand)
+    SELECT b.doc_id, b.inicio, b.n_termos, b.n_hits,
+      array_to_string(list_slice(d.t, CAST(b.inicio + 1 AS INT),
+        CAST(least(b.inicio + {SNIPPET_WINDOW}, len(d.t)) AS INT)), ' ')
+        AS trecho
+    FROM melhor b JOIN docs d USING (doc_id) WHERE rn = 1
+    """,
+    tags=("TEXT", "RETRIEVAL", "SNIPPET", "POSTING"),
+)
+def text_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-snippet extraction for the fixed ``BM25_QUERY``: per
+    matching document, the {w}-token window holding the most DISTINCT
+    query terms (ties: more total hits, then earliest start) plus the
+    snippet text itself — the result-page companion of
+    ``text_bm25_topk`` and the second consumer of the positional
+    surface ``text_phrase_match`` introduced.
+
+    Plan: only query-term tokens survive the static ``isin`` filter
+    BEFORE any shuffle (the posting-list property), so the candidate
+    stage is a hits x hits self equi-join on ``doc_id`` with the
+    window range as a post-join filter — bounded by the per-doc
+    query-term frequency squared, never by document length. The
+    best-window pick is a per-doc ``row_number`` over candidate rows
+    only, and the final token-slice join touches only matching docs'
+    token arrays (one doc-keyed equi-join; AQE broadcasts the best
+    frame when the match set is small). At 100 TB the hits frame
+    comes from the positional posting index
+    (``store/posting.py build_positional_index`` — read |query terms|
+    buckets) and the text fetch is the same doc-keyed join against
+    the document store; this catalog entry is the scan-path twin, the
+    ``text_phrase_match`` / ``text_phrase_indexed`` convention.
+
+    Determinism: positions are exact integers, counts are exact, the
+    ordering carries (n_termos, n_hits, inicio) with no floats — the
+    oracle pins the exact snippet rows."""
+    d = load(spark, sf_dir, "documents")
+    docs = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    hits = (
+        docs.select(
+            "doc_id", F.posexplode("t").alias("pos", "tok")
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.lower("tok").alias("termo"),
+        )
+        .filter(F.col("termo").isin(*BM25_QUERY))
+    )
+    h1 = hits.select(
+        "doc_id", F.col("pos").alias("inicio")
+    ).alias("h1")
+    h2 = hits.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("pos2"),
+        F.col("termo").alias("termo2"),
+    ).alias("h2")
+    cand = (
+        h1.join(
+            h2,
+            (F.col("doc_id") == F.col("d2"))
+            & F.col("pos2").between(
+                F.col("inicio"), F.col("inicio") + SNIPPET_WINDOW - 1
+            ),
+        )
+        .groupBy("doc_id", "inicio")
+        .agg(
+            F.countDistinct("termo2").cast("int").alias("n_termos"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_termos"), F.desc("n_hits"), F.asc("inicio")
+    )
+    melhor = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    trecho = F.array_join(
+        F.expr(
+            f"slice(t, cast(inicio + 1 as int), {SNIPPET_WINDOW})"
+        ),
+        " ",
+    )
+    return melhor.join(docs, "doc_id").select(
+        "doc_id", "inicio", "n_termos", "n_hits", trecho.alias("trecho")
+    )
+
+
+text_snippets.__doc__ = text_snippets.__doc__.format(w=SNIPPET_WINDOW)
+
+
+# -- RM3 pseudo-relevance feedback: two-stage BM25 retrieval ----------
+
+RM3_FB_DOCS = 5     # feedback docs from the first-pass top-k
+RM3_EXP_TERMS = 3   # expansion terms kept from the relevance model
+RM3_ALPHA = 0.6     # weight mass on the original query terms
+RM3_MIN_LEN = 3     # expansion candidates must be >= this many chars
+_RM3_QUERY_VALUES = ", ".join(f"('{t}')" for t in BM25_QUERY)
+
+
+def _rm3_oracle() -> str:
+    beta = round(1.0 - RM3_ALPHA, 6)
+    peso_orig = RM3_ALPHA / len(BM25_QUERY)
+    return f"""
+    WITH {BM25_SCORES_CTE},
+    fb AS (
+      SELECT doc_id, pontos FROM bm25
+      ORDER BY pontos DESC, doc_id LIMIT {RM3_FB_DOCS}),
+    fbtf AS (
+      SELECT k.doc_id, k.termo, CAST(count(*) AS BIGINT) AS tf,
+        any_value(k.dl) AS dl, any_value(f.pontos) AS pontos
+      FROM toks k JOIN fb f USING (doc_id)
+      WHERE k.termo NOT IN ({_BM25_TERMS_SQL})
+        AND k.termo NOT IN ({_STOP_SQL})
+        AND length(k.termo) >= {RM3_MIN_LEN}
+      GROUP BY k.doc_id, k.termo),
+    rmw AS (
+      SELECT termo,
+        round(CAST(sum(CAST(round(
+          CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE) * pontos, 6)
+          AS DECIMAL(18,6))) AS DOUBLE), 6) AS w
+      FROM fbtf GROUP BY termo),
+    expn AS (
+      SELECT termo, w FROM rmw ORDER BY w DESC, termo
+      LIMIT {RM3_EXP_TERMS}),
+    total AS (
+      SELECT CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM expn),
+    pesos AS (
+      SELECT termo, round({peso_orig!r}, 6) AS peso
+      FROM (VALUES {_RM3_QUERY_VALUES}) q(termo)
+      UNION ALL
+      SELECT e.termo, round({beta} * e.w / t.total, 6) AS peso
+      FROM expn e CROSS JOIN total t),
+    tf2 AS (
+      SELECT k.doc_id, k.dl, k.termo, CAST(count(*) AS BIGINT) AS tf
+      FROM toks k JOIN pesos USING (termo)
+      GROUP BY k.doc_id, k.dl, k.termo),
+    df2 AS (
+      SELECT termo, CAST(count(*) AS BIGINT) AS df
+      FROM tf2 GROUP BY termo),
+    pontos2 AS (
+      SELECT tf2.doc_id,
+        CAST(round(
+          p.peso
+          * ln(1 + (s.n - df2.df + 0.5) / (df2.df + 0.5))
+          * (tf2.tf * ({BM25_K1} + 1))
+          / (tf2.tf + {BM25_K1}
+             * (1 - {BM25_B} + {BM25_B} * tf2.dl / s.avgdl)),
+          6) AS DECIMAL(18,6)) AS p
+      FROM tf2 JOIN df2 USING (termo) JOIN pesos p USING (termo)
+      CROSS JOIN stats s)
+    SELECT doc_id, CAST(count(*) AS INT) AS n_termos,
+      round(CAST(sum(p) AS DOUBLE), 6) AS pontos
+    FROM pontos2 GROUP BY doc_id
+    ORDER BY pontos DESC, doc_id LIMIT {BM25_TOPK}
+    """
+
+
+@register(
+    "text_bm25_rm3",
+    oracle=_rm3_oracle(),
+    tags=("TEXT", "RETRIEVAL", "BM25", "RM3"),
+)
+def text_bm25_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback — the standard two-stage lexical
+    retriever: score the corpus with BM25 for the fixed query, build
+    a relevance model from the top-{fb} feedback docs (term weight =
+    sum over feedback docs of tf/dl x doc score), keep the top-{e}
+    expansion terms (stopwords, original terms and tokens under
+    {m} chars excluded), then re-score the corpus with the
+    interpolated weighted query ({a} mass on the original terms,
+    {b} spread over the expansion terms by normalized relevance-model
+    weight) and return the fused top-{k}.
+
+    Plan: stage-1 scoring is exactly ``bm25_scores`` (its plan/scale
+    argument applies); the feedback cut is a {fb}-row
+    TakeOrderedAndProject heap; the relevance model is one token pass
+    over ONLY the feedback docs (broadcast {fb}-row doc filter before
+    any shuffle); expansion selection is a {e}-row heap; the weighted
+    term table (<= {nq} + {e} rows) joins the second tf pass
+    BROADCAST, so only weighted-query tokens survive to the stage-2
+    shuffle — the posting-list property twice over. At 100 TB both tf
+    passes read |terms| buckets of the ``store/posting.py`` index
+    instead of re-tokenizing (the ``text_bm25_indexed`` path); the
+    expansion terms are data-dependent, which is exactly why the
+    index is bucketed by term, not by query.
+
+    Determinism: relevance-model weights are 6dp-rounded
+    decimal-summed terms of IEEE-identical per-doc products; both
+    heap cuts carry explicit tie-breaks ((w DESC, termo) and
+    (pontos DESC, doc_id)); stage-2 scores reuse the 6dp decimal-sum
+    discipline of ``text_bm25_topk``."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = (
+        d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+        .select(
+            "doc_id", F.size("t").alias("dl"), F.explode("t").alias("tok")
+        )
+        .select("doc_id", "dl", F.lower("tok").alias("termo"))
+    )
+    stats = (
+        toks.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias(
+                "avgdl"
+            ),
+        )
+    )
+    fb = (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("pontos"), F.asc("doc_id"))
+        .limit(RM3_FB_DOCS)
+        .select("doc_id", "pontos")
+    )
+    fbtf = (
+        toks.join(F.broadcast(fb), "doc_id")
+        .filter(
+            ~F.col("termo").isin(*BM25_QUERY)
+            & ~F.col("termo").isin(*STOPWORDS)
+            & (F.length("termo") >= RM3_MIN_LEN)
+        )
+        .groupBy("doc_id", "termo")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.first("dl").alias("dl"),
+            F.first("pontos").alias("pontos"),
+        )
+    )
+    rmw = fbtf.groupBy("termo").agg(
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("tf").cast("double")
+                    / F.col("dl").cast("double")
+                    * F.col("pontos"),
+                    6,
+                ).cast("decimal(18,6)")
+            ).cast("double"),
+            6,
+        ).alias("w")
+    )
+    expn = rmw.orderBy(F.desc("w"), F.asc("termo")).limit(RM3_EXP_TERMS)
+    total = expn.groupBy().agg(
+        F.sum(F.col("w").cast("decimal(18,6)")).cast("double").alias("total")
+    )
+    beta = round(1.0 - RM3_ALPHA, 6)
+    peso_orig = RM3_ALPHA / len(BM25_QUERY)
+    orig = spark.createDataFrame(
+        [(t,) for t in BM25_QUERY], "termo string"
+    ).select("termo", F.round(F.lit(peso_orig), 6).alias("peso"))
+    pesos = orig.unionByName(
+        expn.crossJoin(total).select(
+            "termo",
+            F.round(F.lit(beta) * F.col("w") / F.col("total"), 6).alias(
+                "peso"
+            ),
+        )
+    )
+    tf2 = (
+        toks.join(F.broadcast(pesos.select("termo")), "termo")
+        .groupBy("doc_id", "dl", "termo")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df2 = tf2.groupBy("termo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    idf = F.log(
+        1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    pontos2 = (
+        tf2.join(df2, "termo")
+        .join(F.broadcast(pesos), "termo")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("peso") * idf * (F.col("tf") * (BM25_K1 + 1)) / denom,
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("p"),
+        )
+    )
+    return (
+        pontos2.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_termos"),
+            F.round(F.sum("p").cast("double"), 6).alias("pontos"),
+        )
+        .orderBy(F.desc("pontos"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
+text_bm25_rm3.__doc__ = text_bm25_rm3.__doc__.format(
+    fb=RM3_FB_DOCS,
+    e=RM3_EXP_TERMS,
+    m=RM3_MIN_LEN,
+    a=RM3_ALPHA,
+    b=round(1.0 - RM3_ALPHA, 6),
+    k=BM25_TOPK,
+    nq=len(BM25_QUERY),
+)
+
+
+# -- admission evidence matrix: every gate's verdict per document -----
+
+
+def _evidence_oracle() -> str:
+    from agrobr_spark.queries import _REGISTRY
+
+    gop = _REGISTRY["text_gopher_rules"].oracle
+    return f"""
+    WITH RECURSIVE {_gates_cte()},
+    gop AS (
+      SELECT doc_id, n_regras_ok, aprovado FROM ({gop})),
+    sinais AS (
+      SELECT tk.doc_id,
+        CAST(tk.n_tokens AS BIGINT) AS n_tokens,
+        tk.n_tokens < 5 AS curto,
+        tk.doc_id IN (SELECT doc_id FROM contaminados) AS contaminado,
+        tk.doc_id IN (SELECT doc_id FROM perdedores) AS duplicado,
+        g.n_regras_ok AS n_regras_gopher,
+        g.aprovado AS gopher_ok
+      FROM toks tk JOIN gop g USING (doc_id))
+    SELECT doc_id, n_tokens, curto, contaminado, duplicado,
+      n_regras_gopher, gopher_ok,
+      CASE WHEN curto THEN 'curto'
+           WHEN contaminado THEN 'contaminado'
+           WHEN duplicado THEN 'duplicado'
+           ELSE 'mantido' END AS motivo,
+      NOT (curto OR contaminado OR duplicado) AS mantido
+    FROM sinais
+    """
+
+
+@register(
+    "pipeline_admission_evidence",
+    oracle=_evidence_oracle(),
+    tags=("TEXT", "PIPELINE", "E2E", "EVIDENCE"),
+)
+def pipeline_admission_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document admission EVIDENCE matrix — every gate's verdict
+    reported independently, not just the first failing one: token
+    count, the short/contaminated/duplicated booleans behind
+    ``pipeline_keep_set``'s decision, the Gopher rule count and
+    verdict (advisory here: it does not gate the keep-set, it is the
+    quality signal an owner inspects BEFORE promoting it to a gate),
+    plus the same precedence ``motivo``/``mantido`` the keep-set
+    ships. This is the audit row a pipeline owner pulls when asking
+    "WHY was doc X dropped, and what would each gate have said?" —
+    the evidence chain behind the aggregate
+    ``pipeline_keep_set_report``.
+
+    Plan: each gate is computed ONCE from its verified building block
+    (contamination's broadcast benchmark sweep, survivorship's
+    cluster-blocked pair stage + pointer-doubling components, the
+    Gopher zero-shuffle projection) and the matrix is three
+    doc-keyed left joins — no gate recomputes another's work, and the
+    ``motivo`` CASE re-derives the keep-set decision from the same
+    booleans (both independently driver-hash-verified, so agreement
+    is checked, not assumed). At 100 TB each gate frame is a
+    persisted column family keyed by doc_id and this query is the
+    join that assembles the audit table.
+
+    Oracle: the SAME shared gate CTE chain the keep-set oracle reads
+    (``_gates_cte``) plus the registered Gopher oracle, composed —
+    one SQL definition per gate across all consumers."""
+    from agrobr_spark.queries.dedup import dedup_survivors
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.size(_tokens()).cast("bigint").alias("n_tokens"))
+    cont = text_contamination(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("_cont")
+    )
+    surv = dedup_survivors(spark, sf_dir).select(
+        "doc_id", F.col("sobrevivente").alias("_sobre")
+    )
+    gop = text_gopher_rules(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_regras_ok").alias("n_regras_gopher"),
+        F.col("aprovado").alias("gopher_ok"),
+    )
+    base = (
+        toks.join(cont, "doc_id", "left")
+        .join(surv, "doc_id", "left")
+        .join(gop, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") < 5).alias("curto"),
+            F.coalesce("_cont", F.lit(False)).alias("contaminado"),
+            (~F.coalesce("_sobre", F.lit(True))).alias("duplicado"),
+            "n_regras_gopher",
+            "gopher_ok",
+        )
+    )
+    motivo = (
+        F.when(F.col("curto"), "curto")
+        .when(F.col("contaminado"), "contaminado")
+        .when(F.col("duplicado"), "duplicado")
+        .otherwise("mantido")
+    )
+    return base.select(
+        "*",
+        motivo.alias("motivo"),
+        (
+            ~(F.col("curto") | F.col("contaminado") | F.col("duplicado"))
+        ).alias("mantido"),
+    )
+
+
+# -- C4 line-level cleaning -------------------------------------------
+
+# Raffel et al. 2020 (C4), section 2.2: keep only lines that end in
+# terminal punctuation and have >= 3 words, drop lines mentioning
+# javascript; drop whole pages containing "lorem ipsum" or "{".
+C4_MIN_WORDS = 3
+_C4_TERMINAL = '[.!?"]$'
+
+
+@register(
+    "text_line_filter",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS linhas
+      FROM documents),
+    filtrado AS (
+      SELECT doc_id, linhas,
+        list_filter(linhas, l ->
+          regexp_matches(rtrim(l), '{_C4_TERMINAL}')
+          AND len(string_split_regex(trim(l), '\s+')) >= {C4_MIN_WORDS}
+          AND length(trim(l)) > 0
+          AND NOT contains(lower(l), 'javascript')) AS mantidas,
+        NOT (contains(lower(text), 'lorem ipsum')
+             OR contains(text, '{{')) AS pagina_ok
+      FROM base)
+    SELECT doc_id,
+      CAST(len(linhas) AS INT) AS n_linhas,
+      CAST(len(mantidas) AS INT) AS n_linhas_mantidas,
+      CAST(CASE WHEN len(mantidas) = 0 THEN 0 ELSE
+        len(string_split_regex(trim(array_to_string(mantidas, chr(10))),
+                               '\s+')) END AS BIGINT) AS n_tokens_limpo,
+      pagina_ok,
+      CASE WHEN len(mantidas) = 0 THEN ''
+           ELSE array_to_string(mantidas, chr(10)) END AS texto_limpo
+    FROM filtrado
+    """,
+    tags=("TEXT", "QUALITY", "C4", "LINE_FILTER", "SCALE_DEFAULT"),
+)
+def text_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2) — the
+    classic web-corpus scrub that works under the document level,
+    where `text_gopher_rules` stops: keep only lines that end in
+    terminal punctuation, carry >= {w} words and don't mention
+    javascript; flag whole pages containing "lorem ipsum" or a curly
+    brace. Emits per doc the line counts before/after, the clean-text
+    token count, the page verdict, and the cleaned text itself —
+    the upstream transform whose output feeds tokenization.
+
+    Plan: one zero-shuffle narrow projection — the line split, the
+    per-line predicate and the rejoin all run inside a single
+    higher-order ``filter`` expression over the split array, JVM-side
+    whole-stage codegen, no explode and no Python. At 100 TB this is
+    the map-only pass that runs fused with the scan; the output
+    column set is exactly the scan schema plus derived columns, so
+    column pruning still reaches the parquet reader.
+
+    Determinism: string predicates and integer counts only — no
+    floats anywhere. (The empty-kept-set case pins '' in BOTH engines
+    — DuckDB's array_to_string of an empty list is NULL, Spark's
+    array_join is '' — a real cross-engine edge this oracle caught.)
+
+    Fixture note: the synthetic documents table is single-line,
+    punctuation-free token text, so every line fails the terminal-
+    punctuation rule and the catalog run verifies the degenerate path
+    (counts, page verdict, ''-vs-NULL) — the rule semantics are
+    exercised on a multi-line web-shaped fixture in
+    tests/test_pipelines.py::test_line_filter_rules (the
+    `dedup_blocking_recall` pair-free-fixture convention)."""
+    linhas = F.split("text", "\n")
+    mantidas = F.filter(
+        linhas,
+        lambda l: F.rtrim(l).rlike(_C4_TERMINAL)
+        & (F.size(F.split(F.trim(l), r"\s+")) >= C4_MIN_WORDS)
+        & (F.length(F.trim(l)) > 0)
+        & ~F.lower(l).contains("javascript"),
+    )
+    texto_limpo = F.array_join(F.col("mantidas"), "\n")
+    pagina_ok = ~(
+        F.lower("text").contains("lorem ipsum")
+        | F.col("text").contains("{")
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(linhas).cast("int").alias("n_linhas"),
+            mantidas.alias("mantidas"),
+            pagina_ok.alias("pagina_ok"),
+        )
+        .select(
+            "doc_id",
+            "n_linhas",
+            F.size("mantidas").cast("int").alias("n_linhas_mantidas"),
+            F.when(F.size("mantidas") == 0, F.lit(0))
+            .otherwise(
+                F.size(F.split(F.trim(texto_limpo), r"\s+"))
+            )
+            .cast("bigint")
+            .alias("n_tokens_limpo"),
+            "pagina_ok",
+            texto_limpo.alias("texto_limpo"),
+        )
+    )
+
+
+text_line_filter.__doc__ = text_line_filter.__doc__.format(w=C4_MIN_WORDS)

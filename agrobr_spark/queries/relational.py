@@ -2436,3 +2436,163 @@ j11_salted_skew_join.__doc__ = j11_salted_skew_join.__doc__.format(
     s=_J11_SALTS
 )
 
+# -- A20: join-key skew advisor ---------------------------------------
+
+_A20_COLS = ("l_returnflag", "l_linestatus", "l_suppkey", "l_partkey")
+_A20_PARTS = 32  # reducer count the advice is sized for
+_A20_UNION_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS coluna, CAST({c} AS VARCHAR) AS chave FROM lineitem"
+    for c in _A20_COLS
+)
+
+
+@register(
+    "a20_skew_advisor",
+    oracle=f"""
+    WITH chaves AS (
+      SELECT coluna, chave, count(*) AS n_chave
+      FROM ({_A20_UNION_SQL}) GROUP BY coluna, chave),
+    stats AS (
+      SELECT coluna,
+        CAST(sum(n_chave) AS BIGINT) AS n,
+        CAST(count(*) AS BIGINT) AS n_chaves,
+        CAST(max(n_chave) AS BIGINT) AS max_n
+      FROM chaves GROUP BY coluna)
+    SELECT coluna, n, n_chaves, max_n,
+      round(CAST(max_n AS DOUBLE) / CAST(n AS DOUBLE), 6) AS parcela_max,
+      round(CAST(max_n AS DOUBLE) * CAST(n_chaves AS DOUBLE)
+            / CAST(n AS DOUBLE), 4) AS fator_skew,
+      CAST(CASE WHEN max_n * {_A20_PARTS} <= n THEN 1
+           ELSE least({_A20_PARTS},
+                      CAST(ceil(CAST(max_n AS DOUBLE) * {_A20_PARTS}.0
+                                / CAST(n AS DOUBLE)) AS BIGINT)) END
+           AS INT) AS salt_recomendado
+    FROM stats
+    """,
+    tags=("A20", "PROFILE", "SKEW", "SCALE_DEFAULT"),
+)
+def a20_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: per candidate key column, the key-count
+    histogram statistics a planner needs to CHOOSE a salt width ahead
+    of time — total rows, distinct keys, the hottest key's row count,
+    its share of the table, the skew factor (hottest / mean key), and
+    the recommended salt: 1 when no key exceeds an even 1/{p} reducer
+    share, else ceil(hottest-key share x {p}) capped at {p} — exactly
+    the number of reducers the hot key must spread over so no reducer
+    holds more than an even share. This is the measurement half of
+    `j11_salted_skew_join` (which applies the salt) and the join-key
+    companion of `a16`'s value histograms: AQE fixes skew reactively
+    at runtime, but a pipeline that runs daily wants the skew known
+    and the plan stable, the way the reference hand-chunks its hot
+    UF x year extracts (agrobr/comexstat/api.py chunked fetch loop).
+
+    Scale: one stack pass over the fact table (each row emits
+    {k} (column, key) pairs), partial-aggregated map-side into
+    per-(column, key) counts — the shuffle carries one row per
+    DISTINCT key, not per input row — then a {k}-group rollup. All
+    ratios are exact-integer-derived doubles (< 2^53), so the advice
+    is bit-identical across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    stack = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in _A20_COLS)
+    chaves = li.select(
+        F.expr(f"stack({len(_A20_COLS)}, {stack}) AS (coluna, chave)")
+    )
+    stats = (
+        chaves.groupBy("coluna", "chave")
+        .agg(F.count(F.lit(1)).alias("n_chave"))
+        .groupBy("coluna")
+        .agg(
+            F.sum("n_chave").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chaves"),
+            F.max("n_chave").cast("bigint").alias("max_n"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return stats.select(
+        "coluna",
+        "n",
+        "n_chaves",
+        "max_n",
+        F.round(d("max_n") / d("n"), 6).alias("parcela_max"),
+        F.round(d("max_n") * d("n_chaves") / d("n"), 4).alias("fator_skew"),
+        F.when(F.col("max_n") * _A20_PARTS <= F.col("n"), F.lit(1))
+        .otherwise(
+            F.least(
+                F.lit(_A20_PARTS),
+                F.ceil(
+                    d("max_n") * F.lit(float(_A20_PARTS)) / d("n")
+                ).cast("int"),
+            )
+        )
+        .cast("int")
+        .alias("salt_recomendado"),
+    )
+
+
+a20_skew_advisor.__doc__ = a20_skew_advisor.__doc__.format(
+    p=_A20_PARTS, k=len(_A20_COLS)
+)
+
+# -- A21: PIVOT (status columns from rows) -----------------------------
+
+_A21_STATUS = ("F", "O", "P")
+
+
+@register(
+    "a21_pivot",
+    oracle=f"""
+    SELECT o_orderpriority,
+      {", ".join(
+        f"round(CAST(coalesce(sum(CASE WHEN o_orderstatus = '{s}' "
+        f"THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE), 2) "
+        f"AS total_{s.lower()}"
+        for s in _A21_STATUS)}
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("A21", "PIVOT", "AGG"),
+)
+def a21_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — order-status rows turned into columns: total order
+    value per priority x status as a wide frame (the spreadsheet/
+    dashboard layout, dual of `a12_unpivot`). The status domain is
+    pinned ({vals}) so the output schema is static — the form that
+    scales, because a values-discovering pivot needs an extra
+    distinct-scan and produces a data-dependent schema no downstream
+    plan can bind to.
+
+    Plan: emitted DIRECTLY as one conditional aggregate per pinned
+    value — a single hash aggregate with map-side partials and ONE
+    shuffle on the groupBy key (plan-tested). DataFrame `.pivot(col,
+    values)` is deliberately NOT used: it compiles to a two-stage
+    `pivotfirst` plan with a second (key, status) pre-aggregation and
+    a second Exchange — measured two shuffles where the CASE form
+    needs one, which at 100 TB doubles the shuffle cost for zero
+    semantic gain. Money sums aggregate in DECIMAL(18,2) (order-free)
+    and only the final cell casts to double; empty cells pin 0, not
+    NULL, in both engines."""
+    agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.col("o_orderstatus") == s,
+                        F.col("o_totalprice").cast("decimal(18,2)"),
+                    )
+                ).alias(f"_{s}")
+                for s in _A21_STATUS
+            ]
+        )
+    )
+    return agg.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.round(F.col(f"_{s}").cast("double"), 2), F.lit(0.0))
+            .alias(f"total_{s.lower()}")
+            for s in _A21_STATUS
+        ],
+    )
+
+
+a21_pivot.__doc__ = a21_pivot.__doc__.format(vals=", ".join(_A21_STATUS))

@@ -1219,3 +1219,125 @@ def sim_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", grupo.alias("grupo"))
         .withColumn("tamanho", F.count(F.lit(1)).over(w))
     )
+
+
+# -- PageRank over the kNN graph: iterative centrality ----------------
+
+PR_ITER = 5      # fixed power-iteration count (catalog pin)
+PR_DAMP = 0.85   # damping factor; teleport literal is 0.15 (NOT 1-d:
+#                  1-0.85 is 0.15000000000000002 in IEEE double, so both
+#                  engines carry the same 0.15 literal instead)
+
+
+def _pagerank_oracle() -> str:
+    from agrobr_spark.queries import _REGISTRY
+
+    g = _REGISTRY["sim_knn_graph"].oracle
+    it = [
+        "r0 AS (SELECT vec_id, 1.0 AS r FROM nodes)"
+    ]
+    for i in range(1, PR_ITER + 1):
+        it.append(f"""c{i} AS (
+      SELECT e.dst,
+        CAST(round(r.r / CAST(e.outdeg AS DOUBLE), 6)
+          AS DECIMAL(18,6)) AS c
+      FROM e JOIN r{i - 1} r ON r.vec_id = e.src),
+    s{i} AS (SELECT dst, CAST(sum(c) AS DOUBLE) AS s FROM c{i} GROUP BY dst),
+    r{i} AS (
+      SELECT n.vec_id,
+        round(0.15 + {PR_DAMP} * coalesce(s.s, 0.0), 6) AS r
+      FROM nodes n LEFT JOIN s{i} s ON s.dst = n.vec_id)""")
+    chain = ",\n    ".join(it)
+    return f"""
+    WITH g AS (
+      SELECT vec_id AS src, neighbor_id AS dst FROM ({g})),
+    nodes AS (SELECT vec_id FROM embeddings),
+    outdeg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM g GROUP BY src),
+    e AS (SELECT g.src, g.dst, o.outdeg FROM g JOIN outdeg o USING (src)),
+    {chain}
+    SELECT vec_id, r AS pontuacao FROM r{PR_ITER}
+    """
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("SIMILARITY", "KNN_GRAPH", "PAGERANK", "ITERATIVE"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the directed kNN graph — {it} fixed
+    power iterations at damping {d}: the centrality signal a curation
+    pipeline uses to pick canonical/authoritative documents inside a
+    semantic neighborhood (a high-rank node is one many neighbors
+    point AT), complementing `sim_graph_clusters`' membership with a
+    within-cluster importance ordering.
+
+    Iterative-at-scale shape: each iteration is ONE hash equi-join of
+    the k·n edge frame against the n-row rank vector plus ONE keyed
+    aggregation — no driver-side loop over data, no global sort; the
+    Python `for` only unrolls the plan. Each iteration's rank frame is
+    locally checkpointed (at 100 TB: a persisted table per step, the
+    standard Pregel-style materialization) so lineage stays flat and
+    the edge frame — built once, checkpointed — feeds every step from
+    cache. Dangling-node mass (nodes whose cluster had < 2 members,
+    hence no out-edges) is dropped, not redistributed; ranks still
+    sum to < 1 but ordering is unaffected and both engines drop it
+    identically (documented trade, standard in sparse implementations).
+
+    Determinism: ranks are kept in MASS units (rank x n, so r0 = 1
+    and a uniform graph stays ~1) — O(1)-scale values that round
+    cleanly at the house 6dp parity (a raw 1/n-scale rank would need
+    9+ digits, where Spark's HALF_UP-on-BigDecimal and DuckDB's
+    double-multiply rounding visibly diverge; measured: 10/500 rows
+    off by 1e-9). The per-edge contribution is round(r/outdeg, 6) —
+    IEEE-identical division of a pinned 6dp mass by an exact integer
+    — the in-sum aggregates as DECIMAL(18,6), and the teleport term
+    carries the 0.15 literal in both engines (see PR_DAMP note).
+    ``pontuacao`` is therefore n x the textbook PageRank value with
+    identical ordering.
+    The oracle unrolls the same {it} iterations as CTEs over the same
+    oracle-pinned edge set, so the driver hash verifies the ENTIRE
+    trajectory, not just the fixpoint shape — the `dedup_components`
+    discipline extended to a numeric iteration."""
+    g = (
+        sim_knn_graph(spark, sf_dir)
+        .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = load(spark, sf_dir, "embeddings").select("vec_id")
+    outdeg = g.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("outdeg")
+    )
+    edges = g.join(outdeg, "src").localCheckpoint(eager=True)
+    r = nodes.select("vec_id", F.lit(1.0).alias("r"))
+    for _ in range(PR_ITER):
+        contrib = edges.join(
+            r, edges["src"] == r["vec_id"]
+        ).select(
+            "dst",
+            F.round(F.col("r") / F.col("outdeg").cast("double"), 6)
+            .cast("decimal(18,6)")
+            .alias("c"),
+        )
+        insum = contrib.groupBy("dst").agg(
+            F.sum("c").cast("double").alias("s")
+        )
+        r = (
+            nodes.join(insum, nodes["vec_id"] == insum["dst"], "left")
+            .select(
+                "vec_id",
+                F.round(
+                    F.lit(0.15)
+                    + F.lit(PR_DAMP) * F.coalesce("s", F.lit(0.0)),
+                    6,
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r.select("vec_id", F.col("r").alias("pontuacao"))
+
+
+graph_pagerank.__doc__ = graph_pagerank.__doc__.format(
+    it=PR_ITER, d=PR_DAMP
+)

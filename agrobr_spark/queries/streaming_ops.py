@@ -1479,3 +1479,187 @@ def stream_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 from agrobr_spark.queries.training_prep import DSIR_BUCKETS as _DSIR_B
 
 stream_dsir_weights.__doc__ = stream_dsir_weights.__doc__.format(b=_DSIR_B)
+
+
+# -- streaming approximate distinct users per window ---------------------
+
+_SAD_RSD = 0.05  # HLL++ relative standard deviation per window
+
+
+@register(
+    "stream_approx_distinct",
+    # Self-verifying sketch shape (the a18 discipline, streamed): the
+    # per-window HLL++ estimate can't be replicated bit-level by the
+    # oracle engine, so the Spark side verifies its OWN estimate
+    # against the exact batch distinct count at read time and emits
+    # the boolean; the oracle pins the exact counts + the all-TRUE
+    # frame.
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS data, event_type,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS usuarios_exato,
+      TRUE AS dentro
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("STREAM", "APPROX", "PROFILE"),
+)
+def stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per tumbling day window, maintained as a REAL
+    Structured Streaming aggregation with ``approx_count_distinct``
+    (rsd={rsd}) — the streaming twin of ``a18_approx_distinct`` and
+    the only shape that works at all in a stream: exact
+    count(DISTINCT) is unsupported in streaming aggregations because
+    it would need unbounded per-window value state, while the HLL++
+    sketch is fixed-size per (window, type) and merges per batch.
+
+    The exact verify is paid ONCE at read time against the batch
+    table (the ``stream_heavy_hitters`` discipline): ``dentro`` is
+    TRUE when the stream's estimate lands within 3·rsd of the exact
+    count (floor of 1 for the sketch's small-cardinality sparse
+    mode, where it is exact anyway).
+
+    At 100 TB of events/day the state is (windows x types) sketches
+    of ~1.5 KB each regardless of user cardinality — the verify join
+    is the fixture's error-contract check, not part of the production
+    plan."""
+    _COUNTER[0] += 1
+    name = f"stream_approx_distinct_{_COUNTER[0]}"
+    from agrobr_spark.io import load
+    from agrobr_spark.streaming.windows import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("janela"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.approx_count_distinct("user_id", rsd=_SAD_RSD).alias(
+                "u_aprox"
+            ),
+        )
+    )
+    res = run_available_now(agg, name).select(
+        F.col("janela.start").cast("date").alias("data"),
+        "event_type",
+        "n",
+        "u_aprox",
+    )
+    exato = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("data"),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("usuarios_exato"))
+    )
+    tol = F.greatest(
+        F.lit(1.0), F.lit(3.0 * _SAD_RSD) * F.col("usuarios_exato")
+    )
+    return res.join(exato, ["data", "event_type"]).select(
+        "data",
+        "event_type",
+        "n",
+        "usuarios_exato",
+        (F.abs(F.col("u_aprox") - F.col("usuarios_exato")) <= tol).alias(
+            "dentro"
+        ),
+    )
+
+
+stream_approx_distinct.__doc__ = stream_approx_distinct.__doc__.format(
+    rsd=_SAD_RSD
+)
+
+
+# -- stream-stream interval join: view -> purchase conversion ----------
+
+_SSJ_HORIZON = "1 hour"  # purchase must land within this of the view
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.user_id,
+      v.event_id AS view_id, p.event_id AS purchase_id,
+      CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS atraso_s
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+      AND v.event_type = 'view' AND p.event_type = 'purchase'
+      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    tags=("STREAM", "JOIN", "INTERVAL"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join — the Structured Streaming surface
+    none of the other stream queries exercise: every (view, purchase)
+    pair for the same user where the purchase lands within
+    {h} of the view, i.e. real-time conversion attribution
+    joining two live feeds (here two readers over the same events
+    source; on a cluster, two Kafka topics with identical code).
+
+    State contract: BOTH sides carry a watermark and the join
+    condition carries an explicit event-time range, so Spark can
+    bound the buffered state — a view is held only until the
+    watermark passes ``view.ts + {h}`` and a purchase until its own
+    event time expires; state size tracks the horizon's event rate,
+    not stream history (the property that makes this run forever at
+    100 TB/day — without the range condition, a stream-stream join
+    must buffer both streams in full, which is the documented
+    Structured Streaming failure mode this query exists to show the
+    bounded form of).
+
+    Determinism: inner interval joins emit exactly the condition's
+    pair set regardless of micro-batch arrival order — no
+    aggregation, no floats — so the oracle is the plain batch SQL
+    join and the driver hash pins the exact pairs. The events fixture
+    is append-only with event times, the same replay discipline as
+    the other stream entries."""
+    from agrobr_spark.streaming.windows import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    _COUNTER[0] += 1
+    name = f"stream_stream_join_{_COUNTER[0]}"
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", _SSJ_HORIZON)
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", _SSJ_HORIZON)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {_SSJ_HORIZON}")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        (
+            F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")
+        ).cast("bigint").alias("atraso_s"),
+    )
+    return run_available_now(joined, name, mode="append")
+
+
+stream_stream_join.__doc__ = stream_stream_join.__doc__.format(
+    h=_SSJ_HORIZON
+)

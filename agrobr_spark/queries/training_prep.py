@@ -1456,3 +1456,104 @@ def pipeline_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 pipeline_cluster_sample.__doc__ = pipeline_cluster_sample.__doc__.format(
     den=CLUSTER_SAMPLE_DEN, sub=CLUSTER_SAMPLE_SUB
 )
+
+
+# -- quality-ranked admission under a global token budget ---------------
+
+from agrobr_spark.queries.pipeline_text import _STOP_SQL  # noqa: E402
+
+TOKEN_BUDGET = 10_000  # catalog pin; library callers pass their own
+
+
+@register(
+    "pipeline_token_budget",
+    oracle=rf"""
+    WITH contagem AS (
+      SELECT doc_id, {_TOKS_DUCK.replace(chr(10), ' ')} AS toks,
+        CAST(len({_TOKS_DUCK.replace(chr(10), ' ')}) AS BIGINT) AS n_tokens,
+        text
+      FROM documents),
+    q AS (
+      SELECT doc_id, n_tokens,
+        round(CAST(len(list_filter(toks,
+                w -> w IN ({{stops}}))) AS DOUBLE)
+              / CAST(greatest(n_tokens, 1) AS DOUBLE), 6) AS qualidade
+      FROM contagem),
+    ordenado AS (
+      SELECT doc_id, qualidade, n_tokens,
+        CAST(sum(n_tokens) OVER (ORDER BY qualidade DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS tokens_acumulados
+      FROM q)
+    SELECT doc_id, qualidade, n_tokens, tokens_acumulados
+    FROM ordenado WHERE tokens_acumulados <= {TOKEN_BUDGET}
+    """.format(stops=_STOP_SQL),
+    tags=("PIPELINE", "BUDGET", "PREFIX_SUM", "SCALE_DEFAULT"),
+)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-first corpus selection under a global token budget: rank
+    every document by quality (stopword ratio — the same signal
+    ``text_quality_score`` emits), admit in (quality DESC, doc_id)
+    order while the running token total stays <= {b} — "give the
+    trainer the best N tokens", the global companion of
+    ``pipeline_data_mix`` (which fills PER-SOURCE budgets in
+    content-hash order, deliberately quality-blind).
+
+    Scale shape: the greedy prefix needs a corpus-wide running sum in
+    quality order, but NOT a global-order window. Quality is 6dp, so
+    ``floor((1 - q) * 1e3)`` is an order-aligned bucket (1001 buckets)
+    and the running sum is the two-level bucketed prefix sum
+    (operators/prefix.py): per-bucket totals, a 1001-row offset
+    window, broadcast back, within-bucket windows — the largest
+    single-task window is one quality bucket, ~1/1000 of the corpus,
+    and a second bucketing level would shrink that again. The oracle
+    runs the naive one-window form; the driver hash-match IS the
+    equality proof the prefix-sum contract asks its consumers for.
+
+    Determinism: quality is an exact-integer ratio rounded to 6dp
+    (bit-identical across engines); the order key carries doc_id so
+    ties cannot reorder; token counts are BIGINTs, so the running sum
+    reassociates freely."""
+    from agrobr_spark.operators.prefix import bucketed_prefix_sum
+    from agrobr_spark.queries.pipeline_text import STOPWORDS
+
+    d = load(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    toks = F.expr(_TOKS)
+    base = d.select(
+        "doc_id",
+        F.expr(N_TOKENS_EXPR).alias("n_tokens"),
+        F.round(
+            F.size(
+                F.filter(toks, lambda w: F.array_contains(stop_arr, w))
+            ).cast("double")
+            / F.greatest(F.expr(N_TOKENS_EXPR), F.lit(1)).cast("double"),
+            6,
+        ).alias("qualidade"),
+    )
+    chaveado = base.select(
+        "*",
+        (
+            F.lit(1_000_000)
+            - F.round(F.col("qualidade") * 1e6).cast("bigint")
+        ).alias("__ordem"),
+    ).withColumn("__balde", (F.col("__ordem") / F.lit(1000)).cast("int"))
+    com_soma = bucketed_prefix_sum(
+        chaveado,
+        bucket_col="__balde",
+        order_cols=("__ordem", "doc_id"),
+        val_cols={"tokens_acumulados": "n_tokens"},
+    )
+    return com_soma.filter(
+        F.col("tokens_acumulados") <= TOKEN_BUDGET
+    ).select(
+        "doc_id",
+        "qualidade",
+        "n_tokens",
+        F.col("tokens_acumulados").cast("bigint").alias("tokens_acumulados"),
+    )
+
+
+pipeline_token_budget.__doc__ = pipeline_token_budget.__doc__.format(
+    b=TOKEN_BUDGET
+)

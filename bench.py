@@ -56,11 +56,14 @@ BENCH_QUERIES = [
     "pipeline_dsir_weights",
     "j9_bloom_semi_join",
     "text_bm25_topk",
+    "text_bm25_rm3",
+    "text_snippets",
     "text_bm25_indexed",
     "text_phrase_match",
     "text_phrase_indexed",
     "text_contamination_fuzzy",
     "sim_hybrid_rrf",
+    "graph_pagerank",
     "o8_weighted_sample",
     "p4_date_range",
     "w1_pct_change",
@@ -68,6 +71,8 @@ BENCH_QUERIES = [
     "w13_gap_fill_locf",
     "w14_ewma_smooth",
     "a19_approx_quantiles",
+    "a20_skew_advisor",
+    "a21_pivot",
     "w15_rolling_zscore",
     "w7_sessionize",
     "m1_merge_upsert",
@@ -83,12 +88,17 @@ BENCH_QUERIES = [
     "pipeline_admit_batch",
     "text_token_count_bpe_vocab",
     "text_quality_score",
+    "text_gopher_rules",
+    "text_line_filter",
+    "text_quality_classifier",
     "text_chunk",
     "text_pii_scrub",
     "text_repetition_filter",
     "text_span_dedup",
     "text_containment",
     "pipeline_data_mix",
+    "pipeline_token_budget",
+    "pipeline_admission_evidence",
     "pipeline_cluster_sample",
     "pipeline_pack_chunks",
     "sim_cosine_topk",
@@ -105,6 +115,8 @@ BENCH_QUERIES = [
     "stream_dsir_weights",
     "stream_dedup_exact",
     "stream_source_divergence",
+    "stream_approx_distinct",
+    "stream_stream_join",
     "pipeline_df_index_update",
     "corpus_overlap_matrix",
     "text_tfidf_topk",

@@ -1714,3 +1714,53 @@ def test_approx_quantiles_contract_and_monotone(spark):
         pairs.sort()
         vals = [p for _, p in pairs]
         assert vals == sorted(vals), (col, vals)
+
+
+def test_pagerank_invariants(spark):
+    """graph_pagerank mass-unit contract: every node holds at least
+    the 0.15 teleport floor, total mass never exceeds n (dangling
+    mass leaks, never appears), and in-degree drives rank — the most
+    cited node outranks the median node."""
+    from agrobr_spark.queries import catalog as _catalog
+    from agrobr_spark.queries.similarity import sim_knn_graph
+    from tests.conftest import SF_ORACLE
+
+    import pyspark.sql.functions as F
+
+    out = _catalog()["graph_pagerank"].fn(spark, SF_ORACLE)
+    rows = out.collect()
+    masses = sorted(r["pontuacao"] for r in rows)
+    assert all(m >= 0.15 for m in masses)
+    # 6dp per-node rounding can add up to 5e-7 each — allow that slack
+    assert sum(masses) <= len(masses) * (1 + 1e-6)
+    indeg = (
+        sim_knn_graph(spark, SF_ORACLE)
+        .groupBy("neighbor_id")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.desc("d"), "neighbor_id")
+        .limit(1)
+        .collect()[0]
+    )
+    top_mass = {r["vec_id"]: r["pontuacao"] for r in rows}[
+        indeg["neighbor_id"]
+    ]
+    mediana = masses[len(masses) // 2]
+    assert top_mass > mediana, (top_mass, mediana)
+
+
+def test_admission_evidence_agrees_with_keep_set(spark):
+    """The evidence matrix re-derives motivo/mantido from the same
+    gate booleans pipeline_keep_set ships — per-doc agreement is
+    asserted, not assumed."""
+    from agrobr_spark.queries import catalog as _catalog
+    from tests.conftest import SF_ORACLE
+
+    cat = _catalog()
+    ks = {
+        r["doc_id"]: (r["motivo"], r["mantido"])
+        for r in cat["pipeline_keep_set"].fn(spark, SF_ORACLE).collect()
+    }
+    ev = cat["pipeline_admission_evidence"].fn(spark, SF_ORACLE).collect()
+    assert len(ev) == len(ks)
+    for r in ev:
+        assert ks[r["doc_id"]] == (r["motivo"], r["mantido"]), r

@@ -380,3 +380,42 @@ def test_prepare_corpus_dsir_mix(spark, tmp_path):
     total_docs = sum(v["docs"] for v in s["selected_per_source"].values())
     assert s["shards"]["row_count"] == total_docs
     assert sum(s["per_split"].values()) == total_docs
+
+
+def test_line_filter_rules(spark, tmp_path):
+    """text_line_filter rule semantics on a web-shaped multi-line
+    fixture (the sf corpus is single-line and punctuation-free, so
+    the catalog oracle only checks the degenerate path): terminal
+    punctuation required, >= 3 words required, javascript lines
+    dropped, lorem-ipsum/brace pages flagged, cleaned text preserves
+    kept-line order."""
+    from agrobr_spark.queries import catalog as _catalog
+
+    docs = [
+        # kept: both lines pass every rule
+        (0, 'A good first sentence.\nAnother fine line here!', "en", "web", 10),
+        # line 2 lacks terminal punct; line 3 too short; line 4 javascript
+        (1, 'Keep this one line.\nno terminal punct\nShort.\n'
+            'This javascript line is dropped.', "en", "web", 10),
+        # page-level: lorem ipsum and brace both flag the page
+        (2, 'Lorem ipsum dolor sit amet.', "en", "web", 10),
+        (3, 'An object { literal } page.', "en", "web", 10),
+        # empty-kept edge: '' not NULL
+        (4, 'nothing survives here', "en", "web", 10),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(docs, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           _catalog()["text_line_filter"].fn(spark, str(tmp_path)).collect()}
+    assert out[0]["n_linhas_mantidas"] == 2
+    assert out[0]["texto_limpo"] == docs[0][1]
+    assert out[0]["pagina_ok"]
+    r1 = out[1]
+    assert (r1["n_linhas"], r1["n_linhas_mantidas"]) == (4, 1)
+    assert r1["texto_limpo"] == "Keep this one line."
+    assert r1["n_tokens_limpo"] == 4
+    assert not out[2]["pagina_ok"]          # lorem ipsum
+    assert not out[3]["pagina_ok"]          # curly brace
+    assert out[4]["n_linhas_mantidas"] == 0
+    assert out[4]["texto_limpo"] == ""      # '' pinned, never NULL

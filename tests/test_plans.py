@@ -354,3 +354,89 @@ class TestRetrievalAndSampling:
         assert "partial_count" in plan or "HashAggregate" in plan
         assert "BroadcastHashJoin" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_gopher_rules_is_one_scan_no_shuffle(self, spark, cat):
+        """text_gopher_rules: all 7 rules fold into one narrow
+        projection over the scan — no Exchange, no explode, no
+        Python."""
+        plan = plan_of(cat["text_gopher_rules"].fn(spark, SF_SMOKE))
+        assert "Exchange" not in plan, plan
+        assert "Generate" not in plan
+        assert "BatchEvalPython" not in plan
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        read_cols = {f.split(":")[0] for s in schemas for f in s.split(",") if f}
+        assert read_cols <= {"doc_id", "text"}, read_cols
+
+    def test_token_budget_never_globally_sorts_corpus(self, spark, cat):
+        """pipeline_token_budget: the running sum must be the bucketed
+        prefix-sum plan — offsets broadcast back, within-bucket
+        windows only; no empty-partition global Window over the
+        corpus rows (the offsets window runs over the ~1001-row
+        aggregated bucket frame, whose plan input is the aggregate,
+        not the scan)."""
+        plan = plan_of(cat["pipeline_token_budget"].fn(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+        assert "BatchEvalPython" not in plan
+        # both windows present: the offset window and the in-bucket one
+        assert plan.count("Window") >= 2, plan
+
+    def test_quality_classifier_broadcasts_weights(self, spark, cat):
+        """text_quality_classifier: the 256-row weight table joins
+        broadcast against the token stream; the corpus is never
+        sorted or collected."""
+        plan = plan_of(cat["text_quality_classifier"].fn(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan
+        assert "BatchEvalPython" not in plan
+
+
+class TestRound9Additions:
+    def test_snippets_hits_filtered_before_join(self, spark, cat):
+        """text_snippets: only query-term tokens reach the candidate
+        self-join (static In filter under the explode), the read
+        schema prunes to (doc_id, text), and nothing goes Cartesian
+        or Python."""
+        plan = plan_of(cat["text_snippets"].fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert re.search(r"termo#\d+ IN \(merge,vector,customer\)", plan) or \
+            "IN (merge,vector,customer)" in plan, plan
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        read_cols = {f.split(":")[0] for s in schemas for f in s.split(",") if f}
+        assert read_cols <= {"doc_id", "text"}, read_cols
+
+    def test_rm3_weighted_terms_broadcast_and_topk_heap(self, spark, cat):
+        """text_bm25_rm3: the weighted term table broadcasts into the
+        stage-2 tf pass and the final cut is a TakeOrderedAndProject
+        heap — the corpus is never globally sorted."""
+        plan = plan_of(cat["text_bm25_rm3"].fn(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_line_filter_is_one_scan_no_shuffle(self, spark, cat):
+        """text_line_filter: the whole rule set folds into one narrow
+        projection over the scan — no Exchange, no explode, no
+        Python."""
+        plan = plan_of(cat["text_line_filter"].fn(spark, SF_SMOKE))
+        assert "Exchange" not in plan, plan
+        assert "Generate" not in plan
+        assert "BatchEvalPython" not in plan
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        read_cols = {f.split(":")[0] for s in schemas for f in s.split(",") if f}
+        assert read_cols <= {"doc_id", "text"}, read_cols
+
+    def test_pivot_is_single_aggregate(self, spark, cat):
+        """a21_pivot: the pinned-values pivot compiles to ONE
+        partial+final hash-aggregate pair over one shuffle — never a
+        pass per pivot column."""
+        plan = plan_of(cat["a21_pivot"].fn(spark, SF_SMOKE))
+        n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        assert n_exchanges == 1, plan
+        assert "BatchEvalPython" not in plan
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        read_cols = {f.split(":")[0] for s in schemas for f in s.split(",") if f}
+        assert read_cols <= {
+            "o_orderpriority", "o_orderstatus", "o_totalprice"
+        }, read_cols

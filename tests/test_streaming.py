@@ -319,3 +319,77 @@ def test_stream_divergence_flags_planted_drifted_batch(spark, tmp_path):
     assert all(h < 0.1 for h in healthy), healthy  # matches the blend
     assert drifted > max(healthy) + 1.0, (drifted, healthy)
     _SPLIT_CACHE.clear()
+
+
+def test_stream_stream_join_batch_split_invariant(spark, tmp_path):
+    """stream_stream_join semantics under forced multi-batch arrival:
+    splitting the two sides into 1-file micro-batches (views and
+    purchases arriving interleaved) must emit exactly the batch
+    join's pair set — the watermark + interval condition bounds state
+    without dropping any in-horizon pair."""
+    import pyspark.sql.functions as F
+
+    from agrobr_spark.io import load
+    from agrobr_spark.streaming.windows import run_available_now
+    from tests.conftest import SF_SMOKE
+
+    events = load(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    cut = events.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    src = str(tmp_path / "ev_split")
+    events.filter(F.col("ts") <= cut).coalesce(1).write.parquet(f"{src}/b=1")
+    events.filter(F.col("ts") > cut).coalesce(1).write.parquet(f"{src}/b=2")
+
+    def reader():
+        return (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b=*")
+        )
+
+    views = (
+        reader()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        reader()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("view_id", "purchase_id")
+    got = run_available_now(joined, "t_ssj_split", mode="append")
+
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vt"))
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pt"))
+    want = v.join(
+        p,
+        (F.col("vu") == F.col("pu"))
+        & (F.col("pt") >= F.col("vt"))
+        & (F.col("pt") <= F.col("vt") + F.expr("INTERVAL 1 HOUR")),
+    ).select("view_id", "purchase_id")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )

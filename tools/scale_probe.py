@@ -157,6 +157,30 @@ PROBE_QUERIES = [
     "stream_dsir_weights",
     # salted skew join: fact side salted 16 ways, dim exploded per salt
     "j11_salted_skew_join",
+    # skew advisor: stack pass, shuffle carries one row per distinct key
+    "a20_skew_advisor",
+    # Gopher rule set: zero-shuffle narrow projection
+    "text_gopher_rules",
+    # hashed-feature linear classifier: explode + broadcast weight join
+    "text_quality_classifier",
+    # global quality-budget admission via bucketed prefix sum
+    "pipeline_token_budget",
+    # streamed per-window HLL distinct: fixed-size sketch state
+    "stream_approx_distinct",
+    # best-snippet window: hits x hits per-doc self-join over query terms only
+    "text_snippets",
+    # RM3 expansion: two bounded heaps + second broadcast-term tf pass
+    "text_bm25_rm3",
+    # 5 unrolled power iterations over the k*n edge frame
+    "graph_pagerank",
+    # per-doc gate matrix: three doc-keyed joins of verified gate frames
+    "pipeline_admission_evidence",
+    # C4 line rules: zero-shuffle narrow projection
+    "text_line_filter",
+    # pinned-values pivot as one conditional aggregate
+    "a21_pivot",
+    # stream-stream interval join, watermark-bounded state
+    "stream_stream_join",
 ]
 
 # every table any probe query loads
