@@ -1187,3 +1187,92 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=max(4, int(n**0.5)),
         centroid_fit="lowest_id",
     )
+
+
+# -- survivorship by QUALITY policy ------------------------------------
+
+
+def _survivors_quality_oracle() -> str:
+    from agrobr_spark.queries.pipeline_text import _STOP_SQL
+
+    return f"""
+    WITH RECURSIVE {_COMPONENTS_CTE},
+    qualidade AS (
+      SELECT doc_id,
+        round(CAST(len(list_filter(
+            CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                 ELSE string_split_regex(trim(text), '\\s+') END,
+            w -> w IN ({_STOP_SQL}))) AS DOUBLE)
+          / CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END, 1)
+            AS DOUBLE), 6) AS q
+      FROM documents),
+    ranqueado AS (
+      SELECT c.id AS doc_id, c.componente, q.q AS qualidade,
+             row_number() OVER (
+               PARTITION BY c.componente
+               ORDER BY q.q DESC, c.id) AS rk
+      FROM comp c JOIN qualidade q ON q.doc_id = c.id)
+    SELECT doc_id, componente, qualidade, rk = 1 AS sobrevivente
+    FROM ranqueado
+    """
+
+
+@register(
+    "dedup_survivors_quality",
+    oracle=_survivors_quality_oracle(),
+    tags=("DEDUP", "COMPONENTS", "SURVIVORSHIP", "QUALITY"),
+)
+def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection by QUALITY policy: within each near-dup
+    cluster keep the document with the best quality signal (stopword
+    ratio at 6dp — the `text_quality_score` / `pipeline_token_budget`
+    signal) instead of `dedup_survivors`' keep-longest. Policy is the
+    one thing reasonable pipelines disagree on (RefinedWeb keeps
+    longest, quality-filtered stacks keep best-scoring), so
+    survivorship ships both as catalog-verified variants of ONE
+    mechanism: same scale-default pair set, same pointer-doubling
+    components fixpoint, only the ranking key changes — which is
+    exactly the shape a policy knob should have (a different ORDER BY
+    inside the per-cluster window, zero new shuffle structure).
+
+    Determinism: quality is an exact-integer ratio rounded at 6dp,
+    doc_id breaks ties; the oracle recomputes the identical fixpoint
+    via the recursive CTE and the identical ranking."""
+    from pyspark.sql import Window
+
+    from agrobr_spark.operators.components import connected_components
+    from agrobr_spark.queries.pipeline_text import STOPWORDS
+
+    pares = _neardup_pairs(spark, sf_dir)
+    comp = connected_components(pares, "id_a", "id_b")
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr(
+        "CASE WHEN length(trim(text)) = 0 THEN CAST(array() AS array<string>)"
+        r" ELSE split(trim(text), '\\s+') END"
+    )
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    qual = d.select(
+        "doc_id",
+        F.round(
+            F.size(
+                F.filter(toks, lambda w: F.array_contains(stop_arr, w))
+            ).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+            6,
+        ).alias("qualidade"),
+    )
+    w = Window.partitionBy("componente").orderBy(
+        F.col("qualidade").desc(), F.col("doc_id")
+    )
+    return (
+        comp.select(F.col("id").alias("doc_id"), "componente")
+        .join(qual, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "componente",
+            "qualidade",
+            (F.col("rk") == 1).alias("sobrevivente"),
+        )
+    )

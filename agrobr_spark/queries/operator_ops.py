@@ -906,3 +906,77 @@ def w12_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("anomalo"),
         )
     )
+
+
+# -- w16: anomaly intervals (gaps-and-islands over the MAD flags) --
+
+
+@register(
+    "w16_anomaly_intervals",
+    oracle=f"""
+    WITH diario AS (
+      SELECT event_type, CAST(ts AS DATE) AS data,
+        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS soma
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2),
+    med AS (
+      SELECT event_type, quantile_cont(soma, 0.5) AS mediana
+      FROM diario GROUP BY event_type),
+    desv AS (
+      SELECT d.event_type,
+        quantile_cont(abs(d.soma - m.mediana), 0.5) AS mad
+      FROM diario d JOIN med m USING (event_type)
+      GROUP BY d.event_type),
+    anomalos AS (
+      SELECT d.event_type, d.data, d.soma
+      FROM diario d
+      JOIN med m USING (event_type) JOIN desv v USING (event_type)
+      WHERE abs(d.soma - m.mediana) > {MAD_K} * v.mad),
+    ilhas AS (
+      SELECT event_type, data, soma,
+        date_diff('day', DATE '1970-01-01', data)
+          - row_number() OVER (PARTITION BY event_type ORDER BY data)
+          AS grp
+      FROM anomalos)
+    SELECT event_type, min(data) AS inicio, max(data) AS fim,
+      CAST(count(*) AS INT) AS n_dias,
+      round(max(soma), 6) AS soma_pico
+    FROM ilhas GROUP BY event_type, grp
+    """,
+    tags=("W16", "ANOMALY", "ISLANDS", "EVENTS"),
+)
+def w16_anomaly_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous EPISODES, not days: consecutive `w12_mad_anomalies`
+    days per event_type coalesced into intervals via the classic
+    gaps-and-islands rule (island key = epoch-day − row_number, which
+    is constant exactly while days are consecutive), each reporting
+    start, end, length and peak volume — the shape an incident
+    review or alert dedup actually consumes (one page per EPISODE,
+    not thirty pages for a thirty-day incident).
+
+    Plan: the detector is w12's (daily partial+final agg + two tiny
+    percentile passes); islands add one window and one group-by over
+    ONLY the anomalous days — a frame bounded by types × flagged
+    days, negligible at any corpus size, partitioned on the uniform
+    event_type key. Dates do integer epoch-day arithmetic in both
+    engines (no interval types near the hash)."""
+    from pyspark.sql import Window
+
+    flags = w12_mad_anomalies(spark, sf_dir)
+    anom = flags.filter("anomalo").select("event_type", "data", "soma")
+    w = Window.partitionBy("event_type").orderBy("data")
+    ilhas = anom.select(
+        "event_type",
+        "data",
+        "soma",
+        (
+            F.datediff("data", F.lit("1970-01-01"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    return ilhas.groupBy("event_type", "grp").agg(
+        F.min("data").alias("inicio"),
+        F.max("data").alias("fim"),
+        F.count(F.lit(1)).cast("int").alias("n_dias"),
+        F.round(F.max("soma"), 6).alias("soma_pico"),
+    ).drop("grp")

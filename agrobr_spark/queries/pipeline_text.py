@@ -2290,11 +2290,10 @@ def text_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     only, and the final token-slice join touches only matching docs'
     token arrays (one doc-keyed equi-join; AQE broadcasts the best
     frame when the match set is small). At 100 TB the hits frame
-    comes from the positional posting index
-    (``store/posting.py build_positional_index`` — read |query terms|
-    buckets) and the text fetch is the same doc-keyed join against
-    the document store; this catalog entry is the scan-path twin, the
-    ``text_phrase_match`` / ``text_phrase_indexed`` convention.
+    comes from the positional posting index — SHIPPED as
+    ``text_snippets_indexed`` (same oracle string, so indexed ≡ scan
+    is driver-hash-checked), the ``text_phrase_match`` /
+    ``text_phrase_indexed`` convention.
 
     Determinism: positions are exact integers, counts are exact, the
     ordering carries (n_termos, n_hits, inicio) with no floats — the
@@ -2794,3 +2793,290 @@ def text_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_line_filter.__doc__ = text_line_filter.__doc__.format(w=C4_MIN_WORDS)
+
+
+# -- bigram surprise: the order-aware LM-quality proxy -----------------
+
+
+@register(
+    "text_bigram_surprise",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+        list_transform(string_split_regex(trim(text), '\s+'),
+                       x -> lower(x)) AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    toks AS (SELECT doc_id, u.tok AS termo FROM base, unnest(t) AS u(tok)),
+    c1 AS (SELECT termo, count(*) AS c FROM toks GROUP BY termo),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM base, unnest(range(1, len(t))) AS r(i)),
+    c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+    pt AS (
+      SELECT b.doc_id,
+        CAST(round(-ln(CAST(c2.c AS DOUBLE) / CAST(c1.c AS DOUBLE)), 6)
+          AS DECIMAL(18,6)) AS p
+      FROM bg b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      JOIN c1 ON c1.termo = b.w1),
+    pf AS (
+      SELECT base.doc_id,
+        CAST(round(-ln(CAST(c1.c AS DOUBLE) / tot.total), 6)
+          AS DECIMAL(18,6)) AS p
+      FROM base JOIN c1 ON c1.termo = t[1], tot),
+    todos AS (SELECT * FROM pt UNION ALL SELECT * FROM pf)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS surpresa_bigrama
+    FROM todos GROUP BY doc_id
+    """,
+    tags=("TEXT", "QUALITY", "LM", "BIGRAM", "SCALE_DEFAULT"),
+)
+def text_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean BIGRAM surprise — the order-aware upgrade of
+    ``text_unigram_surprise``: each transition scores
+    -ln(c(w1,w2) / c(w1)) under the corpus bigram model and the
+    first token scores its unigram -ln(c/total), so shuffled or
+    unnatural word ORDER now raises the score where a bag-of-words
+    proxy is blind (the CCNet/KenLM signal one rung up the n-gram
+    ladder). No backoff term is needed by construction: the corpus
+    statistics include every scored document, so every observed
+    transition has count >= 1 — a held-out variant would add the
+    stupid-backoff branch as a CASE on a LEFT join, same plan.
+
+    Plan: transitions come from ONE transform-over-sequence expression
+    on the token array (no positional self-join), exploded once; the
+    bigram and unigram count tables join back keyed — broadcast when
+    the vocab fits, AQE otherwise. All linear in token count, same
+    family as the unigram entry.
+
+    Determinism: per-position logs round to 6dp and sum as
+    DECIMAL(18,6) (the unigram discipline), counts are exact ints,
+    and the c2/c1 quotient casts both sides to double before the log
+    in BOTH engines."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    base = d.select(
+        "doc_id",
+        F.transform(_tokens(), lambda x: F.lower(x)).alias("t"),
+    )
+    toks = base.select("doc_id", F.explode("t").alias("termo"))
+    c1 = toks.groupBy("termo").agg(F.count(F.lit(1)).alias("c"))
+    tot = c1.groupBy().agg(F.sum("c").cast("double").alias("total"))
+    bg = base.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    pt = (
+        bg.join(c2, ["w1", "w2"])
+        .join(
+            c1.select(F.col("termo").alias("w1"), F.col("c").alias("c1")),
+            "w1",
+        )
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(F.col("c2").cast("double") / F.col("c1").cast("double")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("p"),
+        )
+    )
+    pf = (
+        base.select("doc_id", F.col("t").getItem(0).alias("termo"))
+        .join(c1, "termo")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(-F.log(F.col("c") / F.col("total")), 6)
+            .cast("decimal(18,6)")
+            .alias("p"),
+        )
+    )
+    return pt.unionByName(pf).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(F.sum("p").cast("double") / F.count(F.lit(1)), 6).alias(
+            "surpresa_bigrama"
+        ),
+    )
+
+
+# -- index freshness: the evidence chain for index-answered queries ---
+
+
+@register(
+    "retrieval_index_freshness",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs_corpus,
+        CAST(sum(len(string_split_regex(trim(text), '\s+')))
+          AS BIGINT) AS n_tokens_corpus
+      FROM documents WHERE length(trim(text)) > 0)
+    SELECT n_docs_corpus AS n_docs_indice,
+      n_tokens_corpus AS soma_dl_indice,
+      n_docs_corpus, n_tokens_corpus,
+      CAST(0 AS BIGINT) AS defasagem_docs,
+      TRUE AS atualizado
+    FROM corpus
+    """,
+    tags=("TEXT", "RETRIEVAL", "INDEX", "EVIDENCE"),
+)
+def retrieval_index_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-freshness report — the evidence row that guards every
+    index-answered query (`text_bm25_indexed`, `text_phrase_indexed`):
+    the posting index's own corpus statistics (doc count and summed
+    doc length, folded at build time into its one-row stats table)
+    joined against the live corpus aggregate, emitting the lag and an
+    ``atualizado`` verdict. A pipeline gates index-path routing on
+    this row: stale index -> fall back to the scan path or trigger
+    ``update_posting_index`` — the reference's cache-freshness check
+    (ref: agrobr/cache/policies.py freshness guards) applied to the
+    retrieval index.
+
+    Plan: ONE row from the index's persisted stats parquet (no
+    posting-bucket reads) crossed with ONE corpus aggregate —
+    cost is the corpus count, zero joins against corpus-sized frames.
+    At 100 TB the corpus side comes from the document store's own
+    manifest instead of a live scan; the comparison logic is
+    unchanged.
+
+    The fixture pins the fresh case (the index cache builds from this
+    very corpus): equality and lag 0 — the driver hash proves BOTH
+    sides compute identical statistics through entirely different
+    code paths (index build fold vs direct aggregate), which is the
+    actual evidence-chain property."""
+    import pyspark.sql.functions as _F
+
+    path = _bm25_index_dir(spark, sf_dir)
+    stats = spark.read.parquet(f"{path}/stats").select(
+        _F.col("n").cast("bigint").alias("n_docs_indice"),
+        _F.col("sum_dl").cast("bigint").alias("soma_dl_indice"),
+    )
+    corpus = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_corpus"),
+            F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+            .cast("bigint")
+            .alias("n_tokens_corpus"),
+        )
+    )
+    return stats.crossJoin(F.broadcast(corpus)).select(
+        "*",
+        (F.col("n_docs_corpus") - F.col("n_docs_indice"))
+        .cast("bigint")
+        .alias("defasagem_docs"),
+        (
+            (F.col("n_docs_corpus") == F.col("n_docs_indice"))
+            & (F.col("n_tokens_corpus") == F.col("soma_dl_indice"))
+        ).alias("atualizado"),
+    )
+
+
+# -- snippets answered from the positional posting index ----------------
+
+_SNIPPET_INDEX_CACHE: dict[str, str] = {}
+
+
+def _snippet_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Case-folded positional index for retrieval-style consumers:
+    built over ``lower(text)`` so lookups match the BM25 tokenizer's
+    folding (the phrase index stays RAW — exact phrase reproduction
+    needs original tokens; case policy is a build-time choice, which
+    is exactly why it lives in the builder, not the query)."""
+    import tempfile
+
+    path = _SNIPPET_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        from agrobr_spark.store.posting import build_positional_index
+
+        path = tempfile.mkdtemp(prefix="snippet_idx_")
+        docs = load(spark, sf_dir, "documents").withColumn(
+            "text", F.lower("text")
+        )
+        build_positional_index(docs, path)
+        _SNIPPET_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+@register(
+    "text_snippets_indexed",
+    oracle=None,  # bound below: same oracle as text_snippets
+    tags=("TEXT", "RETRIEVAL", "SNIPPET", "POSTING", "INDEX"),
+)
+def text_snippets_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_snippets`` answered from the POSITIONAL posting index —
+    the 100 TB path its scan twin's docstring promises, completing the
+    scan/indexed pairing for the snippet surface (the
+    ``text_bm25_topk`` / ``text_bm25_indexed`` convention): the hits
+    frame comes from |query terms| pruned index buckets instead of a
+    corpus re-tokenize, the candidate window vote and best-window
+    pick run over posting rows of the query terms alone, and only the
+    final token-slice join touches document text. Same oracle string
+    as the scan path, so indexed ≡ scan is driver-hash-checked every
+    round, not asserted.
+
+    The index is the case-folded positional build (see
+    ``_snippet_index_dir``): query-term lookups need BM25's case
+    folding, and folding is a build-time tokenizer policy — probing a
+    raw index for folded terms would silently miss cased occurrences
+    on a mixed-case corpus."""
+    from agrobr_spark.store.posting import query_postings
+
+    path = _snippet_index_dir(spark, sf_dir)
+    hits = query_postings(spark, path, tuple(sorted(BM25_QUERY))).select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos"), "termo"
+    )
+    h1 = hits.select("doc_id", F.col("pos").alias("inicio"))
+    h2 = hits.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("pos2"),
+        F.col("termo").alias("termo2"),
+    )
+    cand = (
+        h1.join(
+            h2,
+            (F.col("doc_id") == F.col("d2"))
+            & F.col("pos2").between(
+                F.col("inicio"), F.col("inicio") + SNIPPET_WINDOW - 1
+            ),
+        )
+        .groupBy("doc_id", "inicio")
+        .agg(
+            F.countDistinct("termo2").cast("int").alias("n_termos"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_termos"), F.desc("n_hits"), F.asc("inicio")
+    )
+    melhor = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    )
+    trecho = F.array_join(
+        F.expr(f"slice(t, cast(inicio + 1 as int), {SNIPPET_WINDOW})"),
+        " ",
+    )
+    return melhor.join(docs, "doc_id").select(
+        "doc_id", "inicio", "n_termos", "n_hits", trecho.alias("trecho")
+    )
+
+
+from agrobr_spark.queries import _REGISTRY as _PT_REG  # noqa: E402
+
+_PT_REG["text_snippets_indexed"].oracle = _PT_REG["text_snippets"].oracle

@@ -2596,3 +2596,99 @@ def a21_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 a21_pivot.__doc__ = a21_pivot.__doc__.format(vals=", ".join(_A21_STATUS))
+
+# -- A22: join-size advisor (exact pre-join cardinality) ---------------
+
+_A22_SPECS = (
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+)
+
+
+def _a22_spec_sql(nome, tl, kl, tr, kr):
+    return f"""
+    SELECT '{nome}' AS juncao,
+      CAST(sum(coalesce(na, 0)) AS BIGINT) AS n_esq,
+      CAST(sum(coalesce(nb, 0)) AS BIGINT) AS n_dir,
+      CAST(count(CASE WHEN na IS NOT NULL AND nb IS NOT NULL
+                 THEN 1 END) AS BIGINT) AS chaves_comuns,
+      CAST(coalesce(sum(CASE WHEN na IS NOT NULL AND nb IS NOT NULL
+                        THEN na * nb END), 0) AS BIGINT)
+        AS cardinalidade_prevista,
+      round(CAST(coalesce(sum(CASE WHEN na IS NOT NULL AND nb IS NOT NULL
+                           THEN na * nb END), 0) AS DOUBLE)
+            / CAST(sum(coalesce(na, 0)) AS DOUBLE), 6) AS amplificacao
+    FROM (SELECT {kl} AS k, CAST(count(*) AS BIGINT) AS na
+          FROM {tl} GROUP BY 1) a
+    FULL JOIN (SELECT {kr} AS k, CAST(count(*) AS BIGINT) AS nb
+               FROM {tr} GROUP BY 1) b USING (k)"""
+
+
+@register(
+    "a22_join_size_advisor",
+    oracle=" UNION ALL ".join(_a22_spec_sql(*s) for s in _A22_SPECS),
+    tags=("A22", "PROFILE", "JOIN", "PLANNING", "SCALE_DEFAULT"),
+)
+def a22_join_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size advisor — the EXACT pre-join cardinality a planner
+    wants before committing to a strategy: for each canonical
+    fact<-dim join, |A JOIN B| = sum over shared keys of
+    count_A(k) x count_B(k), plus both side totals, the shared-key
+    count, and the output-amplification factor (predicted rows per
+    left row). Together with `a20_skew_advisor` (per-key histogram ->
+    salt width) this is the measurement pair behind every join
+    strategy choice in the catalog: amplification ~1 -> plain
+    shuffle/broadcast; amplification >> 1 -> the pair-explosion the
+    n-gram/interval operators bucket around.
+
+    Plan: per join, each side collapses to ONE row per distinct key
+    (map-side partial counts) BEFORE the key-frame full-outer join —
+    the shuffle carries key cardinality, never input rows, and the
+    product-sum is exact integer arithmetic (the a20 shuffle
+    discipline applied to pairs). Never executes the join it sizes.
+    At 100 TB: key-count frames are tiny next to their tables,
+    and a sampled variant is one TABLESAMPLE away with the same
+    plan shape — the exact form is kept because it doubles as the
+    planted-fixture ground truth."""
+    frames = []
+    for nome, tl, kl, tr, kr in _A22_SPECS:
+        a = (
+            load(spark, sf_dir, tl)
+            .groupBy(F.col(kl).alias("k"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("na"))
+        )
+        b = (
+            load(spark, sf_dir, tr)
+            .groupBy(F.col(kr).alias("k"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+        )
+        ambos = F.col("na").isNotNull() & F.col("nb").isNotNull()
+        prev = F.coalesce(
+            F.sum(F.when(ambos, F.col("na") * F.col("nb"))), F.lit(0)
+        ).cast("bigint")
+        frames.append(
+            a.join(b, "k", "full")
+            .agg(
+                F.sum(F.coalesce("na", F.lit(0)))
+                .cast("bigint")
+                .alias("n_esq"),
+                F.sum(F.coalesce("nb", F.lit(0)))
+                .cast("bigint")
+                .alias("n_dir"),
+                F.count(F.when(ambos, F.lit(1)))
+                .cast("bigint")
+                .alias("chaves_comuns"),
+                prev.alias("cardinalidade_prevista"),
+                F.round(
+                    prev.cast("double")
+                    / F.sum(F.coalesce("na", F.lit(0))).cast("double"),
+                    6,
+                ).alias("amplificacao"),
+            )
+            .select(F.lit(nome).alias("juncao"), "*")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

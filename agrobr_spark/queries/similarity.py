@@ -1341,3 +1341,224 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_pagerank.__doc__ = graph_pagerank.__doc__.format(
     it=PR_ITER, d=PR_DAMP
 )
+
+
+# -- MMR diversified re-ranking over a bounded shortlist ---------------
+
+MMR_K = 5          # results returned per query
+MMR_SHORTLIST = 20  # relevance shortlist the greedy runs over
+MMR_LAMBDA = 0.7   # relevance weight; diversity literal is 0.3 (NOT
+#                    1-0.7: that is 0.30000000000000004 in IEEE double —
+#                    the PR_DAMP lesson, both engines carry 0.3)
+
+
+def _mmr_oracle() -> str:
+    steps = []
+    for k in range(2, MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, vec_id FROM s{j}" for j in range(1, k)
+        )
+        steps.append(f"""sel{k} AS ({prev}),
+    cand{k} AS (
+      SELECT s.query_id, s.vec_id, s.cosseno,
+        round({MMR_LAMBDA} * s.cosseno - 0.3 * max(p.sim), 6) AS mmr
+      FROM shortlist s
+      JOIN psl p ON p.query_id = s.query_id AND p.a = s.vec_id
+      JOIN sel{k} t ON t.query_id = p.query_id AND t.vec_id = p.b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sel{k} x
+        WHERE x.query_id = s.query_id AND x.vec_id = s.vec_id)
+      GROUP BY s.query_id, s.vec_id, s.cosseno),
+    s{k} AS (
+      SELECT query_id, vec_id, cosseno, {k} AS posicao FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY mmr DESC, vec_id) AS rn
+        FROM cand{k}) WHERE rn = 1)""")
+    chain = ",\n    ".join(steps)
+    final = " UNION ALL ".join(
+        f"SELECT * FROM s{j}" for j in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    consultas AS (
+      SELECT vec_id AS query_id, ev AS qv, nrm AS qn FROM base
+      WHERE vec_id < {N_QUERIES}),
+    rel AS (
+      SELECT q.query_id, b.vec_id,
+        round(list_dot_product(q.qv, b.ev) / nullif(q.qn * b.nrm, 0), 6)
+          AS cosseno
+      FROM consultas q CROSS JOIN base b WHERE b.vec_id <> q.query_id),
+    shortlist AS (
+      SELECT query_id, vec_id, cosseno FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosseno DESC, vec_id) AS rn
+        FROM rel) WHERE rn <= {MMR_SHORTLIST}),
+    psl AS (
+      SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+        round(list_dot_product(ba.ev, bb.ev)
+              / nullif(ba.nrm * bb.nrm, 0), 6) AS sim
+      FROM shortlist a JOIN shortlist b
+        ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+      JOIN base ba ON ba.vec_id = a.vec_id
+      JOIN base bb ON bb.vec_id = b.vec_id),
+    s1 AS (
+      SELECT query_id, vec_id, cosseno, 1 AS posicao FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosseno DESC, vec_id) AS rn
+        FROM shortlist) WHERE rn = 1),
+    {chain}
+    SELECT query_id, vec_id, CAST(posicao AS INT) AS posicao, cosseno
+    FROM ({final})
+    """
+
+
+@register(
+    "sim_mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("SIMILARITY", "RERANK", "MMR", "DIVERSITY"),
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the standard diversity-aware final stage of a retrieval
+    pipeline: from each query's top-{sl} relevance shortlist, greedily
+    pick {k} results maximizing
+    lambda x relevance − (1 − lambda) x max-similarity-to-already-picked
+    (lambda = {l}), so near-duplicate hits stop crowding out coverage —
+    the query-time complement of SemDeDup's corpus-time pruning.
+
+    Bounded-greedy shape: the GREEDY loop runs only over the
+    {sl}-row-per-query shortlist and its {sl}x{sl} pairwise-sim frame —
+    both bounded by construction however large the corpus — while the
+    corpus-sized work (the relevance pass) is the broadcast-query scan
+    of `sim_cosine_topk`. Each of the {k} unrolled steps is one
+    anti-join + one keyed max + one per-query argmax window over
+    candidate rows; nothing iterative ever touches the corpus (the
+    `graph_pagerank` unrolling discipline applied to a greedy
+    selection).
+
+    Determinism: cosines and MMR scores round at 6dp with vec_id
+    tie-breaks at every argmax; the diversity weight carries the 0.3
+    literal in both engines (see MMR_LAMBDA note). The oracle unrolls
+    the same {k} argmax steps as CTEs, so the driver hash pins every
+    pick, in order, not just the final set."""
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.col("embedding").alias("ev"),
+        F.expr(_NORM.format(a="embedding")).alias("nrm"),
+    )
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ev").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    rel = (
+        F.broadcast(q)
+        .crossJoin(base)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.expr(_DOT.format(a="qv", b="ev"))
+                / F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0)),
+                6,
+            ).alias("cosseno"),
+        )
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.desc("cosseno"), F.asc("vec_id")
+    )
+    shortlist = (
+        rel.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= MMR_SHORTLIST)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    sl_a = shortlist.select("query_id", F.col("vec_id").alias("a"))
+    sl_b = shortlist.select(
+        F.col("query_id").alias("qb"), F.col("vec_id").alias("b")
+    )
+    ba = base.select(
+        F.col("vec_id").alias("a"),
+        F.col("ev").alias("ev_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    bb = base.select(
+        F.col("vec_id").alias("b"),
+        F.col("ev").alias("ev_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    psl = (
+        sl_a.join(
+            sl_b,
+            (F.col("query_id") == F.col("qb")) & (F.col("a") != F.col("b")),
+        )
+        .join(ba, "a")
+        .join(bb, "b")
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.round(
+                F.expr(_DOT.format(a="ev_a", b="ev_b"))
+                / F.nullif(
+                    F.col("nrm_a") * F.col("nrm_b"), F.lit(0.0)
+                ),
+                6,
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sel = (
+        shortlist.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "vec_id", "cosseno", F.lit(1).alias("posicao"))
+    )
+    for k in range(2, MMR_K + 1):
+        chosen = sel.select("query_id", "vec_id")
+        cand = (
+            shortlist.join(chosen, ["query_id", "vec_id"], "left_anti")
+            .join(
+                psl.withColumnRenamed("a", "vec_id"),
+                ["query_id", "vec_id"],
+            )
+            .join(
+                chosen.select(
+                    "query_id", F.col("vec_id").alias("b")
+                ),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", "vec_id", "cosseno")
+            .agg(
+                F.round(
+                    F.lit(MMR_LAMBDA) * F.col("cosseno")
+                    - F.lit(0.3) * F.max("sim"),
+                    6,
+                ).alias("mmr")
+            )
+        )
+        w_mmr = Window.partitionBy("query_id").orderBy(
+            F.desc("mmr"), F.asc("vec_id")
+        )
+        pick = (
+            cand.withColumn("rn", F.row_number().over(w_mmr))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", "vec_id", "cosseno", F.lit(k).alias("posicao")
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select(
+        "query_id", "vec_id", F.col("posicao").cast("int").alias("posicao"),
+        "cosseno",
+    )
+
+
+sim_mmr_rerank.__doc__ = sim_mmr_rerank.__doc__.format(
+    sl=MMR_SHORTLIST, k=MMR_K, l=MMR_LAMBDA
+)

@@ -1663,3 +1663,196 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 stream_stream_join.__doc__ = stream_stream_join.__doc__.format(
     h=_SSJ_HORIZON
 )
+
+
+# -- streamed shard manifest: additive export evidence ------------------
+
+
+def _shard_manifest_oracle() -> str:
+    from agrobr_spark.queries import _REGISTRY
+
+    return _REGISTRY["pipeline_shard_manifest"].oracle
+
+
+@register(
+    "stream_shard_manifest",
+    oracle=None,  # bound after training_prep import (module order)
+    tags=("STREAM", "EXPORT", "MANIFEST", "FOREACHBATCH", "INCREMENTAL"),
+)
+def stream_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pipeline_shard_manifest`` maintained INCREMENTALLY as
+    documents stream in — the manifest table a continuously-exporting
+    pipeline keeps next to its shards: per micro-batch, the batch's
+    per-shard partials (doc count, token mass, 52-bit-md5 checksum
+    sum, id range) fold into the persisted manifest with one
+    full-outer merge. Every statistic is chosen to be MERGEABLE —
+    counts and checksums add, ranges least/greatest — which is why
+    the checksum is a sum of content hashes and not a positional
+    hash (the ``pipeline_shard_manifest`` design carried to streams).
+
+    Replay safety is proven in-query, not just tested: after the
+    stream drains, the first ingest file is fed through the handler
+    AGAIN — the ``applied_batch_ids`` guard (the posting-index
+    pattern) makes it a no-op, and the driver's hash check against
+    the one-shot batch oracle would catch a double-applied batch as
+    doubled counts/checksums every round.
+
+    Per-batch cost is O(batch) + a {n}-row manifest rewrite,
+    independent of corpus size; the same oracle string as the batch
+    twin pins stream ≡ one-shot."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from agrobr_spark.io import load
+    from agrobr_spark.queries.training_prep import (
+        _SHARD_H_ID,
+        _SHARD_H_TXT,
+        N_SHARDS,
+        N_TOKENS_EXPR,
+    )
+
+    _COUNTER[0] += 1
+    ingest = tempfile.mkdtemp(prefix="stream_manifest_in_")
+    state = tempfile.mkdtemp(prefix="stream_manifest_st_")
+    table = f"{state}/manifest"
+    manifest = f"{state}/applied.json"
+    try:
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+        n_files = 3
+        span = max(1, (int(max_id) + n_files) // n_files)
+        t0 = 1_000_000_000
+        first_chunk = None
+        for i in range(n_files):
+            lo, hi = i * span, (i + 1) * span
+            chunk = docs.filter(
+                (F.col("doc_id") >= lo)
+                & (F.col("doc_id") < (hi if i < n_files - 1 else 1 << 62))
+            )
+            tmp = f"{ingest}/.stage{i}"
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = f"{ingest}/chunk{i:05d}.parquet"
+            shutil.move(f"{tmp}/{part}", dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+            if i == 0:
+                first_chunk = spark.read.parquet(dst).localCheckpoint(
+                    eager=True
+                )
+
+        schema = (
+            "shard int, n_docs bigint, n_tokens bigint,"
+            " soma_verificacao decimal(38,0), min_doc bigint,"
+            " max_doc bigint"
+        )
+        spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+            table
+        )
+        with open(manifest, "w", encoding="utf-8") as fh:
+            _json.dump({"applied_batch_ids": []}, fh)
+
+        def handle(batch: DataFrame, batch_id: int) -> None:
+            with open(manifest, encoding="utf-8") as fh:
+                man = _json.load(fh)
+            if int(batch_id) in man["applied_batch_ids"]:
+                return
+            parcial = (
+                batch.select(
+                    F.expr(f"pmod({_SHARD_H_ID}, {N_SHARDS})")
+                    .cast("int")
+                    .alias("shard"),
+                    "doc_id",
+                    F.expr(N_TOKENS_EXPR).alias("n_tokens"),
+                    F.expr(_SHARD_H_TXT).alias("h_txt"),
+                )
+                .groupBy("shard")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("b_docs"),
+                    F.sum("n_tokens").cast("bigint").alias("b_tokens"),
+                    F.sum(F.col("h_txt").cast("decimal(38,0)"))
+                    .cast("decimal(38,0)")
+                    .alias("b_soma"),
+                    F.min("doc_id").cast("bigint").alias("b_min"),
+                    F.max("doc_id").cast("bigint").alias("b_max"),
+                )
+            )
+            prev = spark.read.parquet(table)
+            merged = (
+                prev.join(parcial, "shard", "full_outer")
+                .select(
+                    "shard",
+                    (
+                        F.coalesce("n_docs", F.lit(0))
+                        + F.coalesce("b_docs", F.lit(0))
+                    ).cast("bigint").alias("n_docs"),
+                    (
+                        F.coalesce("n_tokens", F.lit(0))
+                        + F.coalesce("b_tokens", F.lit(0))
+                    ).cast("bigint").alias("n_tokens"),
+                    (
+                        F.coalesce(
+                            F.col("soma_verificacao"),
+                            F.lit(0).cast("decimal(38,0)"),
+                        )
+                        + F.coalesce(
+                            F.col("b_soma"), F.lit(0).cast("decimal(38,0)")
+                        )
+                    ).cast("decimal(38,0)").alias("soma_verificacao"),
+                    F.least(
+                        F.coalesce("min_doc", "b_min"),
+                        F.coalesce("b_min", "min_doc"),
+                    ).cast("bigint").alias("min_doc"),
+                    F.greatest(
+                        F.coalesce("max_doc", "b_max"),
+                        F.coalesce("b_max", "max_doc"),
+                    ).cast("bigint").alias("max_doc"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            merged.write.mode("overwrite").parquet(table)
+            man["applied_batch_ids"].append(int(batch_id))
+            with open(manifest, "w", encoding="utf-8") as fh:
+                _json.dump(man, fh)
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ingest)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+        # replay batch 0: the guard must no-op, or the driver hash
+        # check against the one-shot oracle fails with doubled sums
+        handle(first_chunk, 0)
+        # the store keeps the checksum as DECIMAL(38,0) (mergeable);
+        # the report emits its exact STRING (the batch twin's
+        # pandas-transport rule)
+        return (
+            spark.read.parquet(table)
+            .withColumn(
+                "soma_verificacao",
+                F.col("soma_verificacao").cast("string"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(ingest, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+
+
+from agrobr_spark.queries import _REGISTRY as _REG  # noqa: E402
+
+_REG["stream_shard_manifest"].oracle = _shard_manifest_oracle()

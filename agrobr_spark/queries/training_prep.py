@@ -1557,3 +1557,87 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 pipeline_token_budget.__doc__ = pipeline_token_budget.__doc__.format(
     b=TOKEN_BUDGET
 )
+
+
+# -- deterministic shard manifest: the export evidence chain ----------
+
+N_SHARDS = 16
+#: 52-bit content hashes (13 md5 hex digits — exact in BIGINT/double)
+_SHARD_H_ID = (
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 13), 16, 10)"
+    " AS BIGINT)"
+)
+_SHARD_H_ID_DUCK = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))"
+    "::UBIGINT AS BIGINT)"
+)
+_SHARD_H_TXT = (
+    "CAST(conv(substring(md5(text), 1, 13), 16, 10) AS BIGINT)"
+)
+_SHARD_H_TXT_DUCK = (
+    "CAST(('0x' || substring(md5(text), 1, 13))::UBIGINT AS BIGINT)"
+)
+
+
+@register(
+    "pipeline_shard_manifest",
+    oracle=f"""
+    WITH base AS (
+      SELECT {_SHARD_H_ID_DUCK} % {N_SHARDS} AS shard,
+        doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+'))
+             END AS n_tokens,
+        {_SHARD_H_TXT_DUCK} AS h_txt
+      FROM documents)
+    SELECT CAST(shard AS INT) AS shard,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      CAST(CAST(sum(CAST(h_txt AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        AS VARCHAR) AS soma_verificacao,
+      CAST(min(doc_id) AS BIGINT) AS min_doc,
+      CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM base GROUP BY shard
+    """,
+    tags=("PIPELINE", "EXPORT", "MANIFEST", "EVIDENCE", "SCALE_DEFAULT"),
+)
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard manifest — the evidence chain for a
+    training-data EXPORT: every document lands in
+    ``md5(doc_id) mod {n}`` (content-addressed, so the layout is
+    reproducible from the data alone — no rand(), no partition-order
+    dependence), and each shard reports its doc count, token mass,
+    an order-free content checksum (sum of 52-bit md5 prefixes of
+    the text — exact in DECIMAL(38,0) internally, emitted as its
+    exact STRING because pandas/Arrow transports coerce wide decimals
+    to float64, a measured precision loss the driver's own compare
+    path surfaced), and its id range. A consumer
+    re-derives this frame from the delivered shards and diffs it
+    against the manifest: any lost, duplicated, or silently-mutated
+    document changes a row. `stream_export_shards` writes the
+    file-level manifest at export time; this is the queryable twin a
+    verification job runs on either side of the transfer.
+
+    Plan: one narrow projection (two md5s + a token count) into one
+    {n}-group aggregate — map-side partials, a {n}-row shuffle. The
+    checksum is a SUM so it is partition-order-free and mergeable
+    (shard manifests of two table halves add), exactly why it is not
+    a positional hash. At 100 TB: identical plan, and the shard
+    column doubles as the write partition key so the manifest and
+    the physical layout cannot drift."""
+    base = load(spark, sf_dir, "documents").select(
+        F.expr(f"pmod({_SHARD_H_ID}, {N_SHARDS})").cast("int").alias("shard"),
+        "doc_id",
+        F.expr(N_TOKENS_EXPR).alias("n_tokens"),
+        F.expr(_SHARD_H_TXT).alias("h_txt"),
+    )
+    return base.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("h_txt").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("soma_verificacao"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )

@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "j9_bloom_semi_join",
     "text_bm25_topk",
     "text_bm25_rm3",
+    "retrieval_index_freshness",
+    "text_snippets_indexed",
     "text_snippets",
     "text_bm25_indexed",
     "text_phrase_match",
@@ -64,6 +66,7 @@ BENCH_QUERIES = [
     "text_contamination_fuzzy",
     "sim_hybrid_rrf",
     "graph_pagerank",
+    "sim_mmr_rerank",
     "o8_weighted_sample",
     "p4_date_range",
     "w1_pct_change",
@@ -73,6 +76,8 @@ BENCH_QUERIES = [
     "a19_approx_quantiles",
     "a20_skew_advisor",
     "a21_pivot",
+    "a22_join_size_advisor",
+    "w16_anomaly_intervals",
     "w15_rolling_zscore",
     "w7_sessionize",
     "m1_merge_upsert",
@@ -99,6 +104,9 @@ BENCH_QUERIES = [
     "pipeline_data_mix",
     "pipeline_token_budget",
     "pipeline_admission_evidence",
+    "pipeline_shard_manifest",
+    "text_bigram_surprise",
+    "dedup_survivors_quality",
     "pipeline_cluster_sample",
     "pipeline_pack_chunks",
     "sim_cosine_topk",
@@ -117,6 +125,7 @@ BENCH_QUERIES = [
     "stream_source_divergence",
     "stream_approx_distinct",
     "stream_stream_join",
+    "stream_shard_manifest",
     "pipeline_df_index_update",
     "corpus_overlap_matrix",
     "text_tfidf_topk",

@@ -419,3 +419,28 @@ def test_line_filter_rules(spark, tmp_path):
     assert not out[3]["pagina_ok"]          # curly brace
     assert out[4]["n_linhas_mantidas"] == 0
     assert out[4]["texto_limpo"] == ""      # '' pinned, never NULL
+
+
+def test_index_freshness_detects_stale_index(spark, tmp_path):
+    """retrieval_index_freshness: after the corpus grows past the
+    built index, the report must flip to stale with the exact doc
+    lag (the gate an index-answered query path routes on)."""
+    from agrobr_spark.queries import catalog as _catalog
+
+    rows = [(i, f"texto numero {i} aqui", "pt", "web", 20)
+            for i in range(30)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet")
+    fn = _catalog()["retrieval_index_freshness"].fn
+    fresh = fn(spark, sf).collect()[0]
+    assert fresh["atualizado"] and fresh["defasagem_docs"] == 0
+    # corpus grows; the cached index (keyed by sf_dir) is now behind
+    rows += [(1000 + i, f"doc novo {i}", "pt", "web", 10) for i in range(4)]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet")
+    stale = fn(spark, sf).collect()[0]
+    assert not stale["atualizado"]
+    assert stale["defasagem_docs"] == 4
+    assert stale["n_docs_indice"] == 30

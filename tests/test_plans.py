@@ -440,3 +440,17 @@ class TestRound9Additions:
         assert read_cols <= {
             "o_orderpriority", "o_orderstatus", "o_totalprice"
         }, read_cols
+
+    def test_snippets_indexed_prunes_buckets(self, spark, cat):
+        """text_snippets_indexed: the positional posting read is
+        partition-pruned to the query terms' buckets with the termo
+        filter pushed into the pruned scan; the documents table
+        appears only in the final token-slice join, never in the hits
+        stage."""
+        plan = plan_of(cat["text_snippets_indexed"].fn(spark, SF_SMOKE))
+        m = re.search(r"PartitionFilters: \[bucket[^\]]*IN \(([^)]*)\)", plan)
+        assert m, plan
+        assert len(m.group(1).split(",")) <= 3
+        assert re.search(r"PushedFilters: \[In\(termo", plan), plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan

@@ -181,6 +181,22 @@ PROBE_QUERIES = [
     "a21_pivot",
     # stream-stream interval join, watermark-bounded state
     "stream_stream_join",
+    # exact join-size prediction: shuffle carries key cardinality only
+    "a22_join_size_advisor",
+    # 16-row mergeable manifest aggregate over two md5s + token count
+    "pipeline_shard_manifest",
+    # bigram LM: transform-over-sequence transitions, two keyed joins
+    "text_bigram_surprise",
+    # per-batch partial manifests merged into a 16-row store
+    "stream_shard_manifest",
+    # greedy MMR over a bounded shortlist; corpus work = one broadcast scan
+    "sim_mmr_rerank",
+    # gaps-and-islands over the tiny anomalous-day frame
+    "w16_anomaly_intervals",
+    # snippet hits from |query terms| pruned positional buckets
+    "text_snippets_indexed",
+    # same components fixpoint as dedup_survivors, quality ranking key
+    "dedup_survivors_quality",
 ]
 
 # every table any probe query loads
