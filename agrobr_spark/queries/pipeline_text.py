@@ -3080,3 +3080,222 @@ def text_snippets_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 from agrobr_spark.queries import _REGISTRY as _PT_REG  # noqa: E402
 
 _PT_REG["text_snippets_indexed"].oracle = _PT_REG["text_snippets"].oracle
+
+
+# -- RM3 answered from the posting index --------------------------------
+
+
+@register(
+    "text_bm25_rm3_indexed",
+    oracle=None,  # bound below: same oracle as text_bm25_rm3
+    tags=("TEXT", "RETRIEVAL", "BM25", "RM3", "INDEX"),
+)
+def text_bm25_rm3_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_bm25_rm3`` answered from the posting index — shipping
+    the scan twin's promise that "both tf passes read |terms| buckets
+    instead of re-tokenizing", and showing where each RM3 stage's
+    data SHOULD come from at 100 TB:
+
+    - stage-1 scoring: pruned posting read of the 3 query-term
+      buckets (the `text_bm25_indexed` path, full score frame);
+    - the relevance model: the {fb} feedback docs fetched from the
+      DOCUMENT STORE by id and tokenized — deliberately NOT from the
+      posting index, whose term-major layout makes doc-major access
+      (all terms OF a doc) a full-index scan; expansion is a
+      {fb}-row point-read problem, and using the right index for the
+      access pattern is the design point;
+    - stage-2 scoring: pruned read of the original + expansion term
+      buckets. The expansion terms are data-dependent — the reason
+      the index is bucketed by TERM, not by query — and reach
+      ``query_postings`` via a bounded (<= {e}-row) collect, the same
+      bounded term->bucket job the index reader already does.
+
+    Same oracle string as the scan path, so indexed ≡ scan —
+    including identical expansion-term selection and weights — is
+    driver-hash-checked every round."""
+    from agrobr_spark.store.posting import query_postings
+
+    path = _bm25_index_dir(spark, sf_dir)
+    stats = spark.read.parquet(f"{path}/stats")
+    idf = F.log(
+        1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+
+    def pontuar(tf: DataFrame, peso=None) -> DataFrame:
+        df_tab = tf.groupBy("termo").agg(
+            F.count(F.lit(1)).cast("bigint").alias("df")
+        )
+        base = tf.join(F.broadcast(df_tab), "termo").crossJoin(
+            F.broadcast(stats)
+        )
+        termo_p = idf * (F.col("tf") * (BM25_K1 + 1)) / denom
+        if peso is not None:
+            base = base.join(F.broadcast(peso), "termo")
+            termo_p = F.col("peso") * termo_p
+        return base.select(
+            "doc_id",
+            F.round(termo_p, 6).cast("decimal(18,6)").alias("p"),
+        ).groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("int").alias("n_termos"),
+            F.round(F.sum("p").cast("double"), 6).alias("pontos"),
+        )
+
+    fb = (
+        pontuar(query_postings(spark, path, tuple(sorted(BM25_QUERY))))
+        .orderBy(F.desc("pontos"), F.asc("doc_id"))
+        .limit(RM3_FB_DOCS)
+        .select("doc_id", "pontos")
+    )
+    fbdocs = (
+        load(spark, sf_dir, "documents")
+        .join(F.broadcast(fb), "doc_id")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            "pontos",
+            F.split(F.trim("text"), r"\s+").alias("t"),
+        )
+    )
+    fbtf = (
+        fbdocs.select(
+            "doc_id",
+            "pontos",
+            F.size("t").alias("dl"),
+            F.explode("t").alias("tok"),
+        )
+        .select("doc_id", "pontos", "dl", F.lower("tok").alias("termo"))
+        .filter(
+            ~F.col("termo").isin(*BM25_QUERY)
+            & ~F.col("termo").isin(*STOPWORDS)
+            & (F.length("termo") >= RM3_MIN_LEN)
+        )
+        .groupBy("doc_id", "termo")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.first("dl").alias("dl"),
+            F.first("pontos").alias("pontos"),
+        )
+    )
+    rmw = fbtf.groupBy("termo").agg(
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("tf").cast("double")
+                    / F.col("dl").cast("double")
+                    * F.col("pontos"),
+                    6,
+                ).cast("decimal(18,6)")
+            ).cast("double"),
+            6,
+        ).alias("w")
+    )
+    expn = rmw.orderBy(F.desc("w"), F.asc("termo")).limit(RM3_EXP_TERMS)
+    total = expn.groupBy().agg(
+        F.sum(F.col("w").cast("decimal(18,6)")).cast("double").alias("total")
+    )
+    beta = round(1.0 - RM3_ALPHA, 6)
+    peso_orig = RM3_ALPHA / len(BM25_QUERY)
+    orig = spark.createDataFrame(
+        [(t,) for t in BM25_QUERY], "termo string"
+    ).select("termo", F.round(F.lit(peso_orig), 6).alias("peso"))
+    pesos = orig.unionByName(
+        expn.crossJoin(total).select(
+            "termo",
+            F.round(F.lit(beta) * F.col("w") / F.col("total"), 6).alias(
+                "peso"
+            ),
+        )
+    ).localCheckpoint(eager=True)
+    # data-dependent expansion terms -> bounded (<= 3 + 3 row) collect
+    # feeding the index reader's term->bucket pruning
+    termos2 = tuple(sorted(r["termo"] for r in pesos.collect()))
+    tf2 = query_postings(spark, path, termos2)
+    return (
+        pontuar(tf2, peso=pesos.select("termo", "peso"))
+        .orderBy(F.desc("pontos"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
+text_bm25_rm3_indexed.__doc__ = text_bm25_rm3_indexed.__doc__.format(
+    fb=RM3_FB_DOCS, e=RM3_EXP_TERMS
+)
+
+_PT_REG["text_bm25_rm3_indexed"].oracle = _PT_REG["text_bm25_rm3"].oracle
+
+
+# -- tokenizer fertility: the budget-planning stats ---------------------
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=rf"""
+    WITH base AS (
+      SELECT lang, source,
+        CAST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS BIGINT)
+          AS bpe,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+'))
+             END AS palavras,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents)
+    SELECT lang, source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(palavras) AS BIGINT) AS n_palavras,
+      CAST(sum(bpe) AS BIGINT) AS n_tokens_bpe,
+      CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+      round(CAST(sum(bpe) AS DOUBLE)
+            / CAST(greatest(sum(palavras), 1) AS DOUBLE), 6)
+        AS fertilidade,
+      round(CAST(sum(n_bytes) AS DOUBLE)
+            / CAST(greatest(sum(bpe), 1) AS DOUBLE), 6)
+        AS bytes_por_token
+    FROM base GROUP BY lang, source
+    """,
+    tags=("TEXT", "TOKENIZE", "BPE", "PROFILE", "SCALE_DEFAULT"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report per (lang, source): BPE tokens per
+    whitespace word and bytes per BPE token — the two numbers that
+    size a training run's token budget per corpus slice and flag
+    slices the tokenizer handles badly (fertility spikes on languages
+    or formats the vocab never saw, the signal behind per-language
+    vocab extensions). Uses the same GPT2-style pre-tokenizer regex
+    as ``text_token_count_bpe`` so every budget consumer counts with
+    one definition.
+
+    Plan: one narrow projection (regex count + split count + byte
+    length) into one (lang x source)-group aggregate — map-side
+    partials, a group-cardinality shuffle, all integer sums; the two
+    ratios divide exact BIGINTs at the end (IEEE-identical), 6dp.
+    At 100 TB: identical plan, and the per-slice rows feed
+    `pipeline_data_mix`'s budget arithmetic directly."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        "source",
+        F.size(
+            F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0))
+        ).cast("bigint").alias("bpe"),
+        F.size(_tokens()).cast("bigint").alias("palavras"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+    )
+    return base.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("palavras").cast("bigint").alias("n_palavras"),
+        F.sum("bpe").cast("bigint").alias("n_tokens_bpe"),
+        F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+        F.round(
+            F.sum("bpe").cast("double")
+            / F.greatest(F.sum("palavras"), F.lit(1)).cast("double"),
+            6,
+        ).alias("fertilidade"),
+        F.round(
+            F.sum("n_bytes").cast("double")
+            / F.greatest(F.sum("bpe"), F.lit(1)).cast("double"),
+            6,
+        ).alias("bytes_por_token"),
+    )

@@ -2692,3 +2692,148 @@ def a22_join_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+# -- TPC-H classics: the canonical multi-join analytics shapes ----------
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_DATE = "1997-06-30"
+_Q3_TOPK = 10
+
+
+@register(
+    "tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+           AS DECIMAL(18,4))) AS DOUBLE) AS receita,
+      CAST(o_orderdate AS DATE) AS data_pedido
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = '{_Q3_SEGMENT}'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '{_Q3_DATE} 00:00:00'
+      AND l_shipdate > TIMESTAMP '{_Q3_DATE} 00:00:00'
+    GROUP BY l_orderkey, data_pedido
+    ORDER BY receita DESC, l_orderkey LIMIT {_Q3_TOPK}
+    """,
+    tags=("TPCH", "Q3", "JOIN", "AGG", "SCALE_DEFAULT"),
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping-priority) on the fixture schema: top-{k}
+    unshipped-revenue orders for one market segment — the canonical
+    selective-filter -> fact-join -> aggregate -> top-k shape every
+    BI workload reduces to, kept verbatim so the engine's plan for
+    THE reference query is inspectable (the fixture lacks
+    o_shippriority, which is dropped from the projection; dates are
+    timestamps and compare as such, the io-layer convention).
+
+    Plan: both filters push to their scans (segment on customer, the
+    two date bounds on orders/lineitem); the filtered customer side
+    broadcasts into orders, that result broadcasts into lineitem
+    when small enough (AQE decides from runtime sizes), the
+    aggregation is partial+final on the composite key, and the final
+    cut is a TakeOrderedAndProject heap — never a global sort.
+    Revenue is the house money discipline: per-row double product
+    cast to DECIMAL(18,4) before the sum, exact in any order."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == _Q3_SEGMENT
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _Q3_DATE
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > _Q3_DATE
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("data_pedido"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("receita")
+        )
+        .select("l_orderkey", "receita", "data_pedido")
+        .orderBy(F.desc("receita"), F.asc("l_orderkey"))
+        .limit(_Q3_TOPK)
+    )
+
+
+tpch_q3.__doc__ = tpch_q3.__doc__.format(k=_Q3_TOPK)
+
+_Q5_REGION = "ASIA"
+_Q5_YEAR = 1996
+
+
+@register(
+    "tpch_q5",
+    oracle=f"""
+    SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+           AS DECIMAL(18,4))) AS DOUBLE) AS receita
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = '{_Q5_REGION}'
+      AND o_orderdate >= TIMESTAMP '{_Q5_YEAR}-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '{_Q5_YEAR + 1}-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("TPCH", "Q5", "JOIN", "AGG", "SCALE_DEFAULT"),
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume): revenue per nation for one
+    region and one order year, where customer and supplier share the
+    nation — the 6-table join with a NON-key equi-condition
+    (c_nationkey = s_nationkey) that makes Q5 the classic join-order
+    stress test: a bad order explodes lineitem x supplier before the
+    region filter ever bites.
+
+    Plan: region -> nation is a 2-hop broadcast chain that prunes
+    nations FIRST; customer and supplier both shrink by joining the
+    pruned nation list before touching facts; orders carries the
+    pushed year bounds; the c_nationkey = s_nationkey condition rides
+    the existing join keys instead of a separate shuffle. Catalyst +
+    AQE reorder from runtime sizes — the declared plan keeps every
+    reduction upstream of the fact join, which is the property the
+    docstring exists to pin. Money in DECIMAL(18,4), as always."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == _Q5_REGION)
+    n = load(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("c_nationkey"))),
+        "c_nationkey",
+    )
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= f"{_Q5_YEAR}-01-01")
+        & (F.col("o_orderdate") < f"{_Q5_YEAR + 1}-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(
+            s,
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (F.col("c_nationkey") == s["s_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("receita")
+        )
+    )

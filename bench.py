@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "text_bm25_rm3",
     "retrieval_index_freshness",
     "text_snippets_indexed",
+    "text_bm25_rm3_indexed",
     "text_snippets",
     "text_bm25_indexed",
     "text_phrase_match",
@@ -77,6 +78,8 @@ BENCH_QUERIES = [
     "a20_skew_advisor",
     "a21_pivot",
     "a22_join_size_advisor",
+    "tpch_q3",
+    "tpch_q5",
     "w16_anomaly_intervals",
     "w15_rolling_zscore",
     "w7_sessionize",
@@ -95,6 +98,7 @@ BENCH_QUERIES = [
     "text_quality_score",
     "text_gopher_rules",
     "text_line_filter",
+    "text_tokenizer_fertility",
     "text_quality_classifier",
     "text_chunk",
     "text_pii_scrub",

@@ -454,3 +454,25 @@ class TestRound9Additions:
         assert re.search(r"PushedFilters: \[In\(termo", plan), plan
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_tpch_q3_pushdown_and_heap(self, spark, cat):
+        """tpch_q3: segment and both date bounds reach their scans as
+        pushed filters; the final cut is a TakeOrderedAndProject heap,
+        never a global sort."""
+        plan = plan_of(cat["tpch_q3"].fn(spark, SF_SMOKE))
+        assert re.search(r"PushedFilters: \[[^\]]*c_mktsegment", plan), plan
+        assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan), plan
+        assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan), plan
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_tpch_q5_broadcast_chain(self, spark, cat):
+        """tpch_q5: the region->nation prune broadcasts into both
+        customer and supplier before any fact join; year bounds push
+        to the orders scan; six tables, zero Cartesian products."""
+        plan = plan_of(cat["tpch_q5"].fn(spark, SF_SMOKE))
+        assert plan.count("BroadcastHashJoin") >= 3, plan
+        assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan), plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan

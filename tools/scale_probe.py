@@ -197,6 +197,14 @@ PROBE_QUERIES = [
     "text_snippets_indexed",
     # same components fixpoint as dedup_survivors, quality ranking key
     "dedup_survivors_quality",
+    # classic 3-table selective join + heap
+    "tpch_q3",
+    # 6-table join-order stress: region prune upstream of facts
+    "tpch_q5",
+    # RM3 from the index: two pruned tf reads + 5 doc-store point reads
+    "text_bm25_rm3_indexed",
+    # regex+split+bytes projection into a (lang x source) aggregate
+    "text_tokenizer_fertility",
 ]
 
 # every table any probe query loads
