@@ -1276,3 +1276,124 @@ def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rk") == 1).alias("sobrevivente"),
         )
     )
+
+
+# -- dedup rate dashboard: every method's yield as one frame ------------
+
+
+def _dedup_rate_oracle() -> str:
+    from agrobr_spark.queries import _REGISTRY
+
+    mh = _REGISTRY["dedup_minhash_lsh"].oracle
+    ng = _REGISTRY["dedup_ngram_jaccard"].oracle
+    nd = _REGISTRY["near_dup_embeddings"].oracle
+    return f"""
+    WITH mh AS (SELECT doc_a, doc_b FROM ({mh})),
+    ng AS (SELECT doc_a, doc_b FROM ({ng})),
+    nd AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM ({nd})),
+    ex AS (
+      SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS k
+      FROM documents GROUP BY 1 HAVING count(*) > 1),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    linhas AS (
+      SELECT 'exato' AS metodo,
+        CAST(coalesce(sum(k * (k - 1) / 2), 0) AS BIGINT) AS n_pares,
+        CAST(coalesce(sum(k), 0) AS BIGINT) AS n_docs
+      FROM ex
+      UNION ALL
+      SELECT 'minhash_lsh', CAST(count(*) AS BIGINT),
+        (SELECT CAST(count(*) AS BIGINT) FROM
+          (SELECT doc_a FROM mh UNION SELECT doc_b FROM mh))
+      FROM mh
+      UNION ALL
+      SELECT 'ngram_jaccard', CAST(count(*) AS BIGINT),
+        (SELECT CAST(count(*) AS BIGINT) FROM
+          (SELECT doc_a FROM ng UNION SELECT doc_b FROM ng))
+      FROM ng
+      UNION ALL
+      SELECT 'embedding_ivf', CAST(count(*) AS BIGINT),
+        (SELECT CAST(count(*) AS BIGINT) FROM
+          (SELECT doc_a FROM nd UNION SELECT doc_b FROM nd))
+      FROM nd)
+    SELECT metodo, n_pares, n_docs,
+      round(CAST(n_docs AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+        AS fracao_corpus
+    FROM linhas, total t
+    """
+
+
+@register(
+    "corpus_dedup_rate_report",
+    oracle=_dedup_rate_oracle(),
+    tags=("DEDUP", "REPORT", "EVIDENCE"),
+)
+def corpus_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DASHBOARD: every shipped method's yield on the same
+    corpus as one frame — exact (md5 text groups), MinHash-LSH,
+    n-gram Jaccard, and the scale-default IVF embedding near-dup —
+    each reporting pair count, affected-doc count, and corpus
+    fraction. This is the row set a pipeline owner reads to pick a
+    method and predict the keep-set shrink BEFORE running
+    survivorship, and the regression canary when a tokenizer or
+    threshold change silently moves a method's yield (the
+    `sim_ann_recall_report` evidence-chain discipline applied to
+    dedup).
+
+    Plan: each method runs its own verified plan ONCE (broadcast
+    band/bucket joins, blocked pair stages — their scale arguments
+    hold unchanged); the report adds only four single-row aggregates
+    and a distinct-doc union per method, all bounded by pair counts.
+    The exact method is one md5 groupBy with k*(k-1)/2 arithmetic —
+    pair counts without materializing pairs."""
+    d = load(spark, sf_dir, "documents")
+    total = d.count()
+
+    def linha(metodo: str, pares: DataFrame, a: str, b: str) -> DataFrame:
+        docs = (
+            pares.select(F.col(a).alias("d"))
+            .union(pares.select(F.col(b).alias("d")))
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        )
+        return (
+            pares.agg(F.count(F.lit(1)).cast("bigint").alias("n_pares"))
+            .crossJoin(docs)
+            .select(F.lit(metodo).alias("metodo"), "n_pares", "n_docs")
+        )
+
+    ex = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("k") * (F.col("k") - 1) / 2), F.lit(0)
+            ).cast("bigint").alias("n_pares"),
+            F.coalesce(F.sum("k"), F.lit(0)).cast("bigint").alias("n_docs"),
+        )
+        .select(F.lit("exato").alias("metodo"), "n_pares", "n_docs")
+    )
+    mh = linha(
+        "minhash_lsh",
+        dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True),
+        "doc_a", "doc_b",
+    )
+    ng = linha(
+        "ngram_jaccard",
+        dedup_ngram_jaccard(spark, sf_dir).localCheckpoint(eager=True),
+        "doc_a", "doc_b",
+    )
+    nd = linha(
+        "embedding_ivf",
+        near_dup_embeddings(spark, sf_dir).localCheckpoint(eager=True),
+        "vec_a", "vec_b",
+    )
+    out = ex.unionByName(mh).unionByName(ng).unionByName(nd)
+    return out.select(
+        "metodo",
+        "n_pares",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.lit(float(total)), 6
+        ).alias("fracao_corpus"),
+    )

@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "pipeline_shard_manifest",
     "text_bigram_surprise",
     "dedup_survivors_quality",
+    "corpus_dedup_rate_report",
     "pipeline_cluster_sample",
     "pipeline_pack_chunks",
     "sim_cosine_topk",

@@ -1897,3 +1897,22 @@ def test_png_pixel_decode_all_filters():
     assert any(v > 0 for v in meta["feature"])  # pixels, not zeros
     # every band is a mean of /255 luma values
     assert all(0.0 <= v <= 1.0 for v in meta["feature"])
+
+
+def test_components_long_path_graph(spark):
+    """Regression for the round-9 iterative-severance bug: on a long
+    PATH graph (the mutual-kNN topology distilled) the old
+    checkpoint-chained loop doubled its round cost every iteration
+    after ~15 rounds (0.6 s -> 93 s by round 20 at sf0.1) and
+    overran max_iter=25. The parquet-severed loop must converge flat
+    and label every node with the path's minimum id."""
+    from agrobr_spark.operators.components import connected_components
+
+    n = 64  # ~32 propagation rounds — past the old 25-round ceiling
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    out = {r["id"]: r["componente"]
+           for r in connected_components(edges, "a", "b").collect()}
+    assert len(out) == n
+    assert set(out.values()) == {0}

@@ -205,6 +205,8 @@ PROBE_QUERIES = [
     "text_bm25_rm3_indexed",
     # regex+split+bytes projection into a (lang x source) aggregate
     "text_tokenizer_fertility",
+    # every dedup method once + four single-row aggregates
+    "corpus_dedup_rate_report",
 ]
 
 # every table any probe query loads
