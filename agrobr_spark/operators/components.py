@@ -81,6 +81,18 @@ def connected_components(
     import shutil
 
     spark = edges.sparkSession
+    master = spark.sparkContext.master or ""
+    if scratch_dir is None and not master.startswith("local"):
+        # a driver-local mkdtemp is invisible to remote executors: the
+        # per-round parquet writes would fail (or worse, scatter over
+        # per-node local disks) with a confusing IO error deep in round
+        # 1 — fail loud at the API boundary instead (r9 ADVICE)
+        raise ValueError(
+            "connected_components: on a non-local master "
+            f"({master!r}) pass scratch_dir= on a SHARED filesystem "
+            "(HDFS/S3/NFS); the default driver-local temp dir is only "
+            "valid for local[*] sessions"
+        )
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

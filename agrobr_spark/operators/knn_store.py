@@ -1,0 +1,312 @@
+"""Persisted kNN graph with incremental (streamed) maintenance.
+
+Closes the last batch-only-refresh family (r9 VERDICT next #1): every
+other expensive index in the engine (LSH survivors, SemDeDup seen
+table, BM25/positional postings, DF index) has a frozen-state
+streamed twin, while `sim_knn_graph` / `sim_graph_clusters` /
+`graph_pagerank` rebuilt their edge table from scratch on every
+refresh. This module is the graph's frozen-state store: build once
+over the corpus, then fold vector micro-batches in by touching ONLY
+the nodes whose top-k can have changed — the reference's incremental
+accumulate property (fetch only what's missing, never recompute the
+store; ref: agrobr/cepea/api.py:119-187) applied to a vector index.
+
+State under ``store_dir`` (all ParquetStore tables, PK-idempotent):
+
+- ``centroids/`` — the FROZEN IVF centroids fitted (or pinned) at
+  build time; batches are assigned against these, never re-fitted —
+  the `stream_admit_semdedup` discipline (queries/admission.py).
+- ``members/`` — (cid, vec_id, ev, nrm): each vector in its single
+  home cluster, disk-partitioned by ``cid`` so a batch touching B
+  clusters reads exactly B partitions.
+- ``probes/`` — (cid, vec_id, qv, qn): each vector's ``n_probe``
+  query-role cluster assignments, partitioned by ``cid`` — the
+  reverse index "which nodes would see a new member of cluster c",
+  which is what makes the affected set a pruned read instead of a
+  corpus scan.
+- ``edges/`` — (balde, vec_id, neighbor_id, posicao, cosseno): the
+  current top-k graph, PK (vec_id, posicao), hash-bucketed by
+  ``balde = pmod(vec_id, EDGE_BUCKETS)`` so the MERGE rewrites only
+  the buckets holding affected nodes.
+
+Incremental correctness rests on two facts:
+
+1. **Insert-only top-k folding.** Candidates are only ever ADDED to a
+   node's view (members never leave a cluster), and for any candidate
+   multiset ``C_old ∪ C_new``: ``topk(C_old ∪ C_new) =
+   topk(topk(C_old) ∪ C_new)`` under the total order
+   (cosseno DESC, neighbor_id) — an element outside ``topk(C_old)``
+   is dominated by k elements that are still present. So a batch
+   update needs each affected node's CURRENT EDGES plus its NEW
+   candidates, never its full candidate history.
+2. **Exactly-once pair arrival.** A pair (q, m) with m's home cluster
+   among q's probes meets at the LATER of their arrivals: corpus-
+   corpus pairs at build; (old q, new m) via the probes-table read of
+   the batch's touched clusters; (new q, old m) via the members-table
+   read of the batch's probe clusters; (new q, new m) within the
+   batch. The legs are disjoint by construction, and a defensive
+   pair-key dedupe before ranking makes the whole update
+   REPLAY-IDEMPOTENT: re-delivering a batch regenerates only pairs
+   that already exist (byte-identical 6dp cosines), the dedupe
+   collapses them, and every store MERGE is PK-last-writer-wins —
+   no applied-batch-ids manifest needed
+   (tests/test_operators.py::test_knn_store_replay_idempotent).
+
+Per-batch cost: one broadcast centroid assignment, two
+partition-pruned reads (touched clusters' probes, probe clusters'
+members), one bounded-id semi-join on the edge table (at 100 TB: a
+bloom/DPP semi-join), one pair-key dedupe + per-node window over
+|affected| · O(cluster density) rows, and partition-pruned MERGEs —
+independent of the number of vectors OUTSIDE the touched clusters.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from agrobr_spark.operators.allpairs import _dot
+from agrobr_spark.store.table import ParquetStore
+
+EDGE_BUCKETS = 32
+
+
+def _stores(
+    spark: SparkSession, store_dir: str
+) -> tuple[ParquetStore, ParquetStore, ParquetStore]:
+    members = ParquetStore(
+        spark, f"{store_dir}/members", ("vec_id",), partition_col="cid"
+    )
+    probes = ParquetStore(
+        spark, f"{store_dir}/probes", ("vec_id", "cid"), partition_col="cid"
+    )
+    edges = ParquetStore(
+        spark,
+        f"{store_dir}/edges",
+        ("vec_id", "posicao"),
+        partition_col="balde",
+    )
+    return members, probes, edges
+
+
+def _assign(base: DataFrame, cent: DataFrame, n_probe: int) -> DataFrame:
+    """Rank ``base`` (_id, _vec, _norm) against the broadcast frozen
+    centroids: one row per (vector, probed centroid), ``_rn`` 1..p,
+    6dp-rounded cosine with centroid-id tie-break (the exact
+    `sim_knn_graph` assignment semantics, so the pure-SQL oracle
+    replicates the bucketing)."""
+    cos_cent = F.round(
+        _dot("_cv", "_vec")
+        / F.nullif(F.sqrt(_dot("_cv", "_cv")) * F.col("_norm"), F.lit(0.0)),
+        6,
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), "_cid")
+    return (
+        base.crossJoin(F.broadcast(cent))
+        .withColumn("_cos", cos_cent)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(n_probe))
+    )
+
+
+def _base(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).withColumn("_norm", F.sqrt(_dot("_vec", "_vec")))
+
+
+def _member_rows(ranked: DataFrame) -> DataFrame:
+    return ranked.filter(F.col("_rn") == 1).select(
+        F.col("_cid").alias("cid"),
+        F.col("_id").alias("vec_id"),
+        F.col("_vec").alias("ev"),
+        F.col("_norm").alias("nrm"),
+    )
+
+
+def _probe_rows(ranked: DataFrame) -> DataFrame:
+    return ranked.select(
+        F.col("_cid").alias("cid"),
+        F.col("_id").alias("vec_id"),
+        F.col("_vec").alias("qv"),
+        F.col("_norm").alias("qn"),
+    )
+
+
+def _pair_cos() -> Column:
+    return F.round(
+        _dot("qv", "ev") / F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0)),
+        6,
+    )
+
+
+def _candidates(probes: DataFrame, members: DataFrame) -> DataFrame:
+    """Cluster-local candidate edges: probe rows × member rows of the
+    same cluster — a plain hash equi-join on ``cid``; a (node,
+    neighbor) pair meets at most once per leg because a member has
+    exactly one home cluster."""
+    q = probes.select(
+        F.col("vec_id").alias("qid"), "qv", "qn", "cid"
+    )
+    m = members.select(
+        F.col("vec_id").alias("mid"), "ev", "nrm", "cid"
+    )
+    return (
+        q.join(m, "cid")
+        .filter(F.col("mid") != F.col("qid"))
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("mid").alias("neighbor_id"),
+            _pair_cos().alias("cosseno"),
+        )
+    )
+
+
+def _topk_edges(cands: DataFrame, k: int) -> DataFrame:
+    """Pair-key dedupe (idempotence — duplicate arrivals carry
+    byte-identical 6dp cosines, max() is a no-op on them) then the
+    per-node top-k window; output carries the edge store's bucket
+    column."""
+    dedup = cands.groupBy("vec_id", "neighbor_id").agg(
+        F.max("cosseno").alias("cosseno")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosseno").desc(), "neighbor_id"
+    )
+    return (
+        dedup.withColumn("posicao", F.row_number().over(w).cast("int"))
+        .filter(F.col("posicao") <= int(k))
+        .withColumn(
+            "balde", F.pmod(F.col("vec_id"), F.lit(EDGE_BUCKETS)).cast("int")
+        )
+        .select("balde", "vec_id", "neighbor_id", "posicao", "cosseno")
+    )
+
+
+def knn_graph_frozen_edges(
+    emb: DataFrame,
+    cent: DataFrame,
+    k: int,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-shot kNN graph of ``emb`` against an EXTERNAL frozen
+    centroid table ``cent`` (_cid, _cv) — the batch twin the streamed
+    store is oracle-pinned against (same assignment, same candidate
+    join, same ranking code paths as the incremental fold)."""
+    ranked = _assign(_base(emb, id_col, vec_col), cent, n_probe)
+    return _topk_edges(
+        _candidates(_probe_rows(ranked), _member_rows(ranked)), k
+    ).select("vec_id", "neighbor_id", "posicao", "cosseno")
+
+
+def build_knn_graph_index(
+    emb_corpus: DataFrame,
+    store_dir: str,
+    k: int,
+    n_probe: int,
+    n_centroids: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> None:
+    """Build the persisted graph state over the corpus: freeze
+    centroids (lowest-id pin by default — pure-SQL replicable, the
+    catalog convention; pass ``centroids=`` from
+    ``operators/allpairs.fit_centroids_kmeans`` for the library
+    path), persist member/probe assignments partitioned by cluster,
+    and materialize the corpus top-k edge table."""
+    spark = emb_corpus.sparkSession
+    base = _base(emb_corpus, id_col, vec_col)
+    if centroids is None:
+        if n_centroids is None:
+            n_centroids = max(4, int(n_probe * emb_corpus.count() ** 0.5))
+        centroids = (
+            base.orderBy("_id")
+            .limit(int(n_centroids))
+            .select(F.col("_id").alias("_cid"), F.col("_vec").alias("_cv"))
+        )
+    centroids.write.mode("overwrite").parquet(f"{store_dir}/centroids")
+    cent = spark.read.parquet(f"{store_dir}/centroids")
+    ranked = _assign(base, cent, n_probe)
+    members, probes, edges = _stores(spark, store_dir)
+    members.overwrite(_member_rows(ranked))
+    probes.overwrite(_probe_rows(ranked))
+    edges.overwrite(
+        _topk_edges(
+            _candidates(probes.read(), members.read()), k
+        )
+    )
+
+
+def update_knn_graph_frame(
+    spark: SparkSession,
+    emb_b: DataFrame,
+    store_dir: str,
+    k: int,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fold a batch of NEW vectors into the persisted graph, touching
+    only affected nodes (module docstring, facts 1–2):
+
+    - assign the batch against the FROZEN centroids (broadcast);
+    - affected existing nodes = probe rows of the batch's touched
+      home clusters (partition-pruned read of ``probes/``);
+    - new candidates = (old probes × new members) ∪ (new probes ×
+      old members of the batch's probe clusters, partition-pruned)
+      ∪ (new probes × new members);
+    - re-rank affected nodes over (their current edges ∪ new
+      candidates) — insert-only top-k folding;
+    - MERGE edges / members / probes back (PK-idempotent, partition-
+      pruned rewrites).
+
+    Returns the affected nodes' new edge rows. Replays are no-ops by
+    construction (pair-key dedupe + PK merges)."""
+    members, probes, edges = _stores(spark, store_dir)
+    cent = spark.read.parquet(f"{store_dir}/centroids")
+    ranked = _assign(_base(emb_b, id_col, vec_col), cent, n_probe)
+    # the legs below read the very stores the MERGEs rewrite — sever
+    # the batch frames first (the admit_semdedup_frame discipline)
+    members_new = _member_rows(ranked).localCheckpoint(eager=True)
+    probes_new = _probe_rows(ranked).localCheckpoint(eager=True)
+
+    touched = [
+        r["cid"] for r in members_new.select("cid").distinct().collect()
+    ]
+    probe_cids = [
+        r["cid"] for r in probes_new.select("cid").distinct().collect()
+    ]
+    probes_old = probes.read().filter(F.col("cid").isin(touched))
+    members_old = members.read().filter(F.col("cid").isin(probe_cids))
+
+    cands = (
+        _candidates(probes_old, members_new)
+        .unionByName(_candidates(probes_new, members_old))
+        .unionByName(_candidates(probes_new, members_new))
+    )
+    affected = (
+        probes_old.select("vec_id")
+        .unionByName(probes_new.select("vec_id"))
+        .distinct()
+    )
+    current = edges.read().join(
+        F.broadcast(affected), "vec_id", "semi"
+    ).select("vec_id", "neighbor_id", "cosseno")
+    new_edges = _topk_edges(cands.unionByName(current), k).localCheckpoint(
+        eager=True
+    )
+    edges.merge_upsert(new_edges)
+    members.merge_upsert(members_new)
+    probes.merge_upsert(probes_new)
+    return new_edges
+
+
+def read_knn_graph(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The current graph: (vec_id, neighbor_id, posicao, cosseno)."""
+    _, _, edges = _stores(spark, store_dir)
+    return edges.read().select(
+        "vec_id", "neighbor_id", "posicao", "cosseno"
+    )

@@ -1500,24 +1500,48 @@ text_bm25_topk.__doc__ = text_bm25_topk.__doc__.format(
 )
 
 
-# One posting index per (corpus dir) per process: the build is the
-# amortized cost, every bench iteration / repeated call hits only the
-# bucket-pruned query path (the property the index exists for).
-_BM25_INDEX_CACHE: dict[str, str] = {}
+# One posting index per (corpus dir, corpus mtime) per process: the
+# build is the amortized cost, every bench iteration / repeated call
+# hits only the bucket-pruned query path (the property the index
+# exists for). Keys carry the documents-file mtime (io.table_cache_key)
+# so a corpus rewritten in place invalidates instead of serving a
+# stale index, and every mkdtemp is removed at interpreter exit —
+# both r9 ADVICE findings.
+_BM25_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _cached_index_dir(
+    cache: dict, spark: SparkSession, sf_dir: str, prefix: str, build
+) -> str:
+    """Shared memoizer for the process-lifetime posting-index caches:
+    mtime-keyed (stale-corpus-safe) and atexit-cleaned (no tempdir
+    leak). ``build(docs_df, path)`` materializes the index."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from agrobr_spark.io import table_cache_key
+
+    key = table_cache_key(sf_dir, "documents")
+    path = cache.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix=prefix)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        build(load(spark, sf_dir, "documents"), path)
+        # rebuilds replace superseded entries for this dir (their dirs
+        # stay on disk until exit — atexit owns them)
+        for k in [k for k in cache if k[0] == sf_dir]:
+            del cache[k]
+        cache[key] = path
+    return path
 
 
 def _bm25_index_dir(spark: SparkSession, sf_dir: str) -> str:
-    import tempfile
+    from agrobr_spark.store.posting import build_posting_index
 
-    path = _BM25_INDEX_CACHE.get(sf_dir)
-    if path is None:
-        from agrobr_spark.store.posting import build_posting_index
-
-        path = tempfile.mkdtemp(prefix="bm25_idx_")
-        docs = load(spark, sf_dir, "documents")
-        build_posting_index(docs, path)
-        _BM25_INDEX_CACHE[sf_dir] = path
-    return path
+    return _cached_index_dir(
+        _BM25_INDEX_CACHE, spark, sf_dir, "bm25_idx_", build_posting_index
+    )
 
 
 @register(
@@ -1782,8 +1806,13 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
     ).select(F.lower("t").alias("termo"))
-    # pass 1: bounded-state candidates (list of <= ~1/s tokens)
-    cands = toks.stat.freqItems(["termo"], HH_SUPPORT).collect()[0][0]
+    # pass 1: bounded-state candidates (list of <= ~2/s tokens).
+    # freqItems' superset guarantee is STRICT-> ("frequency > support"):
+    # a term sitting exactly at ceil(s*N) could be missing at support=s
+    # while the >= bar keeps it (r9 ADVICE). Half the support closes
+    # the boundary — any term with count >= ceil(s*N) > (s/2)*N is
+    # guaranteed in — at the cost of 2x the (still bounded) counters.
+    cands = toks.stat.freqItems(["termo"], HH_SUPPORT / 2).collect()[0][0]
     tot = toks.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("total"))
     return (
         toks.filter(F.col("termo").isin(list(cands)))
@@ -1905,21 +1934,16 @@ def text_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PHRASE_INDEX_CACHE: dict[str, str] = {}
+_PHRASE_INDEX_CACHE: dict[tuple, str] = {}
 
 
 def _phrase_index_dir(spark: SparkSession, sf_dir: str) -> str:
-    import tempfile
+    from agrobr_spark.store.posting import build_positional_index
 
-    path = _PHRASE_INDEX_CACHE.get(sf_dir)
-    if path is None:
-        from agrobr_spark.store.posting import build_positional_index
-
-        path = tempfile.mkdtemp(prefix="phrase_idx_")
-        docs = load(spark, sf_dir, "documents")
-        build_positional_index(docs, path)
-        _PHRASE_INDEX_CACHE[sf_dir] = path
-    return path
+    return _cached_index_dir(
+        _PHRASE_INDEX_CACHE, spark, sf_dir, "phrase_idx_",
+        build_positional_index,
+    )
 
 
 @register(
@@ -2954,8 +2978,10 @@ def retrieval_index_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual evidence-chain property."""
     import pyspark.sql.functions as _F
 
+    from agrobr_spark.store.posting import read_stats
+
     path = _bm25_index_dir(spark, sf_dir)
-    stats = spark.read.parquet(f"{path}/stats").select(
+    stats = read_stats(spark, path).select(
         _F.col("n").cast("bigint").alias("n_docs_indice"),
         _F.col("sum_dl").cast("bigint").alias("soma_dl_indice"),
     )
@@ -2983,7 +3009,7 @@ def retrieval_index_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- snippets answered from the positional posting index ----------------
 
-_SNIPPET_INDEX_CACHE: dict[str, str] = {}
+_SNIPPET_INDEX_CACHE: dict[tuple, str] = {}
 
 
 def _snippet_index_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -2992,19 +3018,14 @@ def _snippet_index_dir(spark: SparkSession, sf_dir: str) -> str:
     folding (the phrase index stays RAW — exact phrase reproduction
     needs original tokens; case policy is a build-time choice, which
     is exactly why it lives in the builder, not the query)."""
-    import tempfile
+    from agrobr_spark.store.posting import build_positional_index
 
-    path = _SNIPPET_INDEX_CACHE.get(sf_dir)
-    if path is None:
-        from agrobr_spark.store.posting import build_positional_index
-
-        path = tempfile.mkdtemp(prefix="snippet_idx_")
-        docs = load(spark, sf_dir, "documents").withColumn(
-            "text", F.lower("text")
-        )
-        build_positional_index(docs, path)
-        _SNIPPET_INDEX_CACHE[sf_dir] = path
-    return path
+    return _cached_index_dir(
+        _SNIPPET_INDEX_CACHE, spark, sf_dir, "snippet_idx_",
+        lambda docs, path: build_positional_index(
+            docs.withColumn("text", F.lower("text")), path
+        ),
+    )
 
 
 @register(

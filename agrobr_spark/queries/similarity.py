@@ -1562,3 +1562,113 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 sim_mmr_rerank.__doc__ = sim_mmr_rerank.__doc__.format(
     sl=MMR_SHORTLIST, k=MMR_K, l=MMR_LAMBDA
 )
+
+
+# -- frozen-centroid kNN graph: the incrementally-maintainable form ---
+
+
+def _frozen_graph_oracle() -> str:
+    from agrobr_spark.queries.admission import _CUT_FRAC
+
+    return f"""
+    WITH lim AS (SELECT CAST(floor({_CUT_FRAC} * (max(doc_id) + 1))
+                        AS BIGINT) AS corte FROM documents),
+    corp AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+      FROM embeddings, lim WHERE vec_id < corte),
+    cent AS (
+      SELECT cid, cv FROM (
+        SELECT vec_id AS cid, ev AS cv,
+               row_number() OVER (ORDER BY vec_id) AS rn,
+               count(*) OVER () AS n
+        FROM corp)
+      WHERE rn <= greatest(4, CAST(floor({GRAPH_PROBE}
+               * sqrt(CAST(n AS DOUBLE))) AS BIGINT))),
+    base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    scored AS (
+      SELECT b.vec_id, b.ev, b.nrm, c.cid,
+        round(list_dot_product(c.cv, b.ev)
+              / nullif(sqrt(list_dot_product(c.cv, c.cv)) * b.nrm, 0),
+              6) AS cos_cent
+      FROM base b CROSS JOIN cent c),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos_cent DESC, cid) AS rn
+      FROM scored),
+    members AS (
+      SELECT vec_id, ev, nrm, cid FROM ranked WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS qid, ev AS qv, nrm AS qn, cid
+      FROM ranked WHERE rn <= {GRAPH_PROBE}),
+    cand AS (
+      SELECT p.qid, m.vec_id AS neighbor_id,
+        round(list_dot_product(p.qv, m.ev) / nullif(p.qn * m.nrm, 0),
+              6) AS cosseno
+      FROM probes p JOIN members m
+        ON m.cid = p.cid AND m.vec_id <> p.qid),
+    rk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cosseno DESC, neighbor_id) AS rn
+      FROM cand)
+    SELECT qid AS vec_id, neighbor_id,
+           CAST(rn AS INTEGER) AS posicao, cosseno
+    FROM rk WHERE rn <= {GRAPH_K}
+    """
+
+
+@register(
+    "sim_knn_graph_frozen",
+    oracle=_frozen_graph_oracle(),
+    tags=("SIMILARITY", "KNN_GRAPH", "FROZEN_CENTROIDS", "INCREMENTAL"),
+)
+def sim_knn_graph_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN graph in its INCREMENTALLY-MAINTAINABLE form: centroids
+    frozen from the corpus split (vec_id < the admission-family 80%
+    cut; count = {p}·sqrt(|corpus|)), then every vector — corpus and
+    batch alike — assigned and ranked against those frozen clusters.
+    This is the one-shot twin `stream_knn_graph_update` is
+    oracle-pinned against: stream-folded ≡ rebuilt-from-scratch is a
+    driver-hash-checked identity on this exact definition (the
+    `stream_admit_semdedup` ≡ paper-rule convention carried to the
+    graph family, r9 VERDICT next #1).
+
+    Difference from `sim_knn_graph`: THAT entry sizes and picks
+    centroids from the full corpus (the best one-shot graph); this one
+    freezes them from the corpus split, because an incremental
+    maintainer must never re-fit centroids on arrival — re-fitting
+    re-assigns the whole corpus (a full rebuild in disguise). The
+    recall cost of the frozen fit is the measured IVF trade
+    (`sim_ann_recall_report` family); the maintenance win is that a
+    batch touches only its clusters' members.
+
+    Plan: identical shape to `sim_knn_graph` (broadcast assignment,
+    member×probe hash equi-join on the cluster key, per-node window);
+    shares the assignment/candidate/ranking code paths with the
+    streamed store (`operators/knn_store.py`), so batch and stream
+    cannot drift semantically."""
+    from agrobr_spark.operators.knn_store import knn_graph_frozen_edges
+    from agrobr_spark.queries.admission import _split_params
+
+    cut, n_corp = _split_params(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    base_corp = e.filter(F.col("vec_id") < cut)
+    n_cent = max(4, int(GRAPH_PROBE * n_corp**0.5))
+    cent = (
+        base_corp.orderBy("vec_id")
+        .limit(n_cent)
+        .select(
+            F.col("vec_id").alias("_cid"), F.col("embedding").alias("_cv")
+        )
+    )
+    return knn_graph_frozen_edges(
+        e, cent, k=GRAPH_K, n_probe=GRAPH_PROBE
+    )
+
+
+sim_knn_graph_frozen.__doc__ = sim_knn_graph_frozen.__doc__.format(
+    p=GRAPH_PROBE
+)

@@ -22,6 +22,25 @@ from agrobr_spark.streaming.windows import (
 _COUNTER = [0]
 
 
+def _commit_state(manifest_path: str, man: dict) -> None:
+    """Atomic manifest commit (write-temp + os.replace) for
+    foreachBatch handlers that fold state: the manifest carries BOTH
+    the applied_batch_ids replay guard AND the ``current`` state-dir
+    pointer, so 'publish new state' and 'mark epoch applied' are one
+    atomic step. A crash after the state write but before this commit
+    leaves the old state current, and the replay recomputes from it —
+    exactly-once without assuming two separate writes are atomic
+    together (r9 ADVICE; the store/posting.py protocol applied to
+    folded streaming state)."""
+    import json as _json
+    import os
+
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        _json.dump(man, fh)
+    os.replace(tmp, manifest_path)
+
+
 @register(
     "stream_tumbling_daily",
     oracle="""
@@ -644,6 +663,127 @@ def stream_admit_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ingest, ignore_errors=True)
 
 
+def _stream_knn_graph_oracle() -> str:
+    from agrobr_spark.queries.similarity import _frozen_graph_oracle
+
+    return _frozen_graph_oracle()
+
+
+@register(
+    "stream_knn_graph_update",
+    oracle=_stream_knn_graph_oracle(),
+    tags=("STREAM", "KNN_GRAPH", "FOREACHBATCH", "INCREMENTAL"),
+)
+def stream_knn_graph_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN graph maintained as a STREAM (r9 VERDICT next #1 — the
+    last batch-only-refresh family): the corpus split builds the
+    persisted graph state once (frozen centroids + cluster-partitioned
+    member/probe tables + the top-k edge table,
+    ``operators/knn_store.py``), batch vectors land as id-ranged
+    ingest files, and every micro-batch folds in by touching ONLY
+    affected nodes — assign the batch against the frozen centroids,
+    partition-pruned reads of the touched clusters' probes and the
+    probe clusters' members, re-rank affected nodes over (current
+    edges ∪ new candidates), MERGE back. The corpus is never
+    re-scanned and no node outside the touched clusters is read.
+
+    Stream ≡ batch rebuild holds by the insert-only top-k folding
+    identity (knn_store module docstring): the oracle is the same
+    frozen-centroid graph over corpus ∪ batch computed in ONE
+    non-recursive SQL query (`sim_knn_graph_frozen`'s oracle), so the
+    driver hash-checks the maintained edge table against the
+    from-scratch definition. After the stream drains, the first epoch
+    is REPLAYED in-line — the update is idempotent by construction
+    (pair-key dedupe + PK merges), and the oracle match proves it,
+    the `stream_shard_manifest` convention.
+
+    Per-batch cost is O(|batch| · cluster density + |affected| · k),
+    independent of the vectors outside the touched clusters — the
+    reference's incremental accumulate property (fetch only what's
+    missing, never recompute the store; ref:
+    agrobr/cepea/api.py:119-187) for the graph family."""
+    import os
+    import shutil
+    import tempfile
+
+    from agrobr_spark.io import load
+    from agrobr_spark.operators.knn_store import (
+        build_knn_graph_index,
+        read_knn_graph,
+        update_knn_graph_frame,
+    )
+    from agrobr_spark.queries.admission import _split_params
+    from agrobr_spark.queries.similarity import GRAPH_K, GRAPH_PROBE
+
+    _COUNTER[0] += 1
+    store_dir = tempfile.mkdtemp(prefix="stream_knn_idx_")
+    ingest = tempfile.mkdtemp(prefix="stream_knn_in_")
+    try:
+        cut, n_corp = _split_params(spark, sf_dir)
+        emb = load(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        build_knn_graph_index(
+            emb.filter(F.col("vec_id") < cut),
+            store_dir,
+            k=GRAPH_K,
+            n_probe=GRAPH_PROBE,
+            n_centroids=max(4, int(GRAPH_PROBE * n_corp**0.5)),
+        )
+        staged = emb.filter(F.col("vec_id") >= cut)
+        max_id = staged.agg(F.max("vec_id")).collect()[0][0] or cut
+        n_files = 3
+        span = max(1, (int(max_id) - cut + n_files) // n_files)
+        t0 = 1_000_000_000  # fixed epoch base: mtime order == id order
+        first_chunk = None
+        for i in range(n_files):
+            lo, hi = cut + i * span, cut + (i + 1) * span
+            chunk = staged.filter(
+                (F.col("vec_id") >= lo)
+                & (F.col("vec_id") < (hi if i < n_files - 1 else 1 << 62))
+            )
+            tmp = f"{ingest}/.stage{i}"
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = f"{ingest}/chunk{i:05d}.parquet"
+            shutil.move(f"{tmp}/{part}", dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+            if i == 0:
+                first_chunk = spark.read.parquet(dst).localCheckpoint(
+                    eager=True
+                )
+
+        stream = (
+            spark.readStream.schema(staged.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ingest)
+        )
+
+        def handle(batch: DataFrame, batch_id: int) -> None:
+            update_knn_graph_frame(
+                spark, batch, store_dir, k=GRAPH_K, n_probe=GRAPH_PROBE
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+        # replay epoch 0: must be a no-op by construction, or the
+        # oracle hash below fails with duplicated neighbors
+        handle(first_chunk, 0)
+        return read_knn_graph(spark, store_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+        shutil.rmtree(ingest, ignore_errors=True)
+
+
 @register(
     "stream_export_shards",
     oracle=r"""
@@ -784,12 +924,13 @@ def stream_bm25_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The posting index maintained as a STREAM: the corpus split
     builds the term-bucketed index once, batch documents land as
     id-ranged ingest files, and every micro-batch folds its postings
-    in via ``store/posting.update_posting_index`` — appended at the
-    bucket width frozen in the manifest, stats folded exactly from
-    the carried (n, sum_dl), and the foreachBatch ``batch_id``
-    recorded in the manifest so a replayed epoch is a no-op
-    (the sinks' ``applied_batch_ids`` guard applied to the index:
-    effectively-exactly-once append). The final frame answers the
+    in via ``store/posting.update_posting_index`` — staged into a
+    batch_id-derived directory at the bucket width frozen in the
+    manifest, stats delta carried alongside, and published by ONE
+    atomic manifest commit, so a replayed epoch is a no-op and a
+    mid-write crash replays cleanly (crash-safe exactly-once, r9
+    ADVICE; ``compact_posting_index`` later folds the accreted batch
+    directories into a fresh base generation). The final frame answers the
     fixed BM25 query from the incrementally-built index; the oracle
     is the one-shot full-corpus BM25 — build+update ≡ rebuild is the
     driver-hash-checked identity, and the corpus split is never
@@ -1182,9 +1323,10 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         spark.createDataFrame([], "termo string, cnt bigint").write.mode(
             "overwrite"
-        ).parquet(counters)
-        with open(manifest, "w", encoding="utf-8") as fh:
-            _json.dump({"applied_batch_ids": []}, fh)
+        ).parquet(f"{counters}_init")
+        _commit_state(
+            manifest, {"applied_batch_ids": [], "current": "counters_init"}
+        )
 
         def handle(batch: DataFrame, batch_id: int) -> None:
             with open(manifest, encoding="utf-8") as fh:
@@ -1199,7 +1341,7 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("termo")
                 .agg(F.count(F.lit(1)).cast("bigint").alias("bc"))
             )
-            prev = spark.read.parquet(counters)
+            prev = spark.read.parquet(f"{store_dir}/{man['current']}")
             merged = (
                 prev.join(bc, "termo", "full_outer")
                 .select(
@@ -1225,12 +1367,15 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 merged = merged.select(
                     "termo", (F.col("cnt") - F.lit(kth)).alias("cnt")
                 ).filter(F.col("cnt") > 0)
+            # versioned state dir + one atomic commit: state publish
+            # and replay-guard flip happen together (see _commit_state)
+            nxt = f"counters_s{int(batch_id)}"
             merged.localCheckpoint(eager=True).write.mode(
                 "overwrite"
-            ).parquet(counters)
+            ).parquet(f"{store_dir}/{nxt}")
             man["applied_batch_ids"].append(int(batch_id))
-            with open(manifest, "w", encoding="utf-8") as fh:
-                _json.dump(man, fh)
+            man["current"] = nxt
+            _commit_state(manifest, man)
 
         stream = (
             spark.readStream.schema(docs.schema)
@@ -1247,8 +1392,11 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
 
         # read-time exact verify: ≤ cap candidates, one counting pass
+        with open(manifest, encoding="utf-8") as fh:
+            cur = _json.load(fh)["current"]
         cands = [
-            r["termo"] for r in spark.read.parquet(counters).collect()
+            r["termo"]
+            for r in spark.read.parquet(f"{store_dir}/{cur}").collect()
         ]
         toks = docs.select(
             F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
@@ -1753,10 +1901,11 @@ def stream_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " max_doc bigint"
         )
         spark.createDataFrame([], schema).write.mode("overwrite").parquet(
-            table
+            f"{table}_init"
         )
-        with open(manifest, "w", encoding="utf-8") as fh:
-            _json.dump({"applied_batch_ids": []}, fh)
+        _commit_state(
+            manifest, {"applied_batch_ids": [], "current": "manifest_init"}
+        )
 
         def handle(batch: DataFrame, batch_id: int) -> None:
             with open(manifest, encoding="utf-8") as fh:
@@ -1783,7 +1932,7 @@ def stream_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.max("doc_id").cast("bigint").alias("b_max"),
                 )
             )
-            prev = spark.read.parquet(table)
+            prev = spark.read.parquet(f"{state}/{man['current']}")
             merged = (
                 prev.join(parcial, "shard", "full_outer")
                 .select(
@@ -1816,10 +1965,12 @@ def stream_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .localCheckpoint(eager=True)
             )
-            merged.write.mode("overwrite").parquet(table)
+            # versioned state dir + one atomic commit (see _commit_state)
+            nxt = f"manifest_s{int(batch_id)}"
+            merged.write.mode("overwrite").parquet(f"{state}/{nxt}")
             man["applied_batch_ids"].append(int(batch_id))
-            with open(manifest, "w", encoding="utf-8") as fh:
-                _json.dump(man, fh)
+            man["current"] = nxt
+            _commit_state(manifest, man)
 
         stream = (
             spark.readStream.schema(docs.schema)
@@ -1840,8 +1991,10 @@ def stream_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the store keeps the checksum as DECIMAL(38,0) (mergeable);
         # the report emits its exact STRING (the batch twin's
         # pandas-transport rule)
+        with open(manifest, encoding="utf-8") as fh:
+            cur = _json.load(fh)["current"]
         return (
-            spark.read.parquet(table)
+            spark.read.parquet(f"{state}/{cur}")
             .withColumn(
                 "soma_verificacao",
                 F.col("soma_verificacao").cast("string"),

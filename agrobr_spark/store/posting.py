@@ -19,7 +19,35 @@ cost independent of history size). Layout at ``path``:
   average document length, folded at build time so queries never
   touch the corpus.
 - ``manifest.json`` — ``n_buckets`` + tokenizer version, read back at
-  query time so probe-side bucketing always matches the build.
+  query time so probe-side bucketing always matches the build. It
+  also carries the index's COMMIT STATE: ``postings_dir`` /
+  ``stats_dir`` (the current base generation), ``active_batches``
+  (streamed batches not yet compacted into the base), and
+  ``applied_batch_ids`` (the exactly-once replay guard, never
+  cleared). Every manifest write goes through write-temp +
+  ``os.replace`` so readers observe either the old or the new index
+  state, never a half-commit.
+- ``batches/b<batch_id>/`` — one directory per streamed update epoch
+  (its posting rows, bucket-partitioned like the base, plus its
+  one-row stats delta). A batch directory is only VISIBLE once the
+  manifest commit lists it in ``active_batches``; the write itself is
+  ``overwrite`` into a batch_id-derived path, so a foreachBatch replay
+  after a mid-write crash rewrites the same directory and commits
+  once — effectively-exactly-once without assuming the data write and
+  the manifest write are atomic together (r9 ADVICE: the previous
+  append-then-manifest sequence double-counted on replay after a
+  crash between the two steps).
+
+``compact_posting_index`` is the maintenance op: per-epoch batch
+directories and their stats-delta chain accrete forever (at 100 TB the
+bucket file count and the delta fold become the read bottleneck), so
+compaction folds base + active batches into a NEW base generation
+(``postings_v<k>``, one file per bucket), commits the manifest pointer
+atomically, then deletes the superseded directories. Indexed query
+results are byte-identical pre/post (pinned by
+tests/test_store.py::test_posting_index_compaction) and the replay
+guard survives — an already-applied epoch stays a no-op after
+compaction.
 
 At 100 TB: the build is one tokenize + one (doc, term) aggregation —
 the same work a single ``text_bm25_topk`` already does — amortized
@@ -100,13 +128,16 @@ def build_posting_index(
         )
     )
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
-    manifest = {
+    _write_manifest(path, {
         "n_buckets": int(n_buckets),
         "tokenizer_version": TOKENIZER_VERSION,
         "id_col": id_col,
-    }
-    with open(f"{path}/manifest.json", "w", encoding="utf-8") as fh:
-        json.dump(manifest, fh)
+        "version": 0,
+        "postings_dir": "postings",
+        "stats_dir": "stats",
+        "active_batches": [],
+        "applied_batch_ids": [],
+    })
 
 
 def update_posting_index(
@@ -134,29 +165,39 @@ def update_posting_index(
     admission pipelines guarantee this — a doc is indexed at most
     once); re-appending an id would double-count its postings, the
     same append-only semantics as the survivor MERGE's staging input.
-    For streaming callers, pass the foreachBatch ``batch_id``: applied
-    epochs are recorded in the manifest and a replayed epoch is a
-    no-op instead of a double-count (the sinks' ``applied_batch_ids``
-    guard applied to the index), making the stream
-    effectively-exactly-once.
+
+    Durability paths (r9 ADVICE — the old append-then-manifest
+    sequence was not crash-safe):
+
+    - ``batch_id`` given (streaming foreachBatch): the epoch's rows
+      and stats delta are OVERWRITE-written into the batch_id-derived
+      ``batches/b<id>/`` directory and become visible only at the
+      atomic manifest commit. A replayed epoch either no-ops (already
+      committed) or cleanly rewrites an uncommitted directory —
+      effectively-exactly-once even when a crash lands between the
+      data write and the commit.
+    - ``batch_id`` omitted (one-shot maintenance caller): a local
+      epoch id is drawn below the streaming id space, same staged
+      path. Nothing ever appends into a directory a reader may be
+      mid-scan on.
     """
     man = read_manifest(path)
     if batch_id is not None and int(batch_id) in man.get(
         "applied_batch_ids", []
     ):
         return
+    bid = int(batch_id) if batch_id is not None else _next_local_batch(man)
     nb = int(man["n_buckets"])
     postings = tokenize_postings(docs_new, id_col, text_col)
     bucket = F.pmod(F.xxhash64(F.col("termo")), F.lit(nb))
+    bdir = _batch_dir(path, bid)
     (
         postings.withColumn("bucket", bucket.cast("int"))
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(f"{path}/postings")
+        .parquet(f"{bdir}/postings")
     )
-    spark = docs_new.sparkSession
-    old = spark.read.parquet(f"{path}/stats").collect()[0]
-    batch = (
+    (
         postings.groupBy(id_col)
         .agg(F.first("dl").alias("dl"))
         .groupBy()
@@ -164,23 +205,173 @@ def update_posting_index(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.coalesce(F.sum("dl").cast("bigint"), F.lit(0)).alias("sum_dl"),
         )
-        .collect()[0]
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{bdir}/stats")
     )
-    n = int(old["n"]) + int(batch["n"])
-    sum_dl = int(old["sum_dl"]) + int(batch["sum_dl"])
-    spark.createDataFrame(
-        [(n, sum_dl, sum_dl / n if n else 0.0)],
-        "n bigint, sum_dl bigint, avgdl double",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
-    if batch_id is not None:
-        man.setdefault("applied_batch_ids", []).append(int(batch_id))
-        with open(f"{path}/manifest.json", "w", encoding="utf-8") as fh:
-            json.dump(man, fh)
+    _commit_batch(path, man, bid, batch_id is not None)
+
+
+def _batch_dir(path: str, bid: int) -> str:
+    # sign-folded zero-padded name: lexicographic listing == epoch order
+    return f"{path}/batches/b{bid + (1 << 40):020d}"
+
+
+def _next_local_batch(man: dict) -> int:
+    """Epoch id for a non-streaming update: counts DOWN from -1 so it
+    can never collide with a foreachBatch epoch (those are >= 0)."""
+    locals_ = [b for b in man.get("active_batches", []) if b < 0]
+    return min(locals_, default=0) - 1
+
+
+def _commit_batch(path: str, man: dict, bid: int, guarded: bool) -> None:
+    """Atomically publish a staged batch directory: one manifest
+    replace flips it into ``active_batches`` (and, for streaming
+    epochs, into the ``applied_batch_ids`` replay guard)."""
+    man.setdefault("active_batches", []).append(int(bid))
+    if guarded:
+        man.setdefault("applied_batch_ids", []).append(int(bid))
+    _write_manifest(path, man)
+
+
+def _write_manifest(path: str, man: dict) -> None:
+    """Manifest commit via write-temp + ``os.replace`` — atomic on
+    POSIX local/NFS paths (the container for this store). On an object
+    store, route the manifest through its conditional-put primitive
+    instead; the layout and commit protocol are unchanged."""
+    import os
+
+    tmp = f"{path}/manifest.json.tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(man, fh)
+    os.replace(tmp, f"{path}/manifest.json")
 
 
 def read_manifest(path: str) -> dict:
     with open(f"{path}/manifest.json", encoding="utf-8") as fh:
-        return json.load(fh)
+        man = json.load(fh)
+    # pre-r10 manifests carry no commit state: default to the fixed
+    # layout they were built with
+    man.setdefault("postings_dir", "postings")
+    man.setdefault("stats_dir", "stats")
+    man.setdefault("active_batches", [])
+    man.setdefault("applied_batch_ids", [])
+    man.setdefault("version", 0)
+    return man
+
+
+def _postings_frame(
+    spark: SparkSession, path: str, man: dict | None = None
+) -> DataFrame:
+    """The index's full posting set: the base generation plus every
+    COMMITTED batch directory (manifest-listed; an orphan directory
+    from a crashed epoch is invisible). Each leg is its own
+    bucket-partitioned parquet read, so ``bucket IN (...)`` partition
+    pruning applies per leg — a query still touches only its terms'
+    buckets in every generation."""
+    man = man or read_manifest(path)
+    df = spark.read.parquet(f"{path}/{man['postings_dir']}")
+    for bid in man["active_batches"]:
+        df = df.unionByName(
+            spark.read.parquet(f"{_batch_dir(path, int(bid))}/postings")
+        )
+    return df
+
+
+def read_stats(
+    spark: SparkSession, path: str, man: dict | None = None
+) -> DataFrame:
+    """The index's effective one-row corpus stats ``(n, sum_dl,
+    avgdl)``: the base generation's row folded with every committed
+    batch's delta — one aggregation over |active_batches| + 1 rows,
+    never a corpus read."""
+    man = man or read_manifest(path)
+    df = spark.read.parquet(f"{path}/{man['stats_dir']}").select(
+        "n", "sum_dl"
+    )
+    for bid in man["active_batches"]:
+        df = df.unionByName(
+            spark.read.parquet(f"{_batch_dir(path, int(bid))}/stats")
+        )
+    return df.groupBy().agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+        (F.sum("sum_dl").cast("double") / F.sum("n").cast("double")).alias(
+            "avgdl"
+        ),
+    )
+
+
+def compact_posting_index(spark: SparkSession, path: str) -> int:
+    """Fold base + committed batches into a new base generation —
+    the index maintenance op (r9 VERDICT next #4).
+
+    Streamed epochs leave one directory (and one stats delta) each;
+    at 100 TB an always-on ingest makes the per-bucket file count and
+    the delta-fold chain the read bottleneck. Compaction rewrites the
+    full posting set as ``postings_v<k>`` with ONE file per bucket
+    (``repartition("bucket")`` sends each bucket to exactly one task,
+    so each partition directory gets one data file), folds stats into
+    one base row, then atomically swaps the manifest pointer:
+
+    - readers see the old generation or the new one, never a mix;
+    - ``applied_batch_ids`` is preserved — a late replay of an
+      already-compacted epoch is still a no-op;
+    - superseded directories are deleted only after the commit.
+
+    Returns the number of posting data files after compaction.
+    Positional indexes (no stats sidecar) compact the same way.
+    """
+    from agrobr_spark.store.fs import delete_path, path_exists
+
+    man = read_manifest(path)
+    ver = int(man["version"]) + 1
+    new_post = f"postings_v{ver}"
+    (
+        _postings_frame(spark, path, man)
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/{new_post}")
+    )
+    old_dirs = [man["postings_dir"]]
+    new_man = dict(
+        man, version=ver, postings_dir=new_post, active_batches=[]
+    )
+    has_stats = path_exists(spark, f"{path}/{man['stats_dir']}")
+    if has_stats:
+        new_stats = f"stats_v{ver}"
+        read_stats(spark, path, man).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/{new_stats}")
+        old_dirs.append(man["stats_dir"])
+        new_man["stats_dir"] = new_stats
+    _write_manifest(path, new_man)
+    for d in old_dirs:
+        delete_path(spark, f"{path}/{d}")
+    for bid in man["active_batches"]:
+        delete_path(spark, _batch_dir(path, int(bid)))
+    return posting_file_count(spark, path)
+
+
+def posting_file_count(spark: SparkSession, path: str) -> int:
+    """Data-file count across the index's live posting directories —
+    the compaction metric (before/after read-amplification proxy)."""
+    from agrobr_spark.store.fs import hadoop_fs
+
+    man = read_manifest(path)
+    dirs = [f"{path}/{man['postings_dir']}"] + [
+        f"{_batch_dir(path, int(b))}/postings"
+        for b in man["active_batches"]
+    ]
+    n = 0
+    for d in dirs:
+        fs, hpath = hadoop_fs(spark, d)
+        it = fs.listFiles(hpath, True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+    return n
 
 
 def query_postings(
@@ -206,7 +397,7 @@ def query_postings(
         }
     )
     return (
-        spark.read.parquet(f"{path}/postings")
+        _postings_frame(spark, path, man)
         .filter(F.col("bucket").isin(bkts) & F.col("termo").isin(*terms))
         .drop("bucket")
     )
@@ -228,7 +419,7 @@ def bm25_topk_indexed(
     6dp-rounded and DECIMAL-summed, tie-break on doc id. The corpus is
     never touched."""
     tf = query_postings(spark, path, terms)
-    stats = spark.read.parquet(f"{path}/stats")
+    stats = read_stats(spark, path)
     df_tab = tf.groupBy("termo").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
@@ -300,14 +491,17 @@ def build_positional_index(
         .partitionBy("bucket")
         .parquet(f"{path}/postings")
     )
-    manifest = {
+    _write_manifest(path, {
         "n_buckets": int(n_buckets),
         "tokenizer_version": TOKENIZER_VERSION,
         "id_col": id_col,
         "kind": "positional",
-    }
-    with open(f"{path}/manifest.json", "w", encoding="utf-8") as fh:
-        json.dump(manifest, fh)
+        "version": 0,
+        "postings_dir": "postings",
+        "stats_dir": "stats",  # absent on disk: positional has no stats
+        "active_batches": [],
+        "applied_batch_ids": [],
+    })
 
 
 def update_positional_index(
@@ -317,29 +511,29 @@ def update_positional_index(
     text_col: str = "text",
     batch_id: int | None = None,
 ) -> None:
-    """Fold NEW documents into an existing positional index: batch
-    rows append into their term buckets at the manifest-frozen
-    n_buckets; a replayed ``batch_id`` is a no-op (the
-    ``applied_batch_ids`` guard of ``update_posting_index``). Same
-    append-only contract: ids must not already be indexed."""
+    """Fold NEW documents into an existing positional index: the
+    batch's rows land in a staged ``batches/b<id>/`` directory at the
+    manifest-frozen n_buckets and become visible at the atomic
+    manifest commit — the crash-safe exactly-once protocol of
+    ``update_posting_index`` (no stats sidecar: positions carry no
+    corpus aggregate). Same append-only contract: ids must not
+    already be indexed."""
     man = read_manifest(path)
     if batch_id is not None and int(batch_id) in man.get(
         "applied_batch_ids", []
     ):
         return
+    bid = int(batch_id) if batch_id is not None else _next_local_batch(man)
     nb = int(man["n_buckets"])
     rows = tokenize_positional(docs_new, id_col, text_col)
     bucket = F.pmod(F.xxhash64(F.col("termo")), F.lit(nb))
     (
         rows.withColumn("bucket", bucket.cast("int"))
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(f"{path}/postings")
+        .parquet(f"{_batch_dir(path, bid)}/postings")
     )
-    if batch_id is not None:
-        man.setdefault("applied_batch_ids", []).append(int(batch_id))
-        with open(f"{path}/manifest.json", "w", encoding="utf-8") as fh:
-            json.dump(man, fh)
+    _commit_batch(path, man, bid, batch_id is not None)
 
 
 def phrase_match_indexed(

@@ -369,8 +369,10 @@ def test_posting_index_incremental_update_equals_rebuild(spark, tmp_path):
         ]
 
     assert answer(inc) == answer(full)
-    s_inc = spark.read.parquet(f"{inc}/stats").collect()[0]
-    s_full = spark.read.parquet(f"{full}/stats").collect()[0]
+    from agrobr_spark.store.posting import read_stats
+
+    s_inc = read_stats(spark, inc).collect()[0]
+    s_full = read_stats(spark, full).collect()[0]
     assert (s_inc["n"], s_inc["sum_dl"]) == (s_full["n"], s_full["sum_dl"])
     assert s_inc["avgdl"] == s_full["avgdl"]
 
@@ -382,8 +384,10 @@ def test_posting_index_batchid_replay_is_noop(spark, tmp_path):
     documented append contract — the guard is the batch id, not row
     content)."""
     from agrobr_spark.store.posting import (
+        _postings_frame,
         build_posting_index,
         read_manifest,
+        read_stats,
         update_posting_index,
     )
 
@@ -398,10 +402,9 @@ def test_posting_index_batchid_replay_is_noop(spark, tmp_path):
     build_posting_index(corpus, path, n_buckets=8)
 
     def state():
-        stats = spark.read.parquet(f"{path}/stats").collect()[0]
+        stats = read_stats(spark, path).collect()[0]
         rows = sorted(
-            tuple(r)
-            for r in spark.read.parquet(f"{path}/postings").collect()
+            tuple(r) for r in _postings_frame(spark, path).collect()
         )
         return (stats["n"], stats["sum_dl"], rows)
 
@@ -412,6 +415,162 @@ def test_posting_index_batchid_replay_is_noop(spark, tmp_path):
     assert read_manifest(path)["applied_batch_ids"] == [0]
     update_posting_index(batch, path, batch_id=1)  # new epoch: applied
     assert state()[0] == s1[0] + 1
+
+
+def test_posting_index_replay_after_midwrite_crash(spark, tmp_path):
+    """Crash-safety of the staged-commit protocol (r9 ADVICE): a crash
+    AFTER the batch directory is written but BEFORE the manifest
+    commit must leave the epoch invisible, and the replay must land it
+    exactly once — the failure window where the old append-then-
+    manifest sequence double-counted."""
+    from agrobr_spark.store import posting as P
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(3, "alpha alpha delta")], "doc_id bigint, text string"
+    )
+    path = str(tmp_path / "idx")
+    P.build_posting_index(corpus, path, n_buckets=8)
+
+    # simulated crash: the data write succeeds, the commit never runs
+    orig_commit = P._commit_batch
+    try:
+        P._commit_batch = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("crash before manifest commit")
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="crash"):
+            P.update_posting_index(batch, path, batch_id=7)
+    finally:
+        P._commit_batch = orig_commit
+
+    # orphan directory exists but is invisible to every reader
+    import os
+
+    assert os.path.isdir(f"{path}/batches")
+    assert P.read_manifest(path)["active_batches"] == []
+    assert P.read_stats(spark, path).collect()[0]["n"] == 2
+
+    # replay of the same epoch: applied exactly once
+    P.update_posting_index(batch, path, batch_id=7)
+    s = P.read_stats(spark, path).collect()[0]
+    assert (s["n"], s["sum_dl"]) == (3, 7)
+    rows = sorted(
+        (r["doc_id"], r["termo"], r["tf"])
+        for r in P._postings_frame(spark, path).collect()
+    )
+    assert rows == [
+        (1, "alpha", 1), (1, "beta", 1), (2, "alpha", 1),
+        (2, "gamma", 1), (3, "alpha", 2), (3, "delta", 1),
+    ]
+    # and a second replay after the successful commit is a no-op
+    P.update_posting_index(batch, path, batch_id=7)
+    assert P.read_stats(spark, path).collect()[0]["n"] == 3
+
+
+def test_posting_index_compaction(spark, tmp_path):
+    """compact_posting_index (r9 VERDICT next #4): indexed query
+    results are identical pre/post compaction, the posting file count
+    drops, the manifest generation advances with active batches
+    folded, and the exactly-once replay guard survives compaction."""
+    from agrobr_spark.store.posting import (
+        bm25_topk_indexed,
+        build_posting_index,
+        compact_posting_index,
+        posting_file_count,
+        read_manifest,
+        read_stats,
+        update_posting_index,
+    )
+
+    docs = [
+        (i, f"alpha term{i % 7} beta term{i % 5} gamma") for i in range(40)
+    ]
+    corpus = spark.createDataFrame(
+        docs[:20], "doc_id bigint, text string"
+    )
+    path = str(tmp_path / "idx")
+    build_posting_index(corpus, path, n_buckets=8)
+    for e, lo in enumerate(range(20, 40, 5)):
+        update_posting_index(
+            spark.createDataFrame(
+                docs[lo:lo + 5], "doc_id bigint, text string"
+            ),
+            path,
+            batch_id=e,
+        )
+    terms = ("alpha", "term3", "gamma")
+    before = [
+        tuple(r)
+        for r in bm25_topk_indexed(
+            spark, path, terms, 10, 1.2, 0.75
+        ).collect()
+    ]
+    files_before = posting_file_count(spark, path)
+    stats_before = tuple(read_stats(spark, path).collect()[0])
+
+    files_after = compact_posting_index(spark, path)
+    man = read_manifest(path)
+    assert man["version"] == 1
+    assert man["postings_dir"] == "postings_v1"
+    assert man["active_batches"] == []
+    assert man["applied_batch_ids"] == [0, 1, 2, 3]
+    assert files_after < files_before
+    after = [
+        tuple(r)
+        for r in bm25_topk_indexed(
+            spark, path, terms, 10, 1.2, 0.75
+        ).collect()
+    ]
+    assert after == before
+    assert tuple(read_stats(spark, path).collect()[0]) == stats_before
+    # replay of an already-compacted epoch is still a no-op
+    update_posting_index(
+        spark.createDataFrame(docs[20:25], "doc_id bigint, text string"),
+        path,
+        batch_id=0,
+    )
+    assert tuple(read_stats(spark, path).collect()[0]) == stats_before
+
+
+def test_positional_index_compaction(spark, tmp_path):
+    """The positional (no-stats) index compacts through the same
+    protocol: phrase answers identical pre/post, batch dirs folded."""
+    from agrobr_spark.store.posting import (
+        build_positional_index,
+        compact_posting_index,
+        phrase_match_indexed,
+        read_manifest,
+        update_positional_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "big red fox"), (2, "big red dog big red fox")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(3, "small cat big red fox end")], "doc_id bigint, text string"
+    )
+    path = str(tmp_path / "pidx")
+    build_positional_index(corpus, path, n_buckets=8)
+    update_positional_index(batch, path, batch_id=0)
+    phrases = ("big red fox",)
+
+    def answer():
+        return sorted(
+            tuple(r)
+            for r in phrase_match_indexed(spark, path, phrases).collect()
+        )
+
+    before = answer()
+    assert [r[0] for r in before] == [1, 2, 3]
+    compact_posting_index(spark, path)
+    assert answer() == before
+    assert read_manifest(path)["active_batches"] == []
 
 
 def test_zorder_write_clusters_both_columns(spark, tmp_path):
