@@ -2837,3 +2837,66 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("receita")
         )
     )
+
+
+_Q17_BRAND = "Brand#4"
+_Q17_SIZE = 25
+
+_Q17_SQL = """
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_itens,
+      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+            / 7.0, 4) AS media_anual
+    FROM {li} l, {pt} p
+    WHERE p.p_partkey = l.l_partkey
+      AND p.p_brand = '{brand}' AND p.p_size <= {size}
+      AND l.l_quantity < (
+        SELECT CAST(0.2 AS DOUBLE)
+               * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE))
+        FROM {li} l2 WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@register(
+    "tpch_q17",
+    oracle=_Q17_SQL.format(
+        li="lineitem", pt="part", brand=_Q17_BRAND, size=_Q17_SIZE
+    ),
+    tags=("TPCH", "Q17", "SUBQUERY", "DECORRELATION", "SCALE_DEFAULT"),
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue) on the fixture schema:
+    yearly revenue lost if below-20%%-of-average-quantity orders of one
+    brand stopped — THE canonical CORRELATED SCALAR SUBQUERY (the
+    per-part average the outer row compares against), submitted to
+    Spark AS the correlated form (r9 VERDICT next #6: the fixture
+    lacks p_container, so the brand predicate carries a p_size bound
+    instead; n_itens is emitted alongside so the hash pins the
+    surviving row set, not just the final division).
+
+    The point is the PLAN: Catalyst's RewriteCorrelatedScalarSubquery
+    must decorrelate the per-row subquery into ONE aggregate over
+    lineitem grouped by l_partkey joined back on the key — at 100 TB
+    the difference between a second scan of lineitem and |outer| × a
+    rescan of lineitem. tests/test_plans.py pins that shape: exactly
+    two lineitem scans (outer + decorrelated aggregate), zero
+    subquery nodes in the physical plan, and the partkey aggregate
+    feeding a join, never a per-row loop.
+
+    Determinism: the per-part average is the house quotient rule
+    (DECIMAL(18,4) sum cast to double over an exact count — both
+    operands bit-identical, quotient bit-identical), the 0.2 factor is
+    CAST AS DOUBLE in both engines (decimal-literal semantics differ),
+    the strict < then decides identically, and the revenue sum is
+    DECIMAL-aggregated before the final rounded division."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("tq17_lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("tq17_part")
+    return spark.sql(
+        _Q17_SQL.format(
+            li="tq17_lineitem",
+            pt="tq17_part",
+            brand=_Q17_BRAND,
+            size=_Q17_SIZE,
+        )
+    )

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "a22_join_size_advisor",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q17",
     "w16_anomaly_intervals",
     "w15_rolling_zscore",
     "w7_sessionize",
@@ -119,9 +120,12 @@ BENCH_QUERIES = [
     "sim_rp_lsh_ann",
     "sim_pq_ann",
     "sim_knn_graph",
+    "sim_knn_graph_frozen",
     "sim_ann_recall_report",
     "sim_mutual_knn",
     "sim_graph_clusters",
+    "graph_pagerank_redistributed",
+    "stream_knn_graph_update",
     "sim_hard_negatives",
     "stream_tumbling_daily",
     "stream_stateful_dod",

@@ -1916,3 +1916,97 @@ def test_components_long_path_graph(spark):
            for r in connected_components(edges, "a", "b").collect()}
     assert len(out) == n
     assert set(out.values()) == {0}
+
+
+def _toy_vectors(spark, n=60, dim=8, seed=7):
+    """Deterministic clustered toy corpus: hash-derived unit-ish
+    vectors in ``n // 10`` directions plus a small per-id wobble, so
+    clusters are real and ids do NOT correlate with content order."""
+    rows = []
+    for i in range(n):
+        g = (i * 7 + seed) % 6  # 6 directions, shuffled over ids
+        v = [0.05 * (((i * 31 + d * 17) % 19) - 9) for d in range(dim)]
+        v[g] += 3.0
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_knn_store_incremental_equals_rebuild(spark, tmp_path):
+    """operators/knn_store.py (r9 VERDICT next #1): corpus build +
+    per-batch folds must land the EXACT edge table a one-shot
+    frozen-centroid rebuild over corpus ∪ batches computes — the
+    insert-only top-k folding identity, on a fixture where batches
+    create cross-batch mutual neighbors."""
+    from agrobr_spark.operators.knn_store import (
+        build_knn_graph_index,
+        knn_graph_frozen_edges,
+        read_knn_graph,
+        update_knn_graph_frame,
+    )
+
+    emb = _toy_vectors(spark)
+    corpus = emb.filter("vec_id < 40")
+    store = str(tmp_path / "knn")
+    build_knn_graph_index(corpus, store, k=3, n_probe=2, n_centroids=6)
+    for lo in (40, 50):
+        update_knn_graph_frame(
+            spark,
+            emb.filter(f"vec_id >= {lo} and vec_id < {lo + 10}"),
+            store,
+            k=3,
+            n_probe=2,
+        )
+    got = sorted(tuple(r) for r in read_knn_graph(spark, store).collect())
+
+    import pyspark.sql.functions as F
+
+    cent = (
+        corpus.orderBy("vec_id")
+        .limit(6)
+        .select(
+            F.col("vec_id").alias("_cid"), F.col("embedding").alias("_cv")
+        )
+    )
+    want = sorted(
+        tuple(r)
+        for r in knn_graph_frozen_edges(emb, cent, k=3, n_probe=2).collect()
+    )
+    assert got == want
+    assert len(got) > 0
+    # batch nodes actually entered the graph (both roles)
+    assert any(r[0] >= 40 for r in got)
+    assert any(r[1] >= 40 for r in got if r[0] < 40)
+
+
+def test_knn_store_replay_idempotent(spark, tmp_path):
+    """Replaying an already-applied batch must leave every store
+    byte-identical (the test_admission.py replay discipline): pair-key
+    dedupe collapses regenerated candidates and all three MERGEs are
+    PK-last-writer-wins, so no applied-batch-ids manifest is needed."""
+    from agrobr_spark.operators.knn_store import (
+        _stores,
+        build_knn_graph_index,
+        update_knn_graph_frame,
+    )
+
+    emb = _toy_vectors(spark)
+    corpus = emb.filter("vec_id < 40")
+    batch = emb.filter("vec_id >= 40")
+    store = str(tmp_path / "knn")
+    build_knn_graph_index(corpus, store, k=3, n_probe=2, n_centroids=6)
+    update_knn_graph_frame(spark, batch, store, k=3, n_probe=2)
+
+    def state():
+        m, p, e = _stores(spark, store)
+        return (
+            sorted(
+                (r["vec_id"], r["cid"], r["nrm"])
+                for r in m.read().collect()
+            ),
+            sorted((r["vec_id"], r["cid"]) for r in p.read().collect()),
+            sorted(tuple(r) for r in e.read().collect()),
+        )
+
+    s1 = state()
+    update_knn_graph_frame(spark, batch, store, k=3, n_probe=2)  # replay
+    assert state() == s1

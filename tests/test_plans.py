@@ -476,3 +476,22 @@ class TestRound9Additions:
         assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan), plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestTpchDecorrelation:
+    def test_q17_decorrelates_to_aggregate_join(self, spark, cat):
+        """tpch_q17 (r9 verdict next #6): the correlated scalar
+        subquery (per-part average quantity) must decorrelate into ONE
+        l_partkey-keyed aggregate joined back to the outer side —
+        exactly two lineitem scans in the whole plan (outer + the
+        decorrelated aggregate) and ZERO subquery nodes; at 100 TB a
+        surviving per-row subquery is |outer| rescans of lineitem.
+        Both scans stay column-pruned and the part filters push down."""
+        plan = plan_of(cat["tpch_q17"].fn(spark, SF_SMOKE))
+        assert "Subquery" not in plan, plan
+        assert len(re.findall(r"lineitem\.parquet", plan)) == 2, plan
+        assert re.search(r"Keys \[1\]: \[l_partkey", plan), plan
+        assert "CartesianProduct" not in plan
+        assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(p_brand", plan), plan
+        # pruned reads: neither scan drags the wide lineitem row along
+        assert "l_shipdate" not in plan and "l_returnflag" not in plan

@@ -197,6 +197,14 @@ PROBE_QUERIES = [
     "text_snippets_indexed",
     # same components fixpoint as dedup_survivors, quality ranking key
     "dedup_survivors_quality",
+    # round-10 additions: frozen-centroid one-shot graph (the stream's
+    # batch twin), incrementally-maintained graph (corpus build + 3
+    # per-batch affected-node folds), PageRank with one per-iteration
+    # dangling scalar, and the decorrelated scalar-subquery classic
+    "sim_knn_graph_frozen",
+    "stream_knn_graph_update",
+    "graph_pagerank_redistributed",
+    "tpch_q17",
     # classic 3-table selective join + heap
     "tpch_q3",
     # 6-table join-order stress: region prune upstream of facts
