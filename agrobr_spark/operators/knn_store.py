@@ -68,7 +68,26 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from agrobr_spark.operators.allpairs import _dot
 from agrobr_spark.store.table import ParquetStore
 
-EDGE_BUCKETS = 32
+#: target node count per edge bucket: buckets SCALE with the corpus
+#: (the posting-index n_buckets rule) so a batch's affected nodes —
+#: spread uniformly over vec_id — touch a corpus-independent VOLUME of
+#: edge data. A fixed bucket count would make every batch read and
+#: rewrite the whole edge table once affected ids cover all buckets
+#: (measured: 1.85× per-batch cost at 5× corpus with 32 fixed buckets;
+#: flat with scaled buckets — SCALING.md round 10).
+NODES_PER_BUCKET = 256
+MIN_EDGE_BUCKETS = 8
+
+
+def edge_bucket_count(n_nodes: int) -> int:
+    return max(MIN_EDGE_BUCKETS, -(-int(n_nodes) // NODES_PER_BUCKET))
+
+
+def _read_meta(store_dir: str) -> dict:
+    import json
+
+    with open(f"{store_dir}/meta.json", encoding="utf-8") as fh:
+        return json.load(fh)
 
 
 def _stores(
@@ -162,11 +181,11 @@ def _candidates(probes: DataFrame, members: DataFrame) -> DataFrame:
     )
 
 
-def _topk_edges(cands: DataFrame, k: int) -> DataFrame:
+def _topk_edges(cands: DataFrame, k: int, n_buckets: int) -> DataFrame:
     """Pair-key dedupe (idempotence — duplicate arrivals carry
     byte-identical 6dp cosines, max() is a no-op on them) then the
     per-node top-k window; output carries the edge store's bucket
-    column."""
+    column at the store's frozen width."""
     dedup = cands.groupBy("vec_id", "neighbor_id").agg(
         F.max("cosseno").alias("cosseno")
     )
@@ -177,7 +196,8 @@ def _topk_edges(cands: DataFrame, k: int) -> DataFrame:
         dedup.withColumn("posicao", F.row_number().over(w).cast("int"))
         .filter(F.col("posicao") <= int(k))
         .withColumn(
-            "balde", F.pmod(F.col("vec_id"), F.lit(EDGE_BUCKETS)).cast("int")
+            "balde",
+            F.pmod(F.col("vec_id"), F.lit(int(n_buckets))).cast("int"),
         )
         .select("balde", "vec_id", "neighbor_id", "posicao", "cosseno")
     )
@@ -197,7 +217,9 @@ def knn_graph_frozen_edges(
     join, same ranking code paths as the incremental fold)."""
     ranked = _assign(_base(emb, id_col, vec_col), cent, n_probe)
     return _topk_edges(
-        _candidates(_probe_rows(ranked), _member_rows(ranked)), k
+        _candidates(_probe_rows(ranked), _member_rows(ranked)),
+        k,
+        MIN_EDGE_BUCKETS,
     ).select("vec_id", "neighbor_id", "posicao", "cosseno")
 
 
@@ -210,18 +232,31 @@ def build_knn_graph_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    edge_buckets: int | None = None,
 ) -> None:
     """Build the persisted graph state over the corpus: freeze
     centroids (lowest-id pin by default — pure-SQL replicable, the
     catalog convention; pass ``centroids=`` from
     ``operators/allpairs.fit_centroids_kmeans`` for the library
     path), persist member/probe assignments partitioned by cluster,
-    and materialize the corpus top-k edge table."""
+    and materialize the corpus top-k edge table.
+
+    ``edge_buckets`` freezes the edge table's hash-bucket width
+    (manifest-recorded; defaults to ``edge_bucket_count`` —
+    ~NODES_PER_BUCKET nodes per bucket). The per-batch update prunes its edge
+    read AND its MERGE rewrite to the affected nodes' buckets, so
+    size buckets such that a typical batch's affected-node count
+    stays well under the bucket count — then per-batch edge IO is
+    corpus-independent (SCALING.md round-10 probe)."""
+    import json
+    import os
+
     spark = emb_corpus.sparkSession
     base = _base(emb_corpus, id_col, vec_col)
+    n_corpus = emb_corpus.count()
     if centroids is None:
         if n_centroids is None:
-            n_centroids = max(4, int(n_probe * emb_corpus.count() ** 0.5))
+            n_centroids = max(4, int(n_probe * n_corpus**0.5))
         centroids = (
             base.orderBy("_id")
             .limit(int(n_centroids))
@@ -233,11 +268,17 @@ def build_knn_graph_index(
     members, probes, edges = _stores(spark, store_dir)
     members.overwrite(_member_rows(ranked))
     probes.overwrite(_probe_rows(ranked))
-    edges.overwrite(
-        _topk_edges(
-            _candidates(probes.read(), members.read()), k
-        )
+    nb = (
+        int(edge_buckets)
+        if edge_buckets is not None
+        else edge_bucket_count(n_corpus)
     )
+    edges.overwrite(
+        _topk_edges(_candidates(probes.read(), members.read()), k, nb)
+    )
+    os.makedirs(store_dir, exist_ok=True)
+    with open(f"{store_dir}/meta.json", "w", encoding="utf-8") as fh:
+        json.dump({"edge_buckets": nb}, fh)
 
 
 def update_knn_graph_frame(
@@ -291,13 +332,31 @@ def update_knn_graph_frame(
         probes_old.select("vec_id")
         .unionByName(probes_new.select("vec_id"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    current = edges.read().join(
-        F.broadcast(affected), "vec_id", "semi"
-    ).select("vec_id", "neighbor_id", "cosseno")
-    new_edges = _topk_edges(cands.unionByName(current), k).localCheckpoint(
-        eager=True
+    # prune the edge read to the affected nodes' BUCKETS first (one
+    # <=n_buckets-row collect on the bucket column — a partition-
+    # pruned scan at the store's manifest-frozen width), then the
+    # exact id semi-join; with buckets scaled to NODES_PER_BUCKET the
+    # volume read and rewritten per batch is corpus-independent
+    nb = int(_read_meta(store_dir)["edge_buckets"])
+    bkts = [
+        r["b"]
+        for r in affected.select(
+            F.pmod(F.col("vec_id"), F.lit(nb)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    current = (
+        edges.read()
+        .filter(F.col("balde").isin(bkts))
+        .join(F.broadcast(affected), "vec_id", "semi")
+        .select("vec_id", "neighbor_id", "cosseno")
     )
+    new_edges = _topk_edges(
+        cands.unionByName(current), k, nb
+    ).localCheckpoint(eager=True)
     edges.merge_upsert(new_edges)
     members.merge_upsert(members_new)
     probes.merge_upsert(probes_new)

@@ -2010,3 +2010,56 @@ def test_knn_store_replay_idempotent(spark, tmp_path):
     s1 = state()
     update_knn_graph_frame(spark, batch, store, k=3, n_probe=2)  # replay
     assert state() == s1
+
+
+def test_knn_store_update_touches_only_affected(spark, tmp_path):
+    """The incremental update's scale contract, pinned by VOLUME and
+    PLAN rather than toy-scale wall clocks: for a small batch, (a) the
+    re-ranked edge staging holds only affected nodes' rows — a small
+    fraction of the table, (b) the current-edge read carries a
+    ``balde IN`` partition filter (pruned scan at the manifest-frozen
+    width), and (c) untouched nodes' edge rows are byte-identical
+    after the update."""
+    import pyspark.sql.functions as F
+
+    from agrobr_spark.operators import knn_store as K
+
+    emb = _toy_vectors(spark, n=240)
+    corpus = emb.filter("vec_id < 236")
+    batch = emb.filter("vec_id >= 236")  # 4 vectors
+    store = str(tmp_path / "knn")
+    # fine buckets so bucket pruning is observable (~4 nodes/bucket)
+    K.build_knn_graph_index(
+        corpus, store, k=3, n_probe=2, n_centroids=24, edge_buckets=64
+    )
+    _, _, edges = K._stores(spark, store)
+    before = {
+        (r["vec_id"], r["posicao"]): (r["neighbor_id"], r["cosseno"])
+        for r in edges.read().collect()
+    }
+    total = len(before)
+
+    staged = K.update_knn_graph_frame(spark, batch, store, k=3, n_probe=2)
+    staged_ids = {r["vec_id"] for r in staged.select("vec_id").collect()}
+    n_staged = staged.count()
+    # (a) bounded volume: only affected nodes re-ranked, not the table
+    assert n_staged < 0.5 * total, (n_staged, total)
+    # (b) pruned read: the plan the update builds for current edges
+    nb = K._read_meta(store)["edge_buckets"]
+    assert nb == 64
+    some = spark.createDataFrame(
+        [(236,), (1,)], "vec_id long"
+    )
+    pruned = edges.read().filter(
+        F.col("balde").isin([236 % 64, 1 % 64])
+    ).join(F.broadcast(some), "vec_id", "semi")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [balde" in plan.replace("#", ""), plan
+    # (c) untouched nodes unchanged
+    after = {
+        (r["vec_id"], r["posicao"]): (r["neighbor_id"], r["cosseno"])
+        for r in edges.read().collect()
+    }
+    for key, val in before.items():
+        if key[0] not in staged_ids:
+            assert after[key] == val
