@@ -155,17 +155,23 @@ def cmd_bench(args) -> int:
 
 def cmd_index(args) -> int:
     """Posting-index lifecycle from the shell: build it from a
-    documents table, fold a new batch in, or answer a BM25 query from
+    documents table, fold a new batch in, compact accreted batch
+    directories into a fresh generation, or answer a BM25 query from
     the bucket-pruned read — the retrieval-store counterpart of the
     store-facing `doctor`/`freshness` commands."""
     from agrobr_spark.queries.pipeline_text import BM25_B, BM25_K1
     from agrobr_spark.store.posting import (
         bm25_topk_indexed,
         build_posting_index,
+        compact_posting_index,
         update_posting_index,
     )
 
     spark = _spark()
+    if args.action == "compact":
+        n = compact_posting_index(spark, args.path)
+        print(f"compacted {args.path} ({n} data files)")
+        return 0
     if args.action in ("build", "update"):
         src = args.docs or f"{args.sf}/documents.parquet"
         docs = spark.read.parquet(src).select("doc_id", "text")
@@ -260,7 +266,7 @@ def main(argv: list[str] | None = None) -> int:
     fr.add_argument("--source-col", default="source")
     fr.add_argument("--date-col", default="data")
     ix = sub.add_parser("index")
-    ix.add_argument("action", choices=("build", "update", "query"))
+    ix.add_argument("action", choices=("build", "update", "query", "compact"))
     ix.add_argument("path", help="posting-index directory")
     ix.add_argument("--docs", default=None,
                     help="parquet path/dir with (doc_id, text) rows "

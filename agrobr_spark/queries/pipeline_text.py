@@ -1576,6 +1576,78 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_bm25_compacted",
+    oracle=f"""
+    WITH {BM25_SCORES_CTE}
+    SELECT doc_id, n_termos, pontos FROM bm25
+    ORDER BY pontos DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+    tags=("TEXT", "RETRIEVAL", "BM25", "INDEX", "COMPACTION"),
+)
+def text_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 answered from a COMPACTED incrementally-built index — the
+    full index lifecycle inside one driver-hash-checked entry (r9
+    VERDICT next #4 carried into the catalog): build the base over
+    the corpus split, fold the remaining documents in as three
+    batch-id-guarded epochs (each a staged directory + atomic
+    manifest commit), run ``compact_posting_index`` (fold base +
+    epochs into a new one-file-per-bucket generation, atomic pointer
+    swap, superseded dirs deleted), then answer the fixed query from
+    the compacted generation. The oracle is the one-shot full-corpus
+    BM25 CTE — build + update + COMPACT ≡ scan is the hash-checked
+    identity, so compaction is proven result-preserving by the
+    driver every round, not only by the unit test.
+
+    A sanity guard raises if compaction failed to fold the epochs
+    (active_batches must be empty and the generation advanced), so a
+    silently-skipped compaction cannot masquerade as a pass. The
+    file-count and read-latency evidence lives in SCALING.md round
+    10 (242 → 22 files, 3.2 → 0.9 s at sf0.1) and
+    tests/test_store.py::test_posting_index_compaction."""
+    import tempfile
+
+    from agrobr_spark.queries.admission import _split_params
+    from agrobr_spark.store.fs import delete_path
+    from agrobr_spark.store.posting import (
+        bm25_topk_indexed,
+        build_posting_index,
+        compact_posting_index,
+        read_manifest,
+        update_posting_index,
+    )
+
+    path = tempfile.mkdtemp(prefix="bm25_compact_")
+    try:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        cut = _split_params(spark, sf_dir)[0]
+        build_posting_index(docs.filter(F.col("doc_id") < cut), path)
+        max_id = docs.agg(F.max("doc_id")).collect()[0][0] or cut
+        span = max(1, (int(max_id) - cut + 3) // 3)
+        for e in range(3):
+            lo, hi = cut + e * span, cut + (e + 1) * span
+            update_posting_index(
+                docs.filter(
+                    (F.col("doc_id") >= lo)
+                    & (F.col("doc_id") < (hi if e < 2 else 1 << 62))
+                ),
+                path,
+                batch_id=e,
+            )
+        compact_posting_index(spark, path)
+        man = read_manifest(path)
+        if man["active_batches"] or man["version"] < 1:
+            raise RuntimeError(
+                f"compaction did not fold the epochs: {man}"
+            )
+        out = bm25_topk_indexed(
+            spark, path, BM25_QUERY, BM25_TOPK, BM25_K1, BM25_B
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        delete_path(spark, path)
+
+
 # -- fuzzy decontamination: rank-fused lexical + semantic sweep ------
 
 FUZZY_SEM_FLOOR = 0.35  # candidate cosine floor (rounded 6dp, both engines)

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "text_bm25_rm3_indexed",
     "text_snippets",
     "text_bm25_indexed",
+    "text_bm25_compacted",
     "text_phrase_match",
     "text_phrase_indexed",
     "text_contamination_fuzzy",

@@ -142,6 +142,15 @@ def test_index_lifecycle_cmd(tmp_path, spark, capsys):
     rows = json.loads(capsys.readouterr().out)
     assert {r["doc_id"] for r in rows} == {2, 3}
 
+    # compact folds the staged update epoch; the answer is unchanged
+    assert cli.main(["index", "compact", idx]) == 0
+    assert "compacted" in capsys.readouterr().out
+    assert cli.main(
+        ["index", "query", idx, "--terms", "gamma", "--json"]
+    ) == 0
+    rows2 = json.loads(capsys.readouterr().out)
+    assert rows2 == rows
+
     assert cli.main(["index", "query", idx]) == 2
 
 

@@ -436,11 +436,28 @@ def test_index_freshness_detects_stale_index(spark, tmp_path):
     fn = _catalog()["retrieval_index_freshness"].fn
     fresh = fn(spark, sf).collect()[0]
     assert fresh["atualizado"] and fresh["defasagem_docs"] == 0
-    # corpus grows; the cached index (keyed by sf_dir) is now behind
+    # corpus grows. Since r10 the process cache is mtime-keyed (r9
+    # ADVICE: a rewritten corpus must not silently serve a stale
+    # index), so the rewrite alone would trigger a transparent
+    # rebuild — pin the OLD index dir under the new key to represent
+    # the real stale scenario: a persisted index store whose corpus
+    # moved on without an update_posting_index run.
+    from agrobr_spark.io import table_cache_key
+    from agrobr_spark.queries.pipeline_text import _BM25_INDEX_CACHE
+
+    old_idx = _BM25_INDEX_CACHE[table_cache_key(sf, "documents")]
     rows += [(1000 + i, f"doc novo {i}", "pt", "web", 10) for i in range(4)]
     spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
         f"{sf}/documents.parquet")
-    stale = fn(spark, sf).collect()[0]
+    _BM25_INDEX_CACHE.clear()
+    _BM25_INDEX_CACHE[table_cache_key(sf, "documents")] = old_idx
+    try:
+        stale = fn(spark, sf).collect()[0]
+    finally:
+        _BM25_INDEX_CACHE.clear()
     assert not stale["atualizado"]
     assert stale["defasagem_docs"] == 4
     assert stale["n_docs_indice"] == 30
+    # and without the pin, the mtime key rebuilds transparently
+    refreshed = fn(spark, sf).collect()[0]
+    assert refreshed["atualizado"] and refreshed["defasagem_docs"] == 0

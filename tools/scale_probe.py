@@ -205,6 +205,9 @@ PROBE_QUERIES = [
     "stream_knn_graph_update",
     "graph_pagerank_redistributed",
     "tpch_q17",
+    # full posting-index lifecycle: build + 3 staged epochs + compaction
+    # + one bucket-pruned query, hash-checked against the scan oracle
+    "text_bm25_compacted",
     # classic 3-table selective join + heap
     "tpch_q3",
     # 6-table join-order stress: region prune upstream of facts
