@@ -26,8 +26,10 @@ State under ``store_dir`` (all ParquetStore tables, PK-idempotent):
   corpus scan.
 - ``edges/`` — (balde, vec_id, neighbor_id, posicao, cosseno): the
   current top-k graph, PK (vec_id, posicao), hash-bucketed by
-  ``balde = pmod(vec_id, EDGE_BUCKETS)`` so the MERGE rewrites only
-  the buckets holding affected nodes.
+  ``balde = pmod(vec_id, n_buckets)`` at a manifest-frozen width
+  (``meta.json``; ~NODES_PER_BUCKET nodes each by default) so the
+  per-batch edge read and MERGE rewrite touch only the buckets
+  holding affected nodes.
 
 Incremental correctness rests on two facts:
 
@@ -71,10 +73,11 @@ from agrobr_spark.store.table import ParquetStore
 #: target node count per edge bucket: buckets SCALE with the corpus
 #: (the posting-index n_buckets rule) so a batch's affected nodes —
 #: spread uniformly over vec_id — touch a corpus-independent VOLUME of
-#: edge data. A fixed bucket count would make every batch read and
-#: rewrite the whole edge table once affected ids cover all buckets
-#: (measured: 1.85× per-batch cost at 5× corpus with 32 fixed buckets;
-#: flat with scaled buckets — SCALING.md round 10).
+#: edge data once n ≫ NODES_PER_BUCKET × |affected| (the 100 TB
+#: regime; at sf scale affected ids cover every bucket and the
+#: "pruned" read degenerates to the whole tiny table — measured and
+#: decomposed in SCALING.md round 10, contract pinned structurally by
+#: tests/test_operators.py::test_knn_store_update_touches_only_affected).
 NODES_PER_BUCKET = 256
 MIN_EDGE_BUCKETS = 8
 
