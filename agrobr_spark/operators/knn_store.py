@@ -372,3 +372,138 @@ def read_knn_graph(spark: SparkSession, store_dir: str) -> DataFrame:
     return edges.read().select(
         "vec_id", "neighbor_id", "posicao", "cosseno"
     )
+
+
+# -- incremental cluster labels over the maintained graph -------------
+#
+# Components over the MUTUAL-kNN edges (the `sim_graph_clusters`
+# semantics), maintained alongside the edge store so the iterative
+# consumer is incremental too. The mutual graph is NOT merge-only
+# under edge-store updates: a batch can CREATE mutuality (merging two
+# components — possibly via a one-sided change, when the reverse edge
+# already existed on an untouched node) and can EVICT a neighbor out
+# of a top-k (splitting a component). Both cases are handled by one
+# rule: recompute, from the CURRENT edges, exactly the components
+# that could have changed —
+#
+#   seeds   = changed nodes ∪ endpoints of candidate mutual edges
+#             incident to changed nodes (catches the one-sided merge)
+#   touched = the seeds' current component ids
+#   S       = all members of touched components ∪ new nodes
+#
+# Every mutual edge incident to S stays inside S (an old edge's other
+# endpoint shares the component; a new edge has a changed endpoint,
+# and its other endpoint is a seed), so components of the S-induced
+# subgraph are exactly the global components of those nodes, and
+# untouched components — whose edge sets are untouched by definition
+# — keep their labels verbatim. Per-batch cost is proportional to the
+# touched components' size, not the graph.
+
+
+def _labels_store(spark: SparkSession, store_dir: str) -> ParquetStore:
+    return ParquetStore(spark, f"{store_dir}/labels", ("vec_id",))
+
+
+def _mutual_pairs(side_a: DataFrame, side_b: DataFrame) -> DataFrame:
+    """Canonical (va < vb) mutual pairs between two edge frames:
+    (a→b) in side_a with (b→a) in side_b."""
+    a = side_a.select(
+        F.col("vec_id").alias("va"), F.col("neighbor_id").alias("vb")
+    )
+    b = side_b.select(
+        F.col("vec_id").alias("rb"), F.col("neighbor_id").alias("ra")
+    )
+    return (
+        a.join(b, (a["va"] == b["ra"]) & (a["vb"] == b["rb"]))
+        .select(
+            F.least("va", "vb").alias("va"),
+            F.greatest("va", "vb").alias("vb"),
+        )
+        .distinct()
+    )
+
+
+def build_graph_labels(
+    spark: SparkSession, store_dir: str, node_ids: DataFrame
+) -> None:
+    """Initial labels: components over the corpus graph's mutual
+    edges, singletons labeled by their own id. ``node_ids`` is a
+    (vec_id) frame of every corpus vector (singletons included)."""
+    from agrobr_spark.operators.components import connected_components
+
+    e = read_knn_graph(spark, store_dir).select("vec_id", "neighbor_id")
+    mut = _mutual_pairs(e, e)
+    comp = connected_components(mut, "va", "vb")
+    labels = (
+        node_ids.select("vec_id")
+        .join(comp, node_ids["vec_id"] == comp["id"], "left")
+        .select(
+            "vec_id",
+            F.coalesce("componente", F.col("vec_id")).alias("componente"),
+        )
+    )
+    _labels_store(spark, store_dir).overwrite(labels)
+
+
+def update_graph_labels_frame(
+    spark: SparkSession, changed: DataFrame, store_dir: str
+) -> DataFrame:
+    """Fold a batch's edge changes into the label store. ``changed``
+    is a (vec_id) frame of the nodes whose edge rows the preceding
+    ``update_knn_graph_frame`` re-ranked (its return value's ids —
+    new nodes included). Returns the re-labeled rows."""
+    from agrobr_spark.operators.components import connected_components
+
+    labels = _labels_store(spark, store_dir)
+    _, _, edges = _stores(spark, store_dir)
+    e_all = edges.read().select("vec_id", "neighbor_id")
+    changed = changed.select("vec_id").distinct().localCheckpoint(eager=True)
+
+    # candidate mutual edges incident to changed nodes (current state)
+    e_changed = e_all.join(F.broadcast(changed), "vec_id", "semi")
+    cand = _mutual_pairs(e_changed, e_all)
+    seeds = (
+        changed.unionByName(cand.select(F.col("va").alias("vec_id")))
+        .unionByName(cand.select(F.col("vb").alias("vec_id")))
+        .distinct()
+    )
+    # touched components (new nodes have no label yet — they enter S
+    # directly); the id list is bounded by |seeds|
+    lab = labels.read()
+    touched = [
+        r["componente"]
+        for r in lab.join(F.broadcast(seeds), "vec_id", "semi")
+        .select("componente")
+        .distinct()
+        .collect()
+    ]
+    s_nodes = (
+        lab.filter(F.col("componente").isin(touched))
+        .select("vec_id")
+        .unionByName(changed)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e_s = e_all.join(F.broadcast(s_nodes), "vec_id", "semi")
+    mut_s = _mutual_pairs(e_s, e_s)
+    comp = connected_components(mut_s, "va", "vb")
+    relabeled = (
+        s_nodes.join(comp, s_nodes["vec_id"] == comp["id"], "left")
+        .select(
+            "vec_id",
+            F.coalesce("componente", F.col("vec_id")).alias("componente"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels.merge_upsert(relabeled)
+    return relabeled
+
+
+def read_graph_clusters(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Current cluster labels with component sizes — the
+    `sim_graph_clusters` output shape (vec_id, grupo, tamanho)."""
+    lab = _labels_store(spark, store_dir).read()
+    w = Window.partitionBy("grupo")
+    return lab.select(
+        "vec_id", F.col("componente").alias("grupo")
+    ).withColumn("tamanho", F.count(F.lit(1)).over(w))

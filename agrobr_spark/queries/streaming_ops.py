@@ -669,6 +669,172 @@ def _stream_knn_graph_oracle() -> str:
     return _frozen_graph_oracle()
 
 
+def _stream_graph_clusters_oracle() -> str:
+    """Clusters over the frozen-centroid graph on corpus ∪ batch —
+    the `sim_graph_clusters` recursive-CTE fixpoint with the frozen
+    graph as the edge source, so the driver hash-checks the
+    incrementally-maintained labels against a from-scratch iterative
+    definition."""
+    from agrobr_spark.queries.similarity import _frozen_graph_oracle
+
+    g = _frozen_graph_oracle()
+    return f"""
+    WITH RECURSIVE g AS (
+      SELECT vec_id, neighbor_id FROM ({g})),
+    mut AS (
+      SELECT a.vec_id AS va, a.neighbor_id AS vb
+      FROM g a JOIN g b
+        ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+      WHERE a.vec_id < a.neighbor_id),
+    arestas AS (
+      SELECT va AS a, vb AS b FROM mut
+      UNION SELECT vb, va FROM mut),
+    alcance AS (
+      SELECT a AS id, b AS peer FROM arestas
+      UNION
+      SELECT r.id, e.b FROM alcance r JOIN arestas e ON r.peer = e.a),
+    comp AS (
+      SELECT id, least(id, min(peer)) AS componente
+      FROM alcance GROUP BY id)
+    SELECT e.vec_id,
+           coalesce(c.componente, e.vec_id) AS grupo,
+           CAST(count(*) OVER (
+             PARTITION BY coalesce(c.componente, e.vec_id)) AS BIGINT)
+             AS tamanho
+    FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+    """
+
+
+@register(
+    "stream_graph_clusters_update",
+    oracle=_stream_graph_clusters_oracle(),
+    tags=("STREAM", "KNN_GRAPH", "COMPONENTS", "INCREMENTAL",
+          "FOREACHBATCH"),
+)
+def stream_graph_clusters_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semantic cluster labels maintained INCREMENTALLY alongside the
+    streamed kNN graph — the graph family's ITERATIVE consumer folded
+    per micro-batch instead of recomputed: after each
+    ``update_knn_graph_frame`` fold, ``update_graph_labels_frame``
+    re-runs components ONLY over the touched components' induced
+    subgraph (seeds = changed nodes ∪ endpoints of candidate mutual
+    edges incident to them; every mutual edge incident to that node
+    set provably stays inside it — ``operators/knn_store.py``) and
+    MERGEs the new labels; untouched components keep their labels
+    verbatim. This handles both mutual-edge CREATION (component
+    merges, including the one-sided case where only the other
+    endpoint's reverse edge pre-existed) and top-k EVICTION
+    (component splits) — the two reasons incremental connected
+    components cannot be a union-find shortcut.
+
+    The oracle recomputes the identical fixpoint from scratch as a
+    DuckDB recursive CTE over the frozen-centroid graph on corpus ∪
+    batch, so the driver hash proves maintained ≡ recomputed — the
+    `sim_graph_clusters` discipline carried to the incremental path.
+    Epoch 0 is replayed in-line after the stream drains (the update
+    recomputes the same touched components from the same current
+    edges — idempotent by construction).
+
+    Per-batch cost: the graph fold (affected nodes only) + a
+    components run bounded by the touched components' size — at
+    100 TB a batch relabels its semantic neighborhoods, never the
+    corpus."""
+    import os
+    import shutil
+    import tempfile
+
+    from agrobr_spark.io import load
+    from agrobr_spark.operators.knn_store import (
+        build_graph_labels,
+        build_knn_graph_index,
+        read_graph_clusters,
+        update_graph_labels_frame,
+        update_knn_graph_frame,
+    )
+    from agrobr_spark.queries.admission import _split_params
+    from agrobr_spark.queries.similarity import GRAPH_K, GRAPH_PROBE
+
+    _COUNTER[0] += 1
+    store_dir = tempfile.mkdtemp(prefix="stream_knn_lbl_")
+    ingest = tempfile.mkdtemp(prefix="stream_knn_lbl_in_")
+    try:
+        cut, n_corp = _split_params(spark, sf_dir)
+        emb = load(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        corpus = emb.filter(F.col("vec_id") < cut)
+        build_knn_graph_index(
+            corpus,
+            store_dir,
+            k=GRAPH_K,
+            n_probe=GRAPH_PROBE,
+            n_centroids=max(4, int(GRAPH_PROBE * n_corp**0.5)),
+        )
+        build_graph_labels(spark, store_dir, corpus.select("vec_id"))
+        staged = emb.filter(F.col("vec_id") >= cut)
+        max_id = staged.agg(F.max("vec_id")).collect()[0][0] or cut
+        n_files = 3
+        span = max(1, (int(max_id) - cut + n_files) // n_files)
+        t0 = 1_000_000_000
+        first_chunk = None
+        for i in range(n_files):
+            lo, hi = cut + i * span, cut + (i + 1) * span
+            chunk = staged.filter(
+                (F.col("vec_id") >= lo)
+                & (F.col("vec_id") < (hi if i < n_files - 1 else 1 << 62))
+            )
+            tmp = f"{ingest}/.stage{i}"
+            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = f"{ingest}/chunk{i:05d}.parquet"
+            shutil.move(f"{tmp}/{part}", dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+            if i == 0:
+                first_chunk = spark.read.parquet(dst).localCheckpoint(
+                    eager=True
+                )
+
+        stream = (
+            spark.readStream.schema(staged.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ingest)
+        )
+
+        def handle(batch: DataFrame, batch_id: int) -> None:
+            staged_edges = update_knn_graph_frame(
+                spark, batch, store_dir, k=GRAPH_K, n_probe=GRAPH_PROBE
+            )
+            update_graph_labels_frame(
+                spark,
+                staged_edges.select("vec_id").unionByName(
+                    batch.select("vec_id")
+                ),
+                store_dir,
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        if q.isActive:
+            q.stop()
+        # replay epoch 0: both folds must be no-ops by construction
+        handle(first_chunk, 0)
+        return read_graph_clusters(spark, store_dir).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+        shutil.rmtree(ingest, ignore_errors=True)
+
+
 @register(
     "stream_knn_graph_update",
     oracle=_stream_knn_graph_oracle(),

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "sim_graph_clusters",
     "graph_pagerank_redistributed",
     "stream_knn_graph_update",
+    "stream_graph_clusters_update",
     "sim_hard_negatives",
     "stream_tumbling_daily",
     "stream_stateful_dod",

@@ -2063,3 +2063,71 @@ def test_knn_store_update_touches_only_affected(spark, tmp_path):
     for key, val in before.items():
         if key[0] not in staged_ids:
             assert after[key] == val
+
+
+def test_graph_labels_incremental_split_and_merge(spark, tmp_path):
+    """update_graph_labels_frame must handle the two events that make
+    incremental connected components NOT merge-only: a batch vector C
+    landing between a mutual pair (A, B) EVICTS each from the other's
+    top-1 — the old {A, B} component SPLITS — while (A, C) becomes a
+    new mutual pair (MERGE with the new node). Hand-built geometry,
+    k=1, frozen lowest-id centroids; plus label replay idempotence."""
+    from agrobr_spark.operators.knn_store import (
+        _labels_store,
+        build_graph_labels,
+        build_knn_graph_index,
+        update_graph_labels_frame,
+        update_knn_graph_frame,
+    )
+
+    def vec(*xs):
+        return [float(x) for x in xs]
+
+    corpus = spark.createDataFrame(
+        [
+            (0, vec(3, 0, 0, 0)),     # centroid c0
+            (1, vec(0, 3, 0, 0)),     # centroid c1
+            (2, vec(0, 0, 3, 0)),     # centroid c2
+            (3, vec(0, 0, 0, 3)),     # centroid c3
+            (4, vec(2, 1, 0, 0)),     # A — mutual with B at build
+            (5, vec(2, 1.1, 0, 0)),   # B
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    batch = spark.createDataFrame(
+        [(6, vec(2, 1.05, 0, 0))],    # C — between A and B
+        "vec_id long, embedding array<float>",
+    )
+    store = str(tmp_path / "knn")
+    build_knn_graph_index(corpus, store, k=1, n_probe=2, n_centroids=4)
+    build_graph_labels(spark, store, corpus.select("vec_id"))
+    lab0 = {
+        r["vec_id"]: r["componente"]
+        for r in _labels_store(spark, store).read().collect()
+    }
+    assert lab0 == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 4}  # {A,B} mutual
+
+    staged = update_knn_graph_frame(spark, batch, store, k=1, n_probe=2)
+    changed = staged.select("vec_id").unionByName(batch.select("vec_id"))
+    update_graph_labels_frame(spark, changed, store)
+
+    def labels():
+        return {
+            r["vec_id"]: r["componente"]
+            for r in _labels_store(spark, store).read().collect()
+        }
+
+    # C sits a hair closer to B (cos 0.999812) than to A (0.999804):
+    # A and B both re-point at C — the old {A, B} mutual pair SPLITS —
+    # and (B, C) is the new mutual pair (MERGE with the new node);
+    # A's edge to C stays one-sided, so A drops to a singleton.
+    want = {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 5}
+    assert labels() == want
+
+    # replay: both folds recompute the same state — labels unchanged
+    staged2 = update_knn_graph_frame(spark, batch, store, k=1, n_probe=2)
+    update_graph_labels_frame(
+        spark, staged2.select("vec_id").unionByName(batch.select("vec_id")),
+        store,
+    )
+    assert labels() == want

@@ -208,6 +208,9 @@ PROBE_QUERIES = [
     # full posting-index lifecycle: build + 3 staged epochs + compaction
     # + one bucket-pruned query, hash-checked against the scan oracle
     "text_bm25_compacted",
+    # incremental cluster labels: per-batch components over touched
+    # components only, hash-checked vs the recursive-CTE fixpoint
+    "stream_graph_clusters_update",
     # classic 3-table selective join + heap
     "tpch_q3",
     # 6-table join-order stress: region prune upstream of facts
