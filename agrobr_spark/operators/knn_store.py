@@ -86,11 +86,22 @@ def edge_bucket_count(n_nodes: int) -> int:
     return max(MIN_EDGE_BUCKETS, -(-int(n_nodes) // NODES_PER_BUCKET))
 
 
-def _read_meta(store_dir: str) -> dict:
+def _read_meta(spark: SparkSession, store_dir: str) -> dict:
+    """Store metadata through the Hadoop FS API (store/fs.py), so an
+    s3a://, hdfs:// or file:// store_dir all resolve to the same
+    place the data tables live — never a driver-local ``open()``
+    (the module-wide round-2/3 convention; r10 review finding)."""
     import json
 
-    with open(f"{store_dir}/meta.json", encoding="utf-8") as fh:
-        return json.load(fh)
+    from agrobr_spark.store.fs import read_text
+
+    txt = read_text(spark, f"{store_dir}/meta.json")
+    if txt is None:
+        raise FileNotFoundError(
+            f"knn_store meta.json missing under {store_dir!r} — was "
+            "build_knn_graph_index run against this store_dir?"
+        )
+    return json.loads(txt)
 
 
 def _stores(
@@ -252,7 +263,6 @@ def build_knn_graph_index(
     stays well under the bucket count — then per-batch edge IO is
     corpus-independent (SCALING.md round-10 probe)."""
     import json
-    import os
 
     spark = emb_corpus.sparkSession
     base = _base(emb_corpus, id_col, vec_col)
@@ -279,9 +289,11 @@ def build_knn_graph_index(
     edges.overwrite(
         _topk_edges(_candidates(probes.read(), members.read()), k, nb)
     )
-    os.makedirs(store_dir, exist_ok=True)
-    with open(f"{store_dir}/meta.json", "w", encoding="utf-8") as fh:
-        json.dump({"edge_buckets": nb}, fh)
+    from agrobr_spark.store.fs import write_text
+
+    write_text(spark, f"{store_dir}/meta.json", json.dumps(
+        {"edge_buckets": nb}
+    ))
 
 
 def update_knn_graph_frame(
@@ -342,7 +354,7 @@ def update_knn_graph_frame(
     # pruned scan at the store's manifest-frozen width), then the
     # exact id semi-join; with buckets scaled to NODES_PER_BUCKET the
     # volume read and rewritten per batch is corpus-independent
-    nb = int(_read_meta(store_dir)["edge_buckets"])
+    nb = int(_read_meta(spark, store_dir)["edge_buckets"])
     bkts = [
         r["b"]
         for r in affected.select(
@@ -424,16 +436,22 @@ def _mutual_pairs(side_a: DataFrame, side_b: DataFrame) -> DataFrame:
 
 
 def build_graph_labels(
-    spark: SparkSession, store_dir: str, node_ids: DataFrame
+    spark: SparkSession,
+    store_dir: str,
+    node_ids: DataFrame,
+    scratch_dir: str | None = None,
 ) -> None:
     """Initial labels: components over the corpus graph's mutual
     edges, singletons labeled by their own id. ``node_ids`` is a
-    (vec_id) frame of every corpus vector (singletons included)."""
+    (vec_id) frame of every corpus vector (singletons included).
+    ``scratch_dir``: per-round component-label tables land here — on
+    a non-local master pass a SHARED filesystem path (the
+    connected_components contract)."""
     from agrobr_spark.operators.components import connected_components
 
     e = read_knn_graph(spark, store_dir).select("vec_id", "neighbor_id")
     mut = _mutual_pairs(e, e)
-    comp = connected_components(mut, "va", "vb")
+    comp = connected_components(mut, "va", "vb", scratch_dir=scratch_dir)
     labels = (
         node_ids.select("vec_id")
         .join(comp, node_ids["vec_id"] == comp["id"], "left")
@@ -446,22 +464,50 @@ def build_graph_labels(
 
 
 def update_graph_labels_frame(
-    spark: SparkSession, changed: DataFrame, store_dir: str
+    spark: SparkSession,
+    changed: DataFrame,
+    store_dir: str,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Fold a batch's edge changes into the label store. ``changed``
     is a (vec_id) frame of the nodes whose edge rows the preceding
     ``update_knn_graph_frame`` re-ranked (its return value's ids —
-    new nodes included). Returns the re-labeled rows."""
+    new nodes included). Returns the re-labeled rows.
+    ``scratch_dir`` as in :func:`build_graph_labels`.
+
+    Read volume: the ``changed``-incident and S-induced edge legs are
+    balde-pruned like the edge fold itself; the ONE inherently
+    unprunable leg is the reverse side of the changed-incident mutual
+    check (the reverse rows' buckets hash on the unknown neighbor id)
+    — at 100 TB that is the bloom/DPP semi-join case, and the labels
+    table reads stay two bounded passes (a semi-join collect of
+    touched component ids + one ``isin`` filter)."""
     from agrobr_spark.operators.components import connected_components
 
     labels = _labels_store(spark, store_dir)
     _, _, edges = _stores(spark, store_dir)
-    e_all = edges.read().select("vec_id", "neighbor_id")
+    nb = int(_read_meta(spark, store_dir)["edge_buckets"])
+    e_all = edges.read().select("vec_id", "neighbor_id", "balde")
     changed = changed.select("vec_id").distinct().localCheckpoint(eager=True)
 
+    def pruned_edges_of(ids: DataFrame) -> DataFrame:
+        bkts = [
+            r["b"]
+            for r in ids.select(
+                F.pmod(F.col("vec_id"), F.lit(nb)).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        return (
+            e_all.filter(F.col("balde").isin(bkts))
+            .join(F.broadcast(ids), "vec_id", "semi")
+            .drop("balde")
+        )
+
     # candidate mutual edges incident to changed nodes (current state)
-    e_changed = e_all.join(F.broadcast(changed), "vec_id", "semi")
-    cand = _mutual_pairs(e_changed, e_all)
+    e_changed = pruned_edges_of(changed)
+    cand = _mutual_pairs(e_changed, e_all.drop("balde"))
     seeds = (
         changed.unionByName(cand.select(F.col("va").alias("vec_id")))
         .unionByName(cand.select(F.col("vb").alias("vec_id")))
@@ -484,9 +530,9 @@ def update_graph_labels_frame(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    e_s = e_all.join(F.broadcast(s_nodes), "vec_id", "semi")
+    e_s = pruned_edges_of(s_nodes)
     mut_s = _mutual_pairs(e_s, e_s)
-    comp = connected_components(mut_s, "va", "vb")
+    comp = connected_components(mut_s, "va", "vb", scratch_dir=scratch_dir)
     relabeled = (
         s_nodes.join(comp, s_nodes["vec_id"] == comp["id"], "left")
         .select(

@@ -2867,7 +2867,7 @@ _Q17_SQL = """
 )
 def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 (small-quantity-order revenue) on the fixture schema:
-    yearly revenue lost if below-20%%-of-average-quantity orders of one
+    yearly revenue lost if below-20-percent-of-average-quantity orders of one
     brand stopped — THE canonical CORRELATED SCALAR SUBQUERY (the
     per-part average the outer row compares against), submitted to
     Spark AS the correlated form (r9 VERDICT next #6: the fixture

@@ -23,22 +23,72 @@ _COUNTER = [0]
 
 
 def _commit_state(manifest_path: str, man: dict) -> None:
-    """Atomic manifest commit (write-temp + os.replace) for
-    foreachBatch handlers that fold state: the manifest carries BOTH
-    the applied_batch_ids replay guard AND the ``current`` state-dir
-    pointer, so 'publish new state' and 'mark epoch applied' are one
-    atomic step. A crash after the state write but before this commit
-    leaves the old state current, and the replay recomputes from it —
-    exactly-once without assuming two separate writes are atomic
-    together (r9 ADVICE; the store/posting.py protocol applied to
-    folded streaming state)."""
-    import json as _json
-    import os
+    """Atomic manifest commit (the shared ``store/fs.commit_json``
+    primitive) for foreachBatch handlers that fold state: the
+    manifest carries BOTH the applied_batch_ids replay guard AND the
+    ``current`` state-dir pointer, so 'publish new state' and 'mark
+    epoch applied' are one atomic step. A crash after the state write
+    but before this commit leaves the old state current, and the
+    replay recomputes from it — exactly-once without assuming two
+    separate writes are atomic together (r9 ADVICE; the
+    store/posting.py protocol applied to folded streaming state)."""
+    from agrobr_spark.store.fs import commit_json
 
-    tmp = manifest_path + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        _json.dump(man, fh)
-    os.replace(tmp, manifest_path)
+    commit_json(manifest_path, man)
+
+
+def _stage_id_ranged_chunks(
+    df: DataFrame,
+    ingest: str,
+    id_col: str,
+    cut: int = 0,
+    n_files: int = 3,
+    capture_first: bool = False,
+) -> DataFrame | None:
+    """Write ``df`` (rows with ``id_col`` >= ``cut``) as ``n_files``
+    id-ranged SINGLE-FILE parquet chunks under ``ingest`` — the
+    family's deterministic micro-batch split for availableNow streams.
+    Invariants every streamed catalog entry relies on (kept in ONE
+    place, r10 review finding — this block previously existed as 11
+    copies):
+
+    - chunk i covers ids [cut + i·span, cut + (i+1)·span), with the
+      TAIL chunk open-ended (< 1<<62) so integer division never drops
+      the max id;
+    - one data file per chunk (coalesce(1) + move out of the staging
+      dir), so maxFilesPerTrigger=1 means one id-range per epoch;
+    - mtimes stamped from a fixed epoch base so the file source's
+      modification-time ordering equals id ordering — oldest-first
+      delivery is what makes smaller-id-wins admission predicates
+      replay- and split-stable.
+
+    Returns chunk 0's frame (localCheckpointed — usable after the
+    caller deletes ``ingest``) when ``capture_first``, for in-line
+    epoch-replay checks."""
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    max_id = df.agg(F.max(id_col)).collect()[0][0] or cut
+    span = max(1, (int(max_id) - int(cut) + n_files) // n_files)
+    t0 = 1_000_000_000
+    first = None
+    for i in range(n_files):
+        lo, hi = cut + i * span, cut + (i + 1) * span
+        chunk = df.filter(
+            (F.col(id_col) >= lo)
+            & (F.col(id_col) < (hi if i < n_files - 1 else 1 << 62))
+        )
+        tmp = f"{ingest}/.stage{i}"
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = f"{ingest}/chunk{i:05d}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+        if i == 0 and capture_first:
+            first = spark.read.parquet(dst).localCheckpoint(eager=True)
+    return first
 
 
 @register(
@@ -389,25 +439,7 @@ def stream_admit_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "left",
         )
-        max_id = staged.agg(F.max("doc_id")).collect()[0][0] or cut
-        n_files = 3
-        span = max(1, (int(max_id) - cut + n_files) // n_files)
-        t0 = 1_000_000_000  # fixed epoch base: mtime order == id order
-        for i in range(n_files):
-            lo, hi = cut + i * span, cut + (i + 1) * span
-            chunk = staged.filter(
-                (F.col("doc_id") >= lo)
-                & (F.col("doc_id") < (hi if i < n_files - 1 else 1 << 62))
-            )
-            tmp = f"{ingest}/.stage{i}"
-            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            )
-            dst = f"{ingest}/chunk{i:05d}.parquet"
-            shutil.move(f"{tmp}/{part}", dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+        _stage_id_ranged_chunks(staged, ingest, "doc_id", cut)
 
         stream = (
             spark.readStream.schema(staged.schema)
@@ -510,25 +542,7 @@ def stream_admit_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "left",
         )
-        max_id = staged.agg(F.max("doc_id")).collect()[0][0] or cut
-        n_files = 3
-        span = max(1, (int(max_id) - cut + n_files) // n_files)
-        t0 = 1_000_000_000  # fixed epoch base: mtime order == id order
-        for i in range(n_files):
-            lo, hi = cut + i * span, cut + (i + 1) * span
-            chunk = staged.filter(
-                (F.col("doc_id") >= lo)
-                & (F.col("doc_id") < (hi if i < n_files - 1 else 1 << 62))
-            )
-            tmp = f"{ingest}/.stage{i}"
-            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            )
-            dst = f"{ingest}/chunk{i:05d}.parquet"
-            shutil.move(f"{tmp}/{part}", dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+        _stage_id_ranged_chunks(staged, ingest, "doc_id", cut)
 
         stream = (
             spark.readStream.schema(staged.schema)
@@ -615,25 +629,7 @@ def stream_admit_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged = load(spark, sf_dir, "embeddings").filter(
             F.col("vec_id") >= cut
         )
-        max_id = staged.agg(F.max("vec_id")).collect()[0][0] or cut
-        n_files = 3
-        span = max(1, (int(max_id) - cut + n_files) // n_files)
-        t0 = 1_000_000_000  # fixed epoch base: mtime order == id order
-        for i in range(n_files):
-            lo, hi = cut + i * span, cut + (i + 1) * span
-            chunk = staged.filter(
-                (F.col("vec_id") >= lo)
-                & (F.col("vec_id") < (hi if i < n_files - 1 else 1 << 62))
-            )
-            tmp = f"{ingest}/.stage{i}"
-            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            )
-            dst = f"{ingest}/chunk{i:05d}.parquet"
-            shutil.move(f"{tmp}/{part}", dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+        _stage_id_ranged_chunks(staged, ingest, "vec_id", cut)
 
         stream = (
             spark.readStream.schema(staged.schema)
@@ -774,30 +770,9 @@ def stream_graph_clusters_update(
         )
         build_graph_labels(spark, store_dir, corpus.select("vec_id"))
         staged = emb.filter(F.col("vec_id") >= cut)
-        max_id = staged.agg(F.max("vec_id")).collect()[0][0] or cut
-        n_files = 3
-        span = max(1, (int(max_id) - cut + n_files) // n_files)
-        t0 = 1_000_000_000
-        first_chunk = None
-        for i in range(n_files):
-            lo, hi = cut + i * span, cut + (i + 1) * span
-            chunk = staged.filter(
-                (F.col("vec_id") >= lo)
-                & (F.col("vec_id") < (hi if i < n_files - 1 else 1 << 62))
-            )
-            tmp = f"{ingest}/.stage{i}"
-            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            )
-            dst = f"{ingest}/chunk{i:05d}.parquet"
-            shutil.move(f"{tmp}/{part}", dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
-            if i == 0:
-                first_chunk = spark.read.parquet(dst).localCheckpoint(
-                    eager=True
-                )
+        first_chunk = _stage_id_ranged_chunks(
+            staged, ingest, "vec_id", cut, capture_first=True
+        )
 
         stream = (
             spark.readStream.schema(staged.schema)
@@ -897,30 +872,9 @@ def stream_knn_graph_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_centroids=max(4, int(GRAPH_PROBE * n_corp**0.5)),
         )
         staged = emb.filter(F.col("vec_id") >= cut)
-        max_id = staged.agg(F.max("vec_id")).collect()[0][0] or cut
-        n_files = 3
-        span = max(1, (int(max_id) - cut + n_files) // n_files)
-        t0 = 1_000_000_000  # fixed epoch base: mtime order == id order
-        first_chunk = None
-        for i in range(n_files):
-            lo, hi = cut + i * span, cut + (i + 1) * span
-            chunk = staged.filter(
-                (F.col("vec_id") >= lo)
-                & (F.col("vec_id") < (hi if i < n_files - 1 else 1 << 62))
-            )
-            tmp = f"{ingest}/.stage{i}"
-            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            )
-            dst = f"{ingest}/chunk{i:05d}.parquet"
-            shutil.move(f"{tmp}/{part}", dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
-            if i == 0:
-                first_chunk = spark.read.parquet(dst).localCheckpoint(
-                    eager=True
-                )
+        first_chunk = _stage_id_ranged_chunks(
+            staged, ingest, "vec_id", cut, capture_first=True
+        )
 
         stream = (
             spark.readStream.schema(staged.schema)
@@ -1007,25 +961,7 @@ def stream_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("n_tokens"),
             )
         )
-        max_id = staged.agg(F.max("doc_id")).collect()[0][0] or cut
-        n_files = 3
-        span = max(1, (int(max_id) - cut + n_files) // n_files)
-        t0 = 1_000_000_000
-        for i in range(n_files):
-            lo, hi = cut + i * span, cut + (i + 1) * span
-            chunk = staged.filter(
-                (F.col("doc_id") >= lo)
-                & (F.col("doc_id") < (hi if i < n_files - 1 else 1 << 62))
-            )
-            tmp = f"{ingest}/.stage{i}"
-            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            )
-            dst = f"{ingest}/chunk{i:05d}.parquet"
-            shutil.move(f"{tmp}/{part}", dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+        _stage_id_ranged_chunks(staged, ingest, "doc_id", cut)
 
         stream = (
             spark.readStream.schema(staged.schema)
@@ -1127,25 +1063,7 @@ def stream_bm25_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         cut = _split_params(spark, sf_dir)[0]
         build_posting_index(docs.filter(F.col("doc_id") < cut), store_dir)
         staged = docs.filter(F.col("doc_id") >= cut)
-        max_id = staged.agg(F.max("doc_id")).collect()[0][0] or cut
-        n_files = 3
-        span = max(1, (int(max_id) - cut + n_files) // n_files)
-        t0 = 1_000_000_000
-        for i in range(n_files):
-            lo, hi = cut + i * span, cut + (i + 1) * span
-            chunk = staged.filter(
-                (F.col("doc_id") >= lo)
-                & (F.col("doc_id") < (hi if i < n_files - 1 else 1 << 62))
-            )
-            tmp = f"{ingest}/.stage{i}"
-            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            )
-            dst = f"{ingest}/chunk{i:05d}.parquet"
-            shutil.move(f"{tmp}/{part}", dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+        _stage_id_ranged_chunks(staged, ingest, "doc_id", cut)
 
         stream = (
             spark.readStream.schema(staged.schema)
@@ -1325,25 +1243,7 @@ def stream_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         staged = docs.filter(F.col("doc_id") >= cut).select("doc_id", "text")
-        max_id = staged.agg(F.max("doc_id")).collect()[0][0] or cut
-        n_files = 3
-        span = max(1, (int(max_id) - cut + n_files) // n_files)
-        t0 = 1_000_000_000
-        for i in range(n_files):
-            lo, hi = cut + i * span, cut + (i + 1) * span
-            chunk = staged.filter(
-                (F.col("doc_id") >= lo)
-                & (F.col("doc_id") < (hi if i < n_files - 1 else 1 << 62))
-            )
-            tmp = f"{ingest}/.stage{i}"
-            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            )
-            dst = f"{ingest}/chunk{i:05d}.parquet"
-            shutil.move(f"{tmp}/{part}", dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+        _stage_id_ranged_chunks(staged, ingest, "doc_id", cut)
 
         relatorio: list[tuple[int, int, int, float]] = []
 
@@ -1464,28 +1364,7 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "text")
         )
         # id-ranged files, one per micro-batch (the family convention)
-        max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
-        n_files = 3
-        span = max(1, (int(max_id) + n_files) // n_files)
-        t0 = 1_000_000_000
-        for i in range(n_files):
-            lo = i * span
-            chunk = docs.filter(
-                (F.col("doc_id") >= lo)
-                & (
-                    F.col("doc_id")
-                    < ((i + 1) * span if i < n_files - 1 else 1 << 62)
-                )
-            )
-            tmp = f"{ingest}/.stage{i}"
-            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            )
-            dst = f"{ingest}/chunk{i:05d}.parquet"
-            shutil.move(f"{tmp}/{part}", dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+        _stage_id_ranged_chunks(docs, ingest, "doc_id")
 
         spark.createDataFrame([], "termo string, cnt bigint").write.mode(
             "overwrite"
@@ -1715,25 +1594,7 @@ def stream_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_total, t_total = int(tot["r"] or 0), int(tot["t"] or 0)
 
         staged = docs.filter(F.col("doc_id") >= cut).select("doc_id", "text")
-        max_id = staged.agg(F.max("doc_id")).collect()[0][0] or cut
-        n_files = 3
-        span = max(1, (int(max_id) - cut + n_files) // n_files)
-        t0 = 1_000_000_000
-        for i in range(n_files):
-            lo, hi = cut + i * span, cut + (i + 1) * span
-            chunk = staged.filter(
-                (F.col("doc_id") >= lo)
-                & (F.col("doc_id") < (hi if i < n_files - 1 else 1 << 62))
-            )
-            tmp = f"{ingest}/.stage{i}"
-            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            )
-            dst = f"{ingest}/chunk{i:05d}.parquet"
-            shutil.move(f"{tmp}/{part}", dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+        _stage_id_ranged_chunks(staged, ingest, "doc_id", cut)
 
         p_t = (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double") / F.lit(
             t_total + DSIR_BUCKETS
@@ -2036,30 +1897,9 @@ def stream_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load(spark, sf_dir, "documents").select(
             "doc_id", "text"
         )
-        max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
-        n_files = 3
-        span = max(1, (int(max_id) + n_files) // n_files)
-        t0 = 1_000_000_000
-        first_chunk = None
-        for i in range(n_files):
-            lo, hi = i * span, (i + 1) * span
-            chunk = docs.filter(
-                (F.col("doc_id") >= lo)
-                & (F.col("doc_id") < (hi if i < n_files - 1 else 1 << 62))
-            )
-            tmp = f"{ingest}/.stage{i}"
-            chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            )
-            dst = f"{ingest}/chunk{i:05d}.parquet"
-            shutil.move(f"{tmp}/{part}", dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
-            if i == 0:
-                first_chunk = spark.read.parquet(dst).localCheckpoint(
-                    eager=True
-                )
+        first_chunk = _stage_id_ranged_chunks(
+            docs, ingest, "doc_id", capture_first=True
+        )
 
         schema = (
             "shard int, n_docs bigint, n_tokens bigint,"

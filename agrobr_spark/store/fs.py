@@ -76,3 +76,38 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
         stream.write(bytearray(text.encode("utf-8")))
     finally:
         stream.close()
+
+
+def commit_json(path: str, obj: dict) -> None:
+    """ATOMIC manifest commit for store metadata: write a temp
+    sibling, then ``os.replace`` — readers observe the old or the new
+    manifest, never a torn write. This is THE commit primitive behind
+    every exactly-once/crash-safe store protocol in the engine
+    (posting index epochs + compaction pointer swaps, folded
+    streaming-state pointers), so the semantics live in exactly one
+    place.
+
+    Local/NFS-posix only by design: ``os.replace`` is atomic there
+    (the container for these stores). On an object store, route the
+    manifest through its conditional-put primitive instead — the
+    layout and the commit protocol are unchanged, only this function
+    swaps out."""
+    import json
+    import os
+
+    tmp = f"{path}.tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(obj, fh)
+    os.replace(tmp, path)
+
+
+def read_json(path: str) -> dict | None:
+    """Counterpart read for :func:`commit_json` manifests: None when
+    absent (same local-posix scope)."""
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)

@@ -189,6 +189,14 @@ def update_posting_index(
     bid = int(batch_id) if batch_id is not None else _next_local_batch(man)
     nb = int(man["n_buckets"])
     postings = tokenize_postings(docs_new, id_col, text_col)
+    if postings.limit(1).count() == 0:
+        # an empty epoch (no docs, or all-blank texts) contributes no
+        # rows — committing its directory would brick every later
+        # read (a partitioned write of an empty frame emits no
+        # parquet files to infer a schema from). Record the batch_id
+        # guard only, so a replayed empty epoch stays a no-op.
+        _record_empty_epoch(path, man, batch_id)
+        return
     bucket = F.pmod(F.xxhash64(F.col("termo")), F.lit(nb))
     bdir = _batch_dir(path, bid)
     (
@@ -224,6 +232,14 @@ def _next_local_batch(man: dict) -> int:
     return min(locals_, default=0) - 1
 
 
+def _record_empty_epoch(path: str, man: dict, batch_id: int | None) -> None:
+    """Commit ONLY the replay guard for a rows-free epoch — no batch
+    directory exists, so it must never enter ``active_batches``."""
+    if batch_id is not None:
+        man.setdefault("applied_batch_ids", []).append(int(batch_id))
+        _write_manifest(path, man)
+
+
 def _commit_batch(path: str, man: dict, bid: int, guarded: bool) -> None:
     """Atomically publish a staged batch directory: one manifest
     replace flips it into ``active_batches`` (and, for streaming
@@ -235,16 +251,12 @@ def _commit_batch(path: str, man: dict, bid: int, guarded: bool) -> None:
 
 
 def _write_manifest(path: str, man: dict) -> None:
-    """Manifest commit via write-temp + ``os.replace`` — atomic on
-    POSIX local/NFS paths (the container for this store). On an object
-    store, route the manifest through its conditional-put primitive
-    instead; the layout and commit protocol are unchanged."""
-    import os
+    """Atomic manifest commit — the shared ``store/fs.commit_json``
+    primitive (see its docstring for the posix-atomicity scope and
+    the object-store conditional-put swap-out)."""
+    from agrobr_spark.store.fs import commit_json
 
-    tmp = f"{path}/manifest.json.tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(man, fh)
-    os.replace(tmp, f"{path}/manifest.json")
+    commit_json(f"{path}/manifest.json", man)
 
 
 def read_manifest(path: str) -> dict:
@@ -317,7 +329,20 @@ def compact_posting_index(spark: SparkSession, path: str) -> int:
     - readers see the old generation or the new one, never a mix;
     - ``applied_batch_ids`` is preserved — a late replay of an
       already-compacted epoch is still a no-op;
-    - superseded directories are deleted only after the commit.
+    - superseded directories are deleted only after the commit;
+    - the manifest is RE-READ just before the commit and merged, so
+      an ingest epoch that committed while the rewrite ran survives
+      (still listed in ``active_batches``; the next compaction folds
+      it). The new base was built from the pre-compaction snapshot,
+      so the surviving epoch's rows are not duplicated.
+
+    Concurrency contract: ONE metadata writer at a time (updates and
+    compaction serialized by the caller/coordinator — the same
+    single-committer model Delta/Iceberg assume without a lock
+    service), and in-flight readers should tolerate the bounded
+    window where superseded directories disappear after the pointer
+    swap (retry-on-missing-file, or defer deletion to a vacuum step
+    on a busy store).
 
     Returns the number of posting data files after compaction.
     Positional indexes (no stats sidecar) compact the same way.
@@ -335,9 +360,6 @@ def compact_posting_index(spark: SparkSession, path: str) -> int:
         .parquet(f"{path}/{new_post}")
     )
     old_dirs = [man["postings_dir"]]
-    new_man = dict(
-        man, version=ver, postings_dir=new_post, active_batches=[]
-    )
     has_stats = path_exists(spark, f"{path}/{man['stats_dir']}")
     if has_stats:
         new_stats = f"stats_v{ver}"
@@ -345,6 +367,23 @@ def compact_posting_index(spark: SparkSession, path: str) -> int:
             "overwrite"
         ).parquet(f"{path}/{new_stats}")
         old_dirs.append(man["stats_dir"])
+    # RE-READ the manifest before committing: an ingest epoch may have
+    # committed while the rewrite ran, and building the new manifest
+    # from the stale snapshot would erase it — both its documents and
+    # its replay-guard entry (r10 review finding). Only the batches
+    # this compaction actually FOLDED leave active_batches; everything
+    # newer survives into the new generation's manifest untouched.
+    folded = {int(b) for b in man["active_batches"]}
+    cur = read_manifest(path)
+    new_man = dict(
+        cur,
+        version=ver,
+        postings_dir=new_post,
+        active_batches=[
+            b for b in cur["active_batches"] if int(b) not in folded
+        ],
+    )
+    if has_stats:
         new_man["stats_dir"] = new_stats
     _write_manifest(path, new_man)
     for d in old_dirs:
@@ -526,6 +565,9 @@ def update_positional_index(
     bid = int(batch_id) if batch_id is not None else _next_local_batch(man)
     nb = int(man["n_buckets"])
     rows = tokenize_positional(docs_new, id_col, text_col)
+    if rows.limit(1).count() == 0:
+        _record_empty_epoch(path, man, batch_id)  # see update_posting_index
+        return
     bucket = F.pmod(F.xxhash64(F.col("termo")), F.lit(nb))
     (
         rows.withColumn("bucket", bucket.cast("int"))

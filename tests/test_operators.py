@@ -2045,7 +2045,7 @@ def test_knn_store_update_touches_only_affected(spark, tmp_path):
     # (a) bounded volume: only affected nodes re-ranked, not the table
     assert n_staged < 0.5 * total, (n_staged, total)
     # (b) pruned read: the plan the update builds for current edges
-    nb = K._read_meta(store)["edge_buckets"]
+    nb = K._read_meta(spark, store)["edge_buckets"]
     assert nb == 64
     some = spark.createDataFrame(
         [(236,), (1,)], "vec_id long"

@@ -685,3 +685,98 @@ def test_positional_index_build_query_and_phrase(spark, tmp_path):
         ).collect()
     }
     assert direto == hits2
+
+
+def test_posting_index_empty_epoch_is_guarded_noop(spark, tmp_path):
+    """r10 review finding: an EMPTY epoch (no docs, or all-blank
+    texts) must not commit a rows-free batch directory — a
+    partitioned write of an empty frame emits no parquet files, and a
+    committed empty directory would brick every later read. The
+    batch_id still enters the replay guard, queries keep working, and
+    a non-empty epoch with a later id lands normally."""
+    from agrobr_spark.store.posting import (
+        _postings_frame,
+        build_posting_index,
+        read_manifest,
+        read_stats,
+        update_posting_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id bigint, text string"
+    )
+    path = str(tmp_path / "idx")
+    build_posting_index(corpus, path, n_buckets=8)
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    blank = spark.createDataFrame([(9, "   ")], "doc_id bigint, text string")
+    update_posting_index(empty, path, batch_id=0)
+    update_posting_index(blank, path, batch_id=1)
+    man = read_manifest(path)
+    assert man["applied_batch_ids"] == [0, 1]
+    assert man["active_batches"] == []
+    assert _postings_frame(spark, path).count() == 2  # still readable
+    assert read_stats(spark, path).collect()[0]["n"] == 1
+    # replay of the empty epoch stays a no-op; a real epoch still lands
+    update_posting_index(empty, path, batch_id=0)
+    update_posting_index(
+        spark.createDataFrame([(2, "gamma")], "doc_id bigint, text string"),
+        path,
+        batch_id=2,
+    )
+    assert read_stats(spark, path).collect()[0]["n"] == 2
+
+
+def test_compaction_preserves_epoch_committed_during_rewrite(
+    spark, tmp_path, monkeypatch
+):
+    """r10 review finding: an ingest epoch that commits WHILE
+    compaction is rewriting must survive the generation swap — both
+    its documents and its replay-guard entry. Simulated by injecting a
+    real update at compaction's pre-commit manifest re-read."""
+    from agrobr_spark.store import posting as P
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma")],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "idx")
+    P.build_posting_index(corpus, path, n_buckets=8)
+    P.update_posting_index(
+        spark.createDataFrame([(3, "delta")], "doc_id bigint, text string"),
+        path,
+        batch_id=0,
+    )
+    late = spark.createDataFrame(
+        [(4, "epsilon zeta")], "doc_id bigint, text string"
+    )
+
+    orig_rm = P.read_manifest
+    state = {"n": 0, "busy": False}
+
+    def rm(p):
+        if not state["busy"]:
+            state["n"] += 1
+            if state["n"] == 2:  # compaction's pre-commit re-read
+                state["busy"] = True
+                P.update_posting_index(late, p, batch_id=42)
+                state["busy"] = False
+        return orig_rm(p)
+
+    monkeypatch.setattr(P, "read_manifest", rm)
+    P.compact_posting_index(spark, path)
+    monkeypatch.setattr(P, "read_manifest", orig_rm)
+
+    man = P.read_manifest(path)
+    assert man["version"] == 1
+    assert man["active_batches"] == [42]  # the late epoch survived
+    assert 42 in man["applied_batch_ids"] and 0 in man["applied_batch_ids"]
+    stats = P.read_stats(spark, path).collect()[0]
+    assert stats["n"] == 4  # 2 corpus + batch 0 + the late epoch
+    docs_seen = {
+        r["doc_id"] for r in P._postings_frame(spark, path).collect()
+    }
+    assert docs_seen == {1, 2, 3, 4}
+    # the late epoch's replay guard still works post-compaction
+    P.update_posting_index(late, path, batch_id=42)
+    assert P.read_stats(spark, path).collect()[0]["n"] == 4
