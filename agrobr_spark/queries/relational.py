@@ -2900,3 +2900,92 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             size=_Q17_SIZE,
         )
     )
+
+
+_Q20_NAME_PREFIX = "red"
+_Q20_NATIONS = ("NATION_7", "NATION_8", "NATION_9")
+_Q20_YEAR = 1995
+
+_Q20_SQL = """
+    SELECT s_name
+    FROM {su} s, {na} n
+    WHERE s.s_suppkey IN (
+        SELECT ps_suppkey FROM (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 SUM(CAST(l_quantity AS DECIMAL(18,4))) AS ps_availqty
+          FROM {li} GROUP BY l_partkey, l_suppkey
+        ) ps
+        WHERE ps.ps_partkey IN (
+            SELECT p_partkey FROM {pt}
+            WHERE p_name LIKE '{prefix}%')
+          AND CAST(2 AS DECIMAL(18,4)) * ps.ps_availqty > (
+            SELECT CAST(3 AS DECIMAL(18,4))
+                   * SUM(CAST(l2.l_quantity AS DECIMAL(18,4)))
+            FROM {li} l2
+            WHERE l2.l_partkey = ps.ps_partkey
+              AND l2.l_suppkey = ps.ps_suppkey
+              AND l2.l_shipdate >= TIMESTAMP '{year}-01-01 00:00:00'
+              AND l2.l_shipdate < TIMESTAMP '{year_next}-01-01 00:00:00'))
+      AND s.s_nationkey = n.n_nationkey
+      AND n.n_name IN ({nations})
+    ORDER BY s_name
+"""
+
+
+def _q20_sql(li: str, pt: str, su: str, na: str) -> str:
+    return _Q20_SQL.format(
+        li=li, pt=pt, su=su, na=na,
+        prefix=_Q20_NAME_PREFIX,
+        year=_Q20_YEAR, year_next=_Q20_YEAR + 1,
+        nations=", ".join(f"'{x}'" for x in _Q20_NATIONS),
+    )
+
+
+@register(
+    "tpch_q20",
+    oracle=_q20_sql("lineitem", "part", "supplier", "nation"),
+    tags=("TPCH", "Q20", "SUBQUERY", "SEMI_JOIN", "SCALE_DEFAULT"),
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential-part-promotion) on the fixture schema:
+    suppliers in a nation set whose supplied '{prefix}%' parts have
+    all-time shipped volume exceeding 1.5x their {year} shipped
+    volume — THE canonical nested-IN / correlated-EXISTS chain
+    (reference runs the published form over DuckDB; the fixture has
+    no partsupp or s_address, so supply pairs derive from distinct
+    lineitem (l_partkey, l_suppkey) with summed quantity standing in
+    for ps_availqty, and the 0.5 factor becomes 1.5 so the predicate
+    stays selective on this data).
+
+    Q17 proved Catalyst's scalar-subquery decorrelation; Q20 is the
+    OTHER decorrelation shape a 100x engine must get right: two
+    nested INs plus a correlated scalar, submitted verbatim as SQL.
+    Catalyst must turn the outer IN into a LEFT-SEMI join on
+    s_suppkey (never a per-supplier rescan), the inner part IN into a
+    left-semi/broadcast join on ps_partkey, and the correlated
+    window-volume subquery into ONE grouped aggregate over the
+    date-pruned lineitem scan joined back on the pair key — at 100 TB
+    the difference between three passes over lineitem and
+    |supplier| x rescans. tests/test_plans.py pins the shape (zero
+    Subquery nodes, a left-semi on the supplier side, StartsWith
+    pushed to the part scan).
+
+    Determinism: no floats anywhere — both comparison sides are exact
+    DECIMAL(18,4)-sum lineage multiplied by integer literals (avail >
+    1.5 x win rewritten as 2 x avail > 3 x win, exact in decimal), so
+    the strict > decides identically in Spark and DuckDB; an empty
+    {year} window yields SUM = NULL and the comparison is UNKNOWN ->
+    row excluded, the same three-valued outcome in both engines."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("tq20_lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("tq20_part")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("tq20_supplier")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("tq20_nation")
+    return spark.sql(
+        _q20_sql("tq20_lineitem", "tq20_part", "tq20_supplier",
+                 "tq20_nation")
+    )
+
+
+tpch_q20.__doc__ = tpch_q20.__doc__.format(
+    prefix=_Q20_NAME_PREFIX, year=_Q20_YEAR
+)

@@ -1223,10 +1223,14 @@ def sim_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- PageRank over the kNN graph: iterative centrality ----------------
 
-PR_ITER = 5      # fixed power-iteration count (catalog pin)
-PR_DAMP = 0.85   # damping factor; teleport literal is 0.15 (NOT 1-d:
-#                  1-0.85 is 0.15000000000000002 in IEEE double, so both
-#                  engines carry the same 0.15 literal instead)
+# fixed power-iteration count / damping (catalog pin) — single-sourced
+# in operators/pagerank.py since the incremental store shares them;
+# teleport literal is 0.15 (NOT 1-d: 1-0.85 is 0.15000000000000002 in
+# IEEE double, so both engines carry the same 0.15 literal instead)
+from agrobr_spark.operators.pagerank import (  # noqa: E402
+    PR_DAMP,
+    PR_ITER,
+)
 
 
 def _pagerank_oracle() -> str:
@@ -1453,6 +1457,163 @@ def graph_pagerank_redistributed(
 
 graph_pagerank_redistributed.__doc__ = (
     graph_pagerank_redistributed.__doc__.format(it=PR_ITER)
+)
+
+
+# -- per-component PageRank: the exactly-decomposable variant ---------
+
+
+def _pagerank_components_oracle_body(g: str) -> str:
+    """Per-component PageRank oracle over graph SQL ``g`` — shared by
+    the batch entry (corpus graph) and `stream_pagerank_update` (the
+    frozen-centroid graph on corpus ∪ batch), so maintained and
+    recomputed trajectories hash against ONE definition."""
+    # integer micro-mass chain (operators/pagerank.py discipline):
+    # bigint ranks, half-up via floor on IEEE-identical doubles, no
+    # engine round(); 0.85/0.5 carried as CAST(... AS DOUBLE) so
+    # DuckDB's decimal-literal arithmetic never enters
+    it = [
+        "r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS r FROM lab)"
+    ]
+    for i in range(1, PR_ITER + 1):
+        it.append(f"""c{i} AS (
+      SELECT e.dst,
+        CAST(floor(r.r / e.outdeg + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+      FROM e JOIN r{i - 1} r ON r.vec_id = e.src),
+    s{i} AS (SELECT dst, CAST(sum(c) AS BIGINT) AS s FROM c{i} GROUP BY dst),
+    r{i} AS (
+      SELECT n.vec_id,
+        CAST(150000 AS BIGINT)
+          + CAST(floor(CAST({PR_DAMP} AS DOUBLE) * coalesce(s.s, 0)
+                       + CAST(0.5 AS DOUBLE)) AS BIGINT) AS r
+      FROM lab n LEFT JOIN s{i} s ON s.dst = n.vec_id)""")
+    chain = ",\n    ".join(it)
+    return f"""
+    WITH RECURSIVE g AS MATERIALIZED (
+      SELECT vec_id, neighbor_id FROM ({g})),
+    mut AS (
+      SELECT a.vec_id AS va, a.neighbor_id AS vb
+      FROM g a JOIN g b
+        ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+      WHERE a.vec_id < a.neighbor_id),
+    arestas AS (
+      SELECT va AS a, vb AS b FROM mut
+      UNION SELECT vb, va FROM mut),
+    alcance AS (
+      SELECT a AS id, b AS peer FROM arestas
+      UNION
+      SELECT r.id, e.b FROM alcance r JOIN arestas e ON r.peer = e.a),
+    comp AS (
+      SELECT id, least(id, min(peer)) AS componente
+      FROM alcance GROUP BY id),
+    lab AS MATERIALIZED (
+      SELECT e.vec_id, coalesce(c.componente, e.vec_id) AS grupo
+      FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id),
+    ind AS MATERIALIZED (
+      SELECT g.vec_id AS src, g.neighbor_id AS dst
+      FROM g
+      JOIN lab ls ON ls.vec_id = g.vec_id
+      JOIN lab ld ON ld.vec_id = g.neighbor_id
+      WHERE ls.grupo = ld.grupo),
+    outdeg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+      FROM ind GROUP BY src),
+    e AS MATERIALIZED (SELECT ind.src, ind.dst, o.outdeg
+          FROM ind JOIN outdeg o USING (src)),
+    {chain}
+    SELECT l.vec_id, l.grupo,
+           CAST(r.r AS DOUBLE) / CAST(1000000 AS DOUBLE) AS pontuacao
+    FROM lab l JOIN r{PR_ITER} r USING (vec_id)
+    """
+
+
+def _pagerank_components_oracle() -> str:
+    from agrobr_spark.queries import _REGISTRY
+
+    return _pagerank_components_oracle_body(
+        _REGISTRY["sim_knn_graph"].oracle
+    )
+
+
+@register(
+    "graph_pagerank_components",
+    oracle=_pagerank_components_oracle(),
+    tags=("SIMILARITY", "KNN_GRAPH", "PAGERANK", "COMPONENTS",
+          "ITERATIVE"),
+)
+def graph_pagerank_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WITHIN-CLUSTER PageRank (r10 VERDICT next #1): {it} power
+    iterations over each mutual-kNN cluster's induced directed
+    subgraph — the curation signal the plain `graph_pagerank`
+    docstring promises ("within-cluster importance ordering") made
+    literal: cross-cluster one-way edges (exactly the hub edges the
+    mutual filter distrusts) no longer leak rank between semantic
+    neighborhoods, so ``pontuacao`` ranks canonical documents INSIDE
+    their `sim_graph_clusters` group. Output (vec_id, grupo,
+    pontuacao); singleton clusters settle at the teleport floor.
+
+    The point of this variant is INCREMENTAL MAINTENANCE: because
+    every edge stays inside one label, the trajectory decomposes
+    exactly per component (`operators/pagerank.py` — the update
+    couples a node only to same-label in-neighbors), so the streamed
+    twin (`stream_pagerank_update`) re-iterates ONLY the components a
+    micro-batch touched and carries every other node's rank frozen,
+    byte-identically. Global PageRank does not decompose (its
+    redistributed form couples all nodes through the dangling quota,
+    and even the drop-variant's perturbation can cross any one-way
+    edge), which is why the rebuild-only entries stay as they are and
+    THIS is the maintained one — the bounded alternative the verdict
+    ordered documented.
+
+    Plan: labels are the `sim_graph_clusters` components run; the
+    induced-edge restriction is two hash equi-joins of the k·n edge
+    frame against the n-row label frame; then the shared unrolled
+    loop (one equi-join + one keyed aggregation per iteration, every
+    step locally checkpointed). No per-cluster driver loop — the
+    label-equality filter IS the decomposition.
+
+    Determinism: INTEGER MICRO-MASS, stricter than `graph_pagerank`'s
+    6dp-decimal pin — bigint ranks, half-up via floor over
+    IEEE-identical doubles, zero engine round() calls (whose
+    Spark/DuckDB tie behavior measurably diverges at 6dp on this very
+    query — see `operators/pagerank.py`); the oracle recomputes labels
+    as a recursive CTE and unrolls the same {it} iterations over the
+    same induced edge set, so the driver hash pins the ENTIRE
+    per-component trajectory."""
+    from agrobr_spark.operators.components import connected_components
+    from agrobr_spark.operators.knn_store import _mutual_pairs
+    from agrobr_spark.operators.pagerank import induced_edges, pagerank_mass
+
+    # ONE graph build feeds both the labels and the rank loop (the
+    # sim_mutual_knn pin: at 100 TB the graph is a persisted table
+    # and this is the single-query analog of reading it back)
+    g = (
+        sim_knn_graph(spark, sf_dir)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    comp = connected_components(_mutual_pairs(g, g), "va", "vb")
+    nodes = load(spark, sf_dir, "embeddings").select("vec_id")
+    labels = (
+        nodes.join(comp, nodes["vec_id"] == comp["id"], "left")
+        .select(
+            "vec_id",
+            F.coalesce("componente", F.col("vec_id")).alias("grupo"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = pagerank_mass(
+        labels.select("vec_id"), induced_edges(g, labels)
+    )
+    return labels.join(ranks, "vec_id").select(
+        "vec_id", "grupo", "pontuacao"
+    )
+
+
+graph_pagerank_components.__doc__ = (
+    graph_pagerank_components.__doc__.format(it=PR_ITER)
 )
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from agrobr_spark.queries import register
 from agrobr_spark.streaming.windows import (
+    drain_or_raise,
     read_events_stream,
     run_available_now,
     tumbling_daily_agg,
@@ -362,9 +363,7 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    if q.isActive:
-        q.stop()
+    drain_or_raise(q, "stream_upsert_merge", 180)
     out = store.table.read().select(
         "produto",
         "data",
@@ -462,9 +461,7 @@ def stream_admit_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
-        if q.isActive:
-            q.stop()
+        drain_or_raise(q, "stream_admit_batch", 180)
         # each micro-batch MERGE accreted one file set; compact before
         # handing the table to readers (the Delta OPTIMIZE analog —
         # small files are the dominant scan cost of an always-on
@@ -565,9 +562,7 @@ def stream_admit_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
-        if q.isActive:
-            q.stop()
+        drain_or_raise(q, "stream_admit_lsh", 180)
         store = ParquetStore(spark, f"{store_dir}/survivors", ("doc_id",))
         compact(store)
         out = store.read().select("doc_id", "n_chars")
@@ -645,9 +640,7 @@ def stream_admit_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
-        if q.isActive:
-            q.stop()
+        drain_or_raise(q, "stream_admit_semdedup", 180)
         store = ParquetStore(spark, f"{store_dir}/sem_seen", ("vec_id",))
         compact(store)
         out = store.read().filter(F.col("origem") == "lote").select(
@@ -797,9 +790,7 @@ def stream_graph_clusters_update(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(240)
-        if q.isActive:
-            q.stop()
+        drain_or_raise(q, "stream_graph_clusters_update", 240)
         # replay epoch 0: both folds must be no-ops by construction
         handle(first_chunk, 0)
         return read_graph_clusters(spark, store_dir).localCheckpoint(
@@ -808,6 +799,136 @@ def stream_graph_clusters_update(
     finally:
         shutil.rmtree(store_dir, ignore_errors=True)
         shutil.rmtree(ingest, ignore_errors=True)
+
+
+def _stream_pagerank_oracle() -> str:
+    """Per-component PageRank recomputed FROM SCRATCH over the
+    frozen-centroid graph on corpus ∪ batch — the `stream_graph_
+    clusters_update` discipline applied to the rank store: ONE oracle
+    definition (shared with the batch entry via
+    `_pagerank_components_oracle_body`) hash-proves maintained ≡
+    recomputed for the whole fixed-iteration trajectory."""
+    from agrobr_spark.queries.similarity import (
+        _frozen_graph_oracle,
+        _pagerank_components_oracle_body,
+    )
+
+    return _pagerank_components_oracle_body(_frozen_graph_oracle())
+
+
+@register(
+    "stream_pagerank_update",
+    oracle=_stream_pagerank_oracle(),
+    tags=("STREAM", "KNN_GRAPH", "PAGERANK", "INCREMENTAL",
+          "FOREACHBATCH"),
+)
+def stream_pagerank_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-cluster PageRank maintained INCREMENTALLY alongside the
+    streamed kNN graph (r10 VERDICT next #1 — the last rebuild-only
+    iterative consumer): after each micro-batch's edge fold and label
+    fold, ``update_graph_pageranks_frame`` re-runs the fixed
+    {it}-iteration loop ONLY over the touched components' membership
+    (exactly the label fold's relabeled rows) against their induced
+    edges, and MERGEs; every node outside the touched components
+    keeps its rank BYTE-IDENTICALLY — not approximately — because
+    within-cluster PageRank decomposes exactly per component (every
+    induced edge stays inside one label; `operators/pagerank.py`).
+    Global PageRank does not decompose — its redistributed form
+    couples all nodes through the per-iteration dangling quota — so
+    the global entries stay rebuild-only by design and THIS
+    per-component variant is the maintained one (the bounded
+    alternative the verdict ordered documented).
+
+    The oracle recomputes the identical trajectory from scratch over
+    the frozen-centroid graph on corpus ∪ batch (one oracle body
+    shared with `graph_pagerank_components`), so the driver hash
+    proves maintained ≡ recomputed. Epoch 0 is replayed in-line after
+    the drain: same labels + same edges → the same deterministic
+    trajectory, and the MERGE is PK-last-writer-wins — idempotent.
+
+    Per-batch cost: the graph fold (affected nodes only) + the label
+    fold (touched components) + {it} equi-join/aggregate rounds over
+    |touched| rows and ONE balde-pruned edge read — at 100 TB a batch
+    re-ranks its semantic neighborhoods, never the corpus."""
+    import shutil
+    import tempfile
+
+    from agrobr_spark.io import load
+    from agrobr_spark.operators.knn_store import (
+        build_graph_labels,
+        build_graph_pageranks,
+        build_knn_graph_index,
+        read_graph_pageranks,
+        update_graph_labels_frame,
+        update_graph_pageranks_frame,
+        update_knn_graph_frame,
+    )
+    from agrobr_spark.queries.admission import _split_params
+    from agrobr_spark.queries.similarity import GRAPH_K, GRAPH_PROBE, PR_ITER
+
+    _COUNTER[0] += 1
+    store_dir = tempfile.mkdtemp(prefix="stream_knn_pr_")
+    ingest = tempfile.mkdtemp(prefix="stream_knn_pr_in_")
+    try:
+        cut, n_corp = _split_params(spark, sf_dir)
+        emb = load(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        corpus = emb.filter(F.col("vec_id") < cut)
+        build_knn_graph_index(
+            corpus,
+            store_dir,
+            k=GRAPH_K,
+            n_probe=GRAPH_PROBE,
+            n_centroids=max(4, int(GRAPH_PROBE * n_corp**0.5)),
+        )
+        build_graph_labels(spark, store_dir, corpus.select("vec_id"))
+        build_graph_pageranks(spark, store_dir)
+        staged = emb.filter(F.col("vec_id") >= cut)
+        first_chunk = _stage_id_ranged_chunks(
+            staged, ingest, "vec_id", cut, capture_first=True
+        )
+
+        stream = (
+            spark.readStream.schema(staged.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ingest)
+        )
+
+        def handle(batch: DataFrame, batch_id: int) -> None:
+            staged_edges = update_knn_graph_frame(
+                spark, batch, store_dir, k=GRAPH_K, n_probe=GRAPH_PROBE
+            )
+            relabeled = update_graph_labels_frame(
+                spark,
+                staged_edges.select("vec_id").unionByName(
+                    batch.select("vec_id")
+                ),
+                store_dir,
+            )
+            update_graph_pageranks_frame(spark, relabeled, store_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_or_raise(q, "stream_pagerank_update", 240)
+        # replay epoch 0: all three folds must be no-ops by construction
+        handle(first_chunk, 0)
+        return read_graph_pageranks(spark, store_dir).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+        shutil.rmtree(ingest, ignore_errors=True)
+
+
+from agrobr_spark.operators.pagerank import PR_ITER as _PR_ITER  # noqa: E402
+
+stream_pagerank_update.__doc__ = stream_pagerank_update.__doc__.replace(
+    "{it}", str(_PR_ITER)
+)
 
 
 @register(
@@ -892,9 +1013,7 @@ def stream_knn_graph_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
-        if q.isActive:
-            q.stop()
+        drain_or_raise(q, "stream_knn_graph_update", 180)
         # replay epoch 0: must be a no-op by construction, or the
         # oracle hash below fails with duplicated neighbors
         handle(first_chunk, 0)
@@ -992,9 +1111,7 @@ def stream_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
-        if q.isActive:
-            q.stop()
+        drain_or_raise(q, "stream_export_shards", 180)
         verified, _ = read_training_shards(spark, out_dir)
         return verified.select(
             "doc_id", "source", "n_tokens"
@@ -1079,9 +1196,7 @@ def stream_bm25_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
-        if q.isActive:
-            q.stop()
+        drain_or_raise(q, "stream_bm25_index_update", 180)
         out = bm25_topk_indexed(
             spark, store_dir, BM25_QUERY, BM25_TOPK, BM25_K1, BM25_B
         )
@@ -1288,9 +1403,7 @@ def stream_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
-        if q.isActive:
-            q.stop()
+        drain_or_raise(q, "stream_source_divergence", 180)
         out = spark.createDataFrame(
             relatorio,
             "lote_inicio bigint, n_termos bigint, "
@@ -1432,9 +1545,7 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
-        if q.isActive:
-            q.stop()
+        drain_or_raise(q, "stream_heavy_hitters", 180)
 
         # read-time exact verify: ≤ cap candidates, one counting pass
         with open(manifest, encoding="utf-8") as fh:
@@ -1641,9 +1752,7 @@ def stream_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
-        if q.isActive:
-            q.stop()
+        drain_or_raise(q, "stream_dsir_weights", 180)
         out = spark.read.parquet(scores_dir).dropDuplicates(["doc_id"])
         return out.localCheckpoint(eager=True)
     finally:
@@ -1988,9 +2097,7 @@ def stream_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
-        if q.isActive:
-            q.stop()
+        drain_or_raise(q, "stream_shard_manifest", 180)
         # replay batch 0: the guard must no-op, or the driver hash
         # check against the one-shot oracle fails with doubled sums
         handle(first_chunk, 0)

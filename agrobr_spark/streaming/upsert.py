@@ -14,6 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from agrobr_spark.store.indicadores import SCHEMA, IndicadoresStore
+from agrobr_spark.streaming.windows import drain_or_raise
 
 
 def stream_upsert_indicadores(
@@ -54,7 +55,5 @@ def stream_upsert_indicadores(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
-    if q.isActive:
-        q.stop()
+    drain_or_raise(q, "stream_upsert_indicadores", timeout_s)
     return q

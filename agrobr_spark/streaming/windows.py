@@ -17,6 +17,32 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
+class StreamDrainTimeout(RuntimeError):
+    """A Trigger.AvailableNow drain did not finish within its timeout.
+
+    Raised instead of silently stopping the query: a partial fold
+    behind a silent ``q.stop()`` surfaces as a confusing downstream
+    oracle-hash mismatch (or worse, slips through an un-oracled local
+    use), while this names the entry and the budget so a slow host
+    reads as a timeout, not a correctness bug (r10 ADVICE / VERDICT
+    What's-wrong #1)."""
+
+
+def drain_or_raise(q, name: str, timeout_s: int) -> None:
+    """Block until ``q`` (an AvailableNow streaming query) drains all
+    input; raise :class:`StreamDrainTimeout` if it is still active
+    after ``timeout_s`` seconds. The query is stopped before raising
+    so no orphan micro-batches keep mutating state after the error."""
+    finished = q.awaitTermination(timeout_s)
+    if not finished and q.isActive:
+        q.stop()
+        raise StreamDrainTimeout(
+            f"streaming query {name!r} still active after {timeout_s}s; "
+            "refusing to read a partially-folded store (raise the "
+            "timeout or investigate the stalled micro-batch)"
+        )
+
+
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
         [
@@ -162,9 +188,7 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
-    if q.isActive:
-        q.stop()
+    drain_or_raise(q, name, timeout_s)
     return spark.table(name)
 
 

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q17",
+    "tpch_q20",
     "w16_anomaly_intervals",
     "w15_rolling_zscore",
     "w7_sessionize",
@@ -126,6 +127,8 @@ BENCH_QUERIES = [
     "sim_mutual_knn",
     "sim_graph_clusters",
     "graph_pagerank_redistributed",
+    "graph_pagerank_components",
+    "stream_pagerank_update",
     "stream_knn_graph_update",
     "stream_graph_clusters_update",
     "sim_hard_negatives",
@@ -148,6 +151,125 @@ BENCH_QUERIES = [
     "text_perplexity_buckets",
     "pipeline_chunk_overlap",
 ]
+
+# Bench-coverage invariant (r10 VERDICT next #5): every catalog query
+# is either in BENCH_QUERIES or listed here with a documented reason
+# tag, so bench coverage can't silently rot as the catalog grows
+# (tests/test_benchmark.py::test_bench_covers_catalog enforces it).
+# Reason tags:
+#   "cheap"            — ms-scale single-scan class (scalar functions,
+#                        simple filters/projections/sorts/set-ops,
+#                        validation passes); a benched query already
+#                        exercises the same scan+shuffle shape, and a
+#                        one-off sf0.1 sweep measured every "cheap"
+#                        entry under the sub-second class bound.
+#   "twin:<rep>"       — same plan family as benched <rep>, differing
+#                        only in a parameter/approx/report projection;
+#                        timing tracks the rep's by construction.
+#   "stream-twin:<rep>"— AvailableNow fold whose per-batch logic IS
+#                        the benched <rep> plus fixed trigger/commit
+#                        overhead already priced by the benched
+#                        streaming entries.
+#   "stub"             — env-gated multimodal plumbing (decode is a
+#                        deterministic fake without PIL/ffmpeg);
+#                        nothing meaningful to time at sf0.1.
+BENCH_EXCLUDED = {
+    # cheap scalar/filter/projection/sort/set-op/validation classes
+    "a2_sum_derived": "cheap",
+    "a3_nullable_group_keys": "cheap",
+    "a4_daily_bucket": "cheap",
+    "a7_summary_row": "cheap",
+    "a8_quality_metrics": "cheap",
+    "a9_pk_dup_detect": "cheap",
+    "a10_distinct_values": "cheap",
+    "a12_unpivot": "cheap",
+    "d4_snapshot_filter": "cheap",
+    "f1_ptbr_number_parse": "cheap",
+    "f2_multiformat_date_parse": "cheap",
+    "f3_safra_algebra": "cheap",
+    "f4_crop_canon": "cheap",
+    "f5_uf_normalize": "cheap",
+    "f6_municipality_geocode": "cheap",
+    "f8f9_sentinel_and_arithmetic": "cheap",
+    "f10_string_hygiene": "cheap",
+    "f11_content_hash": "cheap",
+    "f13_regex_classify": "cheap",
+    "j3_conditional_split_agg": "cheap",
+    "j4_group_first": "cheap",
+    "j5_dedup_dim_join": "cheap",
+    "j6_small_dim_lookup": "cheap",
+    "m2_ttl_validity": "cheap",
+    "o1_multikey_sort_limit": "cheap",
+    "o2_desc_recency": "cheap",
+    "o3_topk_search": "cheap",
+    "o4_limit_latest": "cheap",
+    "o5_deterministic_sample": "cheap",
+    "o6_train_val_test": "cheap",
+    "p1_project_rename": "cheap",
+    "p2_eq_filter": "cheap",
+    "p3_string_predicates": "cheap",
+    "p5_null_drop": "cheap",
+    "p6_threshold_filter": "cheap",
+    "p7_dedup_distinct": "cheap",
+    "p8_category_exclusion": "cheap",
+    "s5_json_scan": "cheap",
+    "s8_store_scan": "cheap",
+    "u1_union_all": "cheap",
+    "u2_anti_join": "cheap",
+    "u4_intersect_except": "cheap",
+    "v3_semantic_rules": "cheap",
+    "v6_quality_certification": "cheap",
+    "w3_gap_detect": "cheap",
+    "w5_calendar_antijoin": "cheap",
+    "w6_topk_per_group": "cheap",
+    "w11_touch_attribution": "cheap",
+    # parameter/approx/report twins of benched representatives
+    "a13_percentiles": "twin:a19_approx_quantiles",
+    "a13_percentiles_approx": "twin:a19_approx_quantiles",
+    "a14_approx_distinct": "twin:a18_approx_distinct",
+    "dedup_blocking_recall": "twin:dedup_minhash_lsh",
+    "dedup_blocking_recall_paths": "twin:dedup_minhash_lsh",
+    "dedup_components": "twin:near_dup_embeddings",
+    "dedup_embedding_cosine": "twin:near_dup_embeddings",
+    "dedup_incremental_minhash": "twin:dedup_minhash_lsh",
+    "dedup_lsh_quality_report": "twin:dedup_minhash_lsh",
+    "dedup_ngram_jaccard": "twin:dedup_minhash_lsh",
+    "pipeline_admit_lsh": "twin:pipeline_admit_batch",
+    "pipeline_admit_text": "twin:pipeline_admit_batch",
+    "pipeline_corpus_report": "twin:corpus_dedup_rate_report",
+    "pipeline_curriculum_order": "twin:pipeline_data_mix",
+    "pipeline_data_mix_temperature": "twin:pipeline_data_mix",
+    "pipeline_keep_set_report": "twin:pipeline_keep_set",
+    "pipeline_shuffle_order": "twin:pipeline_data_mix",
+    "pipeline_tfidf_incremental": "twin:pipeline_df_index_update",
+    "text_contamination": "twin:text_contamination_fuzzy",
+    "text_fingerprint": "twin:text_span_dedup",
+    "text_lang_id": "twin:text_quality_score",
+    "text_length_histogram": "twin:a16_profile_histogram",
+    "text_ngram_topk": "twin:text_tfidf_topk",
+    "text_quality_deciles": "twin:text_quality_score",
+    "text_quality_deciles_approx": "twin:text_quality_score",
+    "text_rarity_score": "twin:text_unigram_surprise",
+    "text_stopword_discovery": "twin:text_tfidf_topk",
+    "text_token_count": "twin:text_token_count_bpe_vocab",
+    "text_token_count_bpe": "twin:text_token_count_bpe_vocab",
+    "w9_retention_cohorts": "twin:w8_funnel",
+    # AvailableNow folds of benched per-batch logic
+    "stream_admit_batch": "stream-twin:pipeline_admit_batch",
+    "stream_admit_lsh": "stream-twin:dedup_minhash_lsh",
+    "stream_admit_semdedup": "stream-twin:dedup_semdedup",
+    "stream_bm25_index_update": "stream-twin:text_bm25_compacted",
+    "stream_export_shards": "stream-twin:pipeline_shard_manifest",
+    "stream_heavy_hitters": "stream-twin:text_heavy_hitters",
+    "stream_session_windows": "stream-twin:w7_sessionize",
+    "stream_sliding_daily": "stream-twin:stream_tumbling_daily",
+    "stream_upsert_merge": "stream-twin:m1_merge_upsert",
+    # env-gated multimodal plumbing
+    "mm_binary_metadata": "stub",
+    "mm_decode_features": "stub",
+    "mm_frame_sample": "stub",
+    "mm_near_dup": "stub",
+}
 
 # the BASELINE.md-comparable classes surfaced on the compact headline
 # line (MERGE upsert, filtered scan+sort, group-by agg, dim join,

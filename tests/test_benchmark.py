@@ -108,3 +108,38 @@ def test_run_semantic_benchmarks(spark):
     assert [r.name for r in suite.results] == ["validate_semantic(100 rows)"]
     assert suite.name == "semantic_validation_benchmarks"
     assert suite.results[0].min_time_ms > 0
+
+
+def test_bench_covers_catalog():
+    """Bench-coverage invariant (r10 VERDICT next #5): every catalog
+    query is either timed in BENCH_QUERIES or carries a documented
+    exclusion in BENCH_EXCLUDED; twin/stream-twin exclusions must
+    name a representative that IS benched, and the two sets must be
+    disjoint with no dangling names. Adding a catalog query without
+    deciding its bench fate fails here, not silently."""
+    import bench
+    from agrobr_spark.queries import queries
+
+    catalog = set(queries())
+    benched = set(bench.BENCH_QUERIES)
+    excluded = set(bench.BENCH_EXCLUDED)
+
+    assert len(bench.BENCH_QUERIES) == len(benched), "duplicate bench entry"
+    assert benched <= catalog, sorted(benched - catalog)
+    assert excluded <= catalog, sorted(excluded - catalog)
+    assert not (benched & excluded), sorted(benched & excluded)
+    uncovered = catalog - benched - excluded
+    assert not uncovered, (
+        f"catalog queries with no bench decision: {sorted(uncovered)}"
+    )
+
+    valid_tags = {"cheap", "stub"}
+    for name, reason in bench.BENCH_EXCLUDED.items():
+        if reason in valid_tags:
+            continue
+        kind, _, rep = reason.partition(":")
+        assert kind in ("twin", "stream-twin") and rep, (name, reason)
+        assert rep in benched, (
+            f"{name} excluded as {reason} but representative {rep!r} "
+            "is not itself benched"
+        )

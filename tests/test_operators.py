@@ -2131,3 +2131,119 @@ def test_graph_labels_incremental_split_and_merge(spark, tmp_path):
         store,
     )
     assert labels() == want
+
+
+def test_graph_pageranks_incremental_equals_rebuild(spark, tmp_path):
+    """operators/knn_store.py pagerank store (r10 VERDICT next #1):
+    corpus build + per-batch folds (edges -> labels -> ranks) must
+    land EXACTLY the ranks a one-shot rebuild over corpus ∪ batches
+    computes — the per-component decomposition is exact, not
+    approximate — and nodes outside the touched components must keep
+    their pre-fold ranks byte-identically (the frozen-rank half of
+    the same claim)."""
+    from agrobr_spark.operators.knn_store import (
+        _pranks_store,
+        build_graph_labels,
+        build_graph_pageranks,
+        build_knn_graph_index,
+        read_graph_pageranks,
+        update_graph_labels_frame,
+        update_graph_pageranks_frame,
+        update_knn_graph_frame,
+    )
+
+    emb = _toy_vectors(spark)
+    # batch confined to ONE direction group (g = (7i+7) % 6 == 0) so
+    # other directions' components provably stay untouched; corpus =
+    # everything else, so the rebuild's lowest-id frozen centroids
+    # (ids 0-5) match the incremental store's
+    batch_ids = (41, 47, 53, 59)
+    corpus = emb.filter(~F.col("vec_id").isin(list(batch_ids)))
+    store = str(tmp_path / "knn")
+    build_knn_graph_index(corpus, store, k=3, n_probe=2, n_centroids=6)
+    build_graph_labels(spark, store, corpus.select("vec_id"))
+    build_graph_pageranks(spark, store)
+    pre = {
+        r["vec_id"]: (r["componente"], r["pontuacao"])
+        for r in _pranks_store(spark, store).read().collect()
+    }
+
+    batch = emb.filter(F.col("vec_id").isin(list(batch_ids)))
+    staged = update_knn_graph_frame(spark, batch, store, k=3, n_probe=2)
+    relabeled = update_graph_labels_frame(
+        spark,
+        staged.select("vec_id").unionByName(batch.select("vec_id")),
+        store,
+    )
+    ranked = update_graph_pageranks_frame(spark, relabeled, store)
+    touched_all = {r["vec_id"] for r in ranked.collect()}
+    got = sorted(
+        tuple(r) for r in read_graph_pageranks(spark, store).collect()
+    )
+
+    # one-shot rebuild: same lowest-id frozen centroids (corpus ids
+    # precede batch ids, so the union picks the identical 6)
+    store2 = str(tmp_path / "knn2")
+    build_knn_graph_index(emb, store2, k=3, n_probe=2, n_centroids=6)
+    build_graph_labels(spark, store2, emb.select("vec_id"))
+    build_graph_pageranks(spark, store2)
+    want = sorted(
+        tuple(r) for r in read_graph_pageranks(spark, store2).collect()
+    )
+    assert got == want
+    assert len(got) == 60
+
+    # frozen-rank half: never-touched nodes carry pre-fold ranks
+    after = {
+        r["vec_id"]: (r["componente"], r["pontuacao"])
+        for r in _pranks_store(spark, store).read().collect()
+    }
+    untouched = set(pre) - touched_all
+    assert untouched, "fixture degenerated: every node touched"
+    for vid in untouched:
+        assert after[vid] == pre[vid]
+
+
+def test_graph_pageranks_replay_idempotent(spark, tmp_path):
+    """Replaying an applied batch through all three folds must leave
+    the rank store byte-identical: same labels + same edges feed the
+    same deterministic integer micro-mass trajectory, and the MERGE
+    is PK-last-writer-wins."""
+    from agrobr_spark.operators.knn_store import (
+        _pranks_store,
+        build_graph_labels,
+        build_graph_pageranks,
+        build_knn_graph_index,
+        update_graph_labels_frame,
+        update_graph_pageranks_frame,
+        update_knn_graph_frame,
+    )
+
+    emb = _toy_vectors(spark)
+    corpus = emb.filter("vec_id < 40")
+    batch = emb.filter("vec_id >= 40")
+    store = str(tmp_path / "knn")
+    build_knn_graph_index(corpus, store, k=3, n_probe=2, n_centroids=6)
+    build_graph_labels(spark, store, corpus.select("vec_id"))
+    build_graph_pageranks(spark, store)
+
+    def fold():
+        staged = update_knn_graph_frame(
+            spark, batch, store, k=3, n_probe=2
+        )
+        relabeled = update_graph_labels_frame(
+            spark,
+            staged.select("vec_id").unionByName(batch.select("vec_id")),
+            store,
+        )
+        update_graph_pageranks_frame(spark, relabeled, store)
+
+    fold()
+    s1 = sorted(
+        tuple(r) for r in _pranks_store(spark, store).read().collect()
+    )
+    fold()  # replay
+    s2 = sorted(
+        tuple(r) for r in _pranks_store(spark, store).read().collect()
+    )
+    assert s2 == s1

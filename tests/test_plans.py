@@ -495,3 +495,27 @@ class TestTpchDecorrelation:
         assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(p_brand", plan), plan
         # pruned reads: neither scan drags the wide lineitem row along
         assert "l_shipdate" not in plan and "l_returnflag" not in plan
+
+    def test_q20_decorrelates_to_semi_join_chain(self, spark, cat):
+        """tpch_q20 (r10 verdict next #6): the nested-IN / correlated-
+        scalar chain must decorrelate into LEFT-SEMI joins — the outer
+        supplier IN becomes a semi-join on s_suppkey, the part IN a
+        semi-join on l_partkey, and the correlated window-volume
+        subquery ONE pair-keyed aggregate joined back — with ZERO
+        surviving subquery nodes and exactly two lineitem scans
+        (all-time pairs + the date-pruned window). At 100 TB a
+        surviving per-supplier subquery is |supplier| rescans of the
+        fact table. The name prefix pushes as StartsWith to the part
+        scan and the date window to the second lineitem scan."""
+        plan = plan_of(cat["tpch_q20"].fn(spark, SF_SMOKE))
+        assert "Subquery" not in plan, plan
+        assert plan.count("LeftSemi") >= 2, plan
+        assert len(re.findall(r"lineitem\.parquet", plan)) == 2, plan
+        # the decorrelated correlated scalar: pair-keyed aggregate
+        assert re.search(r"Keys \[2\]: \[l_partkey", plan), plan
+        assert re.search(
+            r"PushedFilters: \[[^\]]*StringStartsWith\(p_name", plan
+        ), plan
+        assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan), plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan

@@ -393,3 +393,52 @@ def test_stream_stream_join_batch_split_invariant(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_drain_timeout_raises_not_partial(spark):
+    """A drain that exceeds its budget must raise StreamDrainTimeout
+    (naming the entry), never silently stop and let the caller read a
+    partially-folded store (r10 ADVICE). Exercised two ways: the
+    helper's contract against a stalled-query double, and a real
+    AvailableNow stream whose foreachBatch outlives a 1 s budget."""
+    import time
+
+    import pytest
+
+    from agrobr_spark.streaming.windows import (
+        StreamDrainTimeout,
+        drain_or_raise,
+    )
+
+    class _StalledQuery:
+        def __init__(self):
+            self.stopped = False
+            self.isActive = True
+
+        def awaitTermination(self, timeout_s):
+            return False
+
+        def stop(self):
+            self.stopped = True
+            self.isActive = False
+
+    q = _StalledQuery()
+    with pytest.raises(StreamDrainTimeout, match="my_entry.*1s"):
+        drain_or_raise(q, "my_entry", 1)
+    assert q.stopped  # no orphan micro-batches after the raise
+
+    # real stream: handler sleeps past the budget → raise, and the
+    # sink table the handler would have filled stays unread
+    events = read_events_stream(spark, SF_SMOKE)
+
+    def slow_handle(batch, batch_id):
+        time.sleep(5)
+
+    sq = (
+        events.writeStream.foreachBatch(slow_handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamDrainTimeout, match="slow_entry"):
+        drain_or_raise(sq, "slow_entry", 1)
+    assert not sq.isActive
