@@ -91,22 +91,74 @@ def commit_json(path: str, obj: dict) -> None:
     (the container for these stores). On an object store, route the
     manifest through its conditional-put primitive instead — the
     layout and the commit protocol are unchanged, only this function
-    swaps out."""
+    swaps out. :func:`require_local_path` enforces the scope loudly
+    (r10 ADVICE: on an s3a:// store path the data would land remotely
+    while a silent ``open()`` manifest landed on the driver's local
+    disk, diverging state).
+
+    Crash scope (r10 ADVICE): the temp file is fsync'd before the
+    replace and the parent directory after it, so the commit survives
+    SYSTEM crashes (power loss), not just process crashes; the temp
+    name is unique per writer (mkstemp), so two racing writers can
+    never stomp one shared ``.tmp`` sibling — last replace wins
+    whole, never torn."""
     import json
     import os
+    import tempfile
 
-    tmp = f"{path}.tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(obj, fh)
-    os.replace(tmp, path)
+    path = require_local_path(path)
+    parent = os.path.dirname(path) or "."
+    fd, tmp = tempfile.mkstemp(
+        dir=parent, prefix=os.path.basename(path) + ".", suffix=".tmp"
+    )
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            json.dump(obj, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+    dirfd = os.open(parent, os.O_RDONLY)
+    try:
+        os.fsync(dirfd)
+    finally:
+        os.close(dirfd)
+
+
+def require_local_path(path: str) -> str:
+    """Guard for the driver-local manifest primitives: accepts plain
+    paths and ``file:`` URIs (normalized to a plain path), raises
+    loudly on any other scheme — a remote store path reaching
+    ``open()``/``os.replace`` would silently write DRIVER-LOCAL state
+    while the data lands remotely (r10 ADVICE; knn_store hit exactly
+    this before its meta read moved to the Hadoop FS)."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://(.*)$", path)
+    if m is None:
+        return path
+    if m.group(1) == "file":
+        return "/" + m.group(2).lstrip("/")
+    raise ValueError(
+        f"manifest path {path!r} uses scheme {m.group(1)!r}: the "
+        "local-posix commit primitive (store/fs.commit_json) cannot "
+        "provide atomic commits there — route this store's manifest "
+        "through the object store's conditional put instead"
+    )
 
 
 def read_json(path: str) -> dict | None:
     """Counterpart read for :func:`commit_json` manifests: None when
-    absent (same local-posix scope)."""
+    absent (same local-posix scope, same loud scheme guard)."""
     import json
     import os
 
+    path = require_local_path(path)
     if not os.path.exists(path):
         return None
     with open(path, encoding="utf-8") as fh:

@@ -234,20 +234,42 @@ def _next_local_batch(man: dict) -> int:
 
 def _record_empty_epoch(path: str, man: dict, batch_id: int | None) -> None:
     """Commit ONLY the replay guard for a rows-free epoch — no batch
-    directory exists, so it must never enter ``active_batches``."""
+    directory exists, so it must never enter ``active_batches``.
+    Re-read-and-merge like :func:`_commit_batch`."""
     if batch_id is not None:
-        man.setdefault("applied_batch_ids", []).append(int(batch_id))
-        _write_manifest(path, man)
+        cur = read_manifest(path)
+        cur.setdefault("applied_batch_ids", []).append(int(batch_id))
+        _write_manifest(path, cur)
 
 
 def _commit_batch(path: str, man: dict, bid: int, guarded: bool) -> None:
     """Atomically publish a staged batch directory: one manifest
     replace flips it into ``active_batches`` (and, for streaming
-    epochs, into the ``applied_batch_ids`` replay guard)."""
-    man.setdefault("active_batches", []).append(int(bid))
+    epochs, into the ``applied_batch_ids`` replay guard).
+
+    RE-READ-AND-MERGE, not write-back (r10 ADVICE): ``man`` is the
+    snapshot the update read at ENTRY — a compaction may have swapped
+    the generation pointer while the batch staged, and writing the
+    entry snapshot back would resurrect the pre-compaction
+    ``postings_dir``/``version``, pointing readers at directories the
+    compaction just deleted. Instead only THIS epoch's delta (its
+    ``active_batches`` / replay-guard entry) is merged into the
+    manifest as it stands at commit time. That is safe in both
+    interleavings: an uncommitted staging directory is invisible to a
+    concurrent compaction (not in ``active_batches`` → neither folded
+    nor deleted), so committing it into the NEW generation's manifest
+    neither loses nor duplicates rows — the next compaction folds it.
+    Residual contract: the manifest read-modify-writes themselves
+    (this merge, compaction's pointer swap) are ms-scale and must not
+    overlap — the single-COMMITTER model, narrowed from the previous
+    blanket single-writer-for-the-whole-rewrite requirement; with
+    multiple uncoordinated committers, swap commit_json for a CAS
+    primitive."""
+    cur = read_manifest(path)
+    cur.setdefault("active_batches", []).append(int(bid))
     if guarded:
-        man.setdefault("applied_batch_ids", []).append(int(bid))
-    _write_manifest(path, man)
+        cur.setdefault("applied_batch_ids", []).append(int(bid))
+    _write_manifest(path, cur)
 
 
 def _write_manifest(path: str, man: dict) -> None:
@@ -260,7 +282,14 @@ def _write_manifest(path: str, man: dict) -> None:
 
 
 def read_manifest(path: str) -> dict:
-    with open(f"{path}/manifest.json", encoding="utf-8") as fh:
+    # same loud local-posix scope as the write side (r10 ADVICE: a
+    # remote index path must fail here, not silently read/write the
+    # driver's local disk while the data lands remotely)
+    from agrobr_spark.store.fs import require_local_path
+
+    with open(
+        f"{require_local_path(path)}/manifest.json", encoding="utf-8"
+    ) as fh:
         man = json.load(fh)
     # pre-r10 manifests carry no commit state: default to the fixed
     # layout they were built with
@@ -336,13 +365,23 @@ def compact_posting_index(spark: SparkSession, path: str) -> int:
       it). The new base was built from the pre-compaction snapshot,
       so the surviving epoch's rows are not duplicated.
 
-    Concurrency contract: ONE metadata writer at a time (updates and
-    compaction serialized by the caller/coordinator — the same
-    single-committer model Delta/Iceberg assume without a lock
-    service), and in-flight readers should tolerate the bounded
-    window where superseded directories disappear after the pointer
-    swap (retry-on-missing-file, or defer deletion to a vacuum step
-    on a busy store).
+    Concurrency contract (narrowed, r10 ADVICE): ingest updates may
+    now run CONCURRENTLY with a compaction in either direction —
+    compaction's pre-commit re-read keeps an epoch that committed
+    during the rewrite, and ``_commit_batch``'s re-read-and-merge
+    keeps an update that started before the pointer swap from
+    resurrecting the old generation (its staged directory was never
+    in the folded ``active_batches``, so the new base neither holds
+    nor deletes it; the next compaction folds it). What must still be
+    serialized is only the ms-scale manifest read-modify-writes
+    themselves (the single-COMMITTER model Delta/Iceberg assume
+    without a lock service — swap commit_json for a CAS primitive if
+    committers can't be coordinated), plus: one ingest writer at a
+    time (local epoch ids are drawn from the manifest snapshot) and
+    one compaction at a time. In-flight readers should tolerate the
+    bounded window where superseded directories disappear after the
+    pointer swap (retry-on-missing-file, or defer deletion to a
+    vacuum step on a busy store).
 
     Returns the number of posting data files after compaction.
     Positional indexes (no stats sidecar) compact the same way.

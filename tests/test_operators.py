@@ -2247,3 +2247,56 @@ def test_graph_pageranks_replay_idempotent(spark, tmp_path):
         tuple(r) for r in _pranks_store(spark, store).read().collect()
     )
     assert s2 == s1
+
+
+def test_knn_store_no_file_accretion_across_folds(spark, tmp_path):
+    """r10 VERDICT next #7: the graph stores (members/probes/edges +
+    labels/pranks) rewrite partitions via dynamic partition overwrite,
+    so they must NOT accrete files across folds the way a naive
+    append-per-epoch store does (the small-files failure the posting
+    index needed compaction for). 10 single-vector folds into
+    existing clusters: data-file count stays flat (bounded jitter
+    from per-fold task layout), where append-only would add >= one
+    file set per fold per store."""
+    import os
+
+    from agrobr_spark.operators.knn_store import (
+        build_graph_labels,
+        build_graph_pageranks,
+        build_knn_graph_index,
+        update_graph_labels_frame,
+        update_graph_pageranks_frame,
+        update_knn_graph_frame,
+    )
+
+    emb = _toy_vectors(spark)
+    corpus = emb.filter("vec_id < 40")
+    store = str(tmp_path / "knn")
+    build_knn_graph_index(corpus, store, k=3, n_probe=2, n_centroids=6)
+    build_graph_labels(spark, store, corpus.select("vec_id"))
+    build_graph_pageranks(spark, store)
+
+    def data_files() -> int:
+        n = 0
+        for root, _dirs, files in os.walk(store):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    counts = []
+    for vid in range(40, 50):
+        batch = emb.filter(f"vec_id = {vid}")
+        staged = update_knn_graph_frame(
+            spark, batch, store, k=3, n_probe=2
+        )
+        relabeled = update_graph_labels_frame(
+            spark,
+            staged.select("vec_id").unionByName(batch.select("vec_id")),
+            store,
+        )
+        update_graph_pageranks_frame(spark, relabeled, store)
+        counts.append(data_files())
+
+    # flat, not monotone: jitter from task layout is a handful of
+    # files; append-per-fold across 5 tables would be >= 9 * 5 more
+    assert counts[-1] <= counts[0] + 4, counts
+    assert max(counts) <= counts[0] + 6, counts

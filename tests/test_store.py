@@ -780,3 +780,88 @@ def test_compaction_preserves_epoch_committed_during_rewrite(
     # the late epoch's replay guard still works post-compaction
     P.update_posting_index(late, path, batch_id=42)
     assert P.read_stats(spark, path).collect()[0]["n"] == 4
+
+
+def test_update_commit_straddling_compaction_survives(
+    spark, tmp_path, monkeypatch
+):
+    """r10 ADVICE (the other direction of the rewrite race): an
+    update that READS the manifest before a compaction's pointer swap
+    and COMMITS after it must not write its stale entry snapshot back
+    — that would resurrect the deleted generation's postings_dir and
+    brick the index. _commit_batch's re-read-and-merge lands only the
+    epoch's own delta in the NEW generation's manifest. Simulated by
+    running a real compaction just before the update's commit step."""
+    from agrobr_spark.store import posting as P
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma")],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "idx")
+    P.build_posting_index(corpus, path, n_buckets=8)
+    P.update_posting_index(
+        spark.createDataFrame([(3, "delta")], "doc_id bigint, text string"),
+        path,
+        batch_id=0,
+    )
+    late = spark.createDataFrame(
+        [(4, "epsilon zeta")], "doc_id bigint, text string"
+    )
+
+    orig_commit = P._commit_batch
+    fired = {"done": False}
+
+    def commit_after_swap(p, man, bid, guarded):
+        if not fired["done"]:
+            fired["done"] = True
+            P.compact_posting_index(spark, p)  # swap happens first
+        orig_commit(p, man, bid, guarded)
+
+    monkeypatch.setattr(P, "_commit_batch", commit_after_swap)
+    P.update_posting_index(late, path, batch_id=7)
+    monkeypatch.setattr(P, "_commit_batch", orig_commit)
+
+    man = P.read_manifest(path)
+    assert man["version"] == 1
+    assert man["postings_dir"] == "postings_v1"  # NOT resurrected
+    assert man["active_batches"] == [7]
+    assert 7 in man["applied_batch_ids"] and 0 in man["applied_batch_ids"]
+    docs_seen = {
+        r["doc_id"] for r in P._postings_frame(spark, path).collect()
+    }
+    assert docs_seen == {1, 2, 3, 4}
+    assert P.read_stats(spark, path).collect()[0]["n"] == 4
+    # replay stays a no-op, and the NEXT compaction folds the epoch
+    P.update_posting_index(late, path, batch_id=7)
+    assert P.read_stats(spark, path).collect()[0]["n"] == 4
+    P.compact_posting_index(spark, path)
+    man2 = P.read_manifest(path)
+    assert man2["version"] == 2 and man2["active_batches"] == []
+    assert {
+        r["doc_id"] for r in P._postings_frame(spark, path).collect()
+    } == {1, 2, 3, 4}
+
+
+def test_manifest_primitives_reject_remote_schemes(tmp_path):
+    """r10 ADVICE: the local-posix manifest primitives must FAIL
+    LOUDLY on an object-store path — a silent open() would write
+    driver-local state while the data lands remotely. file: URIs
+    normalize; s3a/hdfs raise."""
+    import pytest
+
+    from agrobr_spark.store.fs import (
+        commit_json,
+        read_json,
+        require_local_path,
+    )
+
+    p = str(tmp_path / "m.json")
+    commit_json(f"file://{p}", {"v": 1})
+    assert read_json(p) == {"v": 1}
+    assert require_local_path(p) == p
+    for bad in (f"s3a://bucket/idx", f"hdfs://nn/idx"):
+        with pytest.raises(ValueError, match="conditional put"):
+            require_local_path(bad)
+    with pytest.raises(ValueError):
+        commit_json("s3a://bucket/m.json", {})
