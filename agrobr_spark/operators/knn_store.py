@@ -17,10 +17,14 @@ State under ``store_dir`` (all ParquetStore tables, PK-idempotent):
   build time; batches are assigned against these, never re-fitted —
   the `stream_admit_semdedup` discipline (queries/admission.py).
 - ``members/`` — (cid, vec_id, ev, nrm): each vector in its single
-  home cluster, disk-partitioned by ``cid`` so a batch touching B
-  clusters reads exactly B partitions.
+  home cluster, disk-partitioned by ``cbalde = pmod(cid,
+  cid_buckets)`` (manifest-frozen, same ~NODES_PER_BUCKET sizing rule
+  as the edge table) so a batch touching B clusters reads at most B
+  pruned ~256-node partitions — and the DIRECTORY count stays
+  corpus-bounded instead of centroid-proportional (per-cid dirs made
+  driver file listings the dominant fold term in the r11 40× probe).
 - ``probes/`` — (cid, vec_id, qv, qn): each vector's ``n_probe``
-  query-role cluster assignments, partitioned by ``cid`` — the
+  query-role cluster assignments, bucketed like ``members/`` — the
   reverse index "which nodes would see a new member of cluster c",
   which is what makes the affected set a pruned read instead of a
   corpus scan.
@@ -107,11 +111,21 @@ def _read_meta(spark: SparkSession, store_dir: str) -> dict:
 def _stores(
     spark: SparkSession, store_dir: str
 ) -> tuple[ParquetStore, ParquetStore, ParquetStore]:
+    # members/probes disk-partition on a HASH BUCKET of the cluster id
+    # (cbalde = pmod(cid, cid_buckets)), not the raw cid: per-cid
+    # directories scale with the centroid count (n/density dirs — the
+    # r11 probe measured driver file listings over them becoming the
+    # dominant fold term at 40×), while bucketed dirs follow the same
+    # ~NODES_PER_BUCKET sizing rule as the edge table, so listing cost
+    # is corpus-bounded and a touched cluster still reads one pruned
+    # partition (±the ~256-node bucket's other clusters, filtered out
+    # by the cid predicate after pruning).
     members = ParquetStore(
-        spark, f"{store_dir}/members", ("vec_id",), partition_col="cid"
+        spark, f"{store_dir}/members", ("vec_id",), partition_col="cbalde"
     )
     probes = ParquetStore(
-        spark, f"{store_dir}/probes", ("vec_id", "cid"), partition_col="cid"
+        spark, f"{store_dir}/probes", ("vec_id", "cid"),
+        partition_col="cbalde",
     )
     edges = ParquetStore(
         spark,
@@ -148,22 +162,26 @@ def _base(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     ).withColumn("_norm", F.sqrt(_dot("_vec", "_vec")))
 
 
-def _member_rows(ranked: DataFrame) -> DataFrame:
+def _cbalde(ncb: int):
+    return F.pmod(F.col("cid"), F.lit(int(ncb))).cast("int")
+
+
+def _member_rows(ranked: DataFrame, ncb: int = 1) -> DataFrame:
     return ranked.filter(F.col("_rn") == 1).select(
         F.col("_cid").alias("cid"),
         F.col("_id").alias("vec_id"),
         F.col("_vec").alias("ev"),
         F.col("_norm").alias("nrm"),
-    )
+    ).withColumn("cbalde", _cbalde(ncb))
 
 
-def _probe_rows(ranked: DataFrame) -> DataFrame:
+def _probe_rows(ranked: DataFrame, ncb: int = 1) -> DataFrame:
     return ranked.select(
         F.col("_cid").alias("cid"),
         F.col("_id").alias("vec_id"),
         F.col("_vec").alias("qv"),
         F.col("_norm").alias("qn"),
-    )
+    ).withColumn("cbalde", _cbalde(ncb))
 
 
 def _pair_cos() -> Column:
@@ -279,20 +297,24 @@ def build_knn_graph_index(
     cent = spark.read.parquet(f"{store_dir}/centroids")
     ranked = _assign(base, cent, n_probe)
     members, probes, edges = _stores(spark, store_dir)
-    members.overwrite(_member_rows(ranked))
-    probes.overwrite(_probe_rows(ranked))
     nb = (
         int(edge_buckets)
         if edge_buckets is not None
         else edge_bucket_count(n_corpus)
     )
+    # cid buckets follow the same ~NODES_PER_BUCKET sizing rule (see
+    # _stores): directory count stays corpus-proportional-bounded
+    # instead of centroid-proportional
+    ncb = nb
+    members.overwrite(_member_rows(ranked, ncb))
+    probes.overwrite(_probe_rows(ranked, ncb))
     edges.overwrite(
         _topk_edges(_candidates(probes.read(), members.read()), k, nb)
     )
     from agrobr_spark.store.fs import write_text
 
     write_text(spark, f"{store_dir}/meta.json", json.dumps(
-        {"edge_buckets": nb}
+        {"edge_buckets": nb, "cid_buckets": ncb}
     ))
 
 
@@ -322,12 +344,14 @@ def update_knn_graph_frame(
     Returns the affected nodes' new edge rows. Replays are no-ops by
     construction (pair-key dedupe + PK merges)."""
     members, probes, edges = _stores(spark, store_dir)
+    meta = _read_meta(spark, store_dir)
+    ncb = int(meta.get("cid_buckets", meta["edge_buckets"]))
     cent = spark.read.parquet(f"{store_dir}/centroids")
     ranked = _assign(_base(emb_b, id_col, vec_col), cent, n_probe)
     # the legs below read the very stores the MERGEs rewrite — sever
     # the batch frames first (the admit_semdedup_frame discipline)
-    members_new = _member_rows(ranked).localCheckpoint(eager=True)
-    probes_new = _probe_rows(ranked).localCheckpoint(eager=True)
+    members_new = _member_rows(ranked, ncb).localCheckpoint(eager=True)
+    probes_new = _probe_rows(ranked, ncb).localCheckpoint(eager=True)
 
     touched = [
         r["cid"] for r in members_new.select("cid").distinct().collect()
@@ -335,8 +359,16 @@ def update_knn_graph_frame(
     probe_cids = [
         r["cid"] for r in probes_new.select("cid").distinct().collect()
     ]
-    probes_old = probes.read().filter(F.col("cid").isin(touched))
-    members_old = members.read().filter(F.col("cid").isin(probe_cids))
+    # cbalde first (partition pruning at the bucketed width), the cid
+    # predicate second (row filter inside the ~256-node buckets)
+    probes_old = probes.read().filter(
+        F.col("cbalde").isin([c % ncb for c in touched])
+        & F.col("cid").isin(touched)
+    )
+    members_old = members.read().filter(
+        F.col("cbalde").isin([c % ncb for c in probe_cids])
+        & F.col("cid").isin(probe_cids)
+    )
 
     cands = (
         _candidates(probes_old, members_new)
@@ -354,7 +386,7 @@ def update_knn_graph_frame(
     # pruned scan at the store's manifest-frozen width), then the
     # exact id semi-join; with buckets scaled to NODES_PER_BUCKET the
     # volume read and rewritten per batch is corpus-independent
-    nb = int(_read_meta(spark, store_dir)["edge_buckets"])
+    nb = int(meta["edge_buckets"])
     bkts = [
         r["b"]
         for r in affected.select(

@@ -103,6 +103,7 @@ def _edge_bytes(store_dir: str, buckets: set[int] | None) -> int:
 def probe(spark, k: int, batch_size: int, density: int) -> dict:
     import pyspark.sql.functions as F
 
+    from agrobr_spark.store.table import ParquetStore
     from agrobr_spark.operators.knn_store import (
         NODES_PER_BUCKET,
         _read_meta,
@@ -171,7 +172,38 @@ def probe(spark, k: int, batch_size: int, density: int) -> dict:
         update_graph_pageranks_frame(spark, relabeled, store)
         t_rank = time.time() - t0
 
+        # isolate the PRUNED EDGE SCAN from the fold's other terms
+        # (centroid assign, candidate join, re-rank window, MERGE
+        # rewrite + its commit listing): if this stays flat while the
+        # fold wall grows, the growth is metadata/commit overhead at
+        # local-FS toy scale (driver file listings are O(#partition
+        # dirs)), not data volume — the bytes columns are the ground
+        # truth either way
+        from pyspark.sql import functions as FF
+
+        ids_df = staged.select("vec_id").distinct()
+        t0 = time.time()
+        edges_store = ParquetStore(
+            spark, os.path.join(store, "edges"),
+            ("vec_id", "posicao"), partition_col="balde",
+        )
+        n_pruned = (
+            edges_store.read()
+            .filter(FF.col("balde").isin(list(edge_buckets)))
+            .join(FF.broadcast(ids_df), "vec_id", "semi")
+            .count()
+        )
+        t_pruned_read = time.time() - t0
+        t0 = time.time()
+        n_full = edges_store.read().count()
+        t_full_read = time.time() - t0
+
         return {
+            "pruned_read_rows": n_pruned,
+            "pruned_read_s": round(t_pruned_read, 2),
+            "full_read_rows": n_full,
+            "full_read_s": round(t_full_read, 2),
+            "loadavg": round(os.getloadavg()[0], 1),
             "k": k,
             "n_corpus": n,
             "batch": batch_size,

@@ -221,6 +221,14 @@ PROBE_QUERIES = [
     "text_tokenizer_fertility",
     # every dedup method once + four single-row aggregates
     "corpus_dedup_rate_report",
+    # round-11 additions: the nested-IN/correlated-scalar decorrelation
+    # classic (left-semi chain, two lineitem scans), within-cluster
+    # PageRank (labels + induced edges + 5 unrolled iterations), and
+    # its incrementally-maintained streamed twin (corpus build + 3
+    # per-batch edge/label/rank folds)
+    "tpch_q20",
+    "graph_pagerank_components",
+    "stream_pagerank_update",
 ]
 
 # every table any probe query loads
