@@ -445,7 +445,20 @@ def read_knn_graph(spark: SparkSession, store_dir: str) -> DataFrame:
 
 
 def _labels_store(spark: SparkSession, store_dir: str) -> ParquetStore:
-    return ParquetStore(spark, f"{store_dir}/labels", ("vec_id",))
+    # balde-partitioned like the edge table: an UNpartitioned PK store
+    # rewrites the whole table on every merge_upsert (O(corpus) write
+    # per micro-batch — the scale bug the r11 probe pass flushed out);
+    # bucketed, the per-fold label write rewrites only the touched
+    # members' buckets
+    return ParquetStore(
+        spark, f"{store_dir}/labels", ("vec_id",), partition_col="balde"
+    )
+
+
+def _with_balde(df: DataFrame, nb: int) -> DataFrame:
+    return df.withColumn(
+        "balde", F.pmod(F.col("vec_id"), F.lit(int(nb))).cast("int")
+    )
 
 
 def _mutual_pairs(side_a: DataFrame, side_b: DataFrame) -> DataFrame:
@@ -492,7 +505,8 @@ def build_graph_labels(
             F.coalesce("componente", F.col("vec_id")).alias("componente"),
         )
     )
-    _labels_store(spark, store_dir).overwrite(labels)
+    nb = int(_read_meta(spark, store_dir)["edge_buckets"])
+    _labels_store(spark, store_dir).overwrite(_with_balde(labels, nb))
 
 
 def update_graph_labels_frame(
@@ -507,13 +521,18 @@ def update_graph_labels_frame(
     new nodes included). Returns the re-labeled rows.
     ``scratch_dir`` as in :func:`build_graph_labels`.
 
-    Read volume: the ``changed``-incident and S-induced edge legs are
-    balde-pruned like the edge fold itself; the ONE inherently
-    unprunable leg is the reverse side of the changed-incident mutual
-    check (the reverse rows' buckets hash on the unknown neighbor id)
-    — at 100 TB that is the bloom/DPP semi-join case, and the labels
-    table reads stay two bounded passes (a semi-join collect of
-    touched component ids + one ``isin`` filter)."""
+    Read volume: EVERY edge leg is balde-pruned, including the
+    reverse side of the changed-incident mutual check — its rows'
+    buckets hash on the neighbor id, which is UNKNOWN before the
+    forward leg is read but known after (the changed rows carry their
+    neighbor ids), so the reverse leg is a SECOND round-trip pruned
+    read keyed on those ids rather than a table scan (r11: previously
+    documented as the one unprunable leg; it never was — it just
+    needed the sequential dependency). The labels-table READ keyed on
+    componente stays the one full-scan term (the partition key is the
+    vec_id bucket; a componente-keyed secondary index is the 100 TB
+    answer if it ever dominates), while the labels WRITE is now
+    partition-pruned to the touched members' buckets."""
     from agrobr_spark.operators.components import connected_components
 
     labels = _labels_store(spark, store_dir)
@@ -537,9 +556,14 @@ def update_graph_labels_frame(
             .drop("balde")
         )
 
-    # candidate mutual edges incident to changed nodes (current state)
-    e_changed = pruned_edges_of(changed)
-    cand = _mutual_pairs(e_changed, e_all.drop("balde"))
+    # candidate mutual edges incident to changed nodes (current state);
+    # the reverse side reads only the buckets of the forward legs'
+    # neighbor ids — a bounded (<= |changed| * k) id set
+    e_changed = pruned_edges_of(changed).localCheckpoint(eager=True)
+    e_reverse = pruned_edges_of(
+        e_changed.select(F.col("neighbor_id").alias("vec_id")).distinct()
+    )
+    cand = _mutual_pairs(e_changed, e_reverse)
     seeds = (
         changed.unionByName(cand.select(F.col("va").alias("vec_id")))
         .unionByName(cand.select(F.col("vb").alias("vec_id")))
@@ -573,7 +597,7 @@ def update_graph_labels_frame(
         )
         .localCheckpoint(eager=True)
     )
-    labels.merge_upsert(relabeled)
+    labels.merge_upsert(_with_balde(relabeled, nb))
     return relabeled
 
 
@@ -606,7 +630,12 @@ def read_graph_clusters(spark: SparkSession, store_dir: str) -> DataFrame:
 
 
 def _pranks_store(spark: SparkSession, store_dir: str) -> ParquetStore:
-    return ParquetStore(spark, f"{store_dir}/pranks", ("vec_id",))
+    # balde-partitioned for the same reason as the labels store: the
+    # per-fold rank MERGE must rewrite only the touched members'
+    # buckets, never the corpus
+    return ParquetStore(
+        spark, f"{store_dir}/pranks", ("vec_id",), partition_col="balde"
+    )
 
 
 def _component_pageranks(
@@ -641,8 +670,9 @@ def build_graph_pageranks(spark: SparkSession, store_dir: str) -> None:
     edges and labels (`build_graph_labels` must have run)."""
     lab = _labels_store(spark, store_dir).read()
     e = read_knn_graph(spark, store_dir).select("vec_id", "neighbor_id")
+    nb = int(_read_meta(spark, store_dir)["edge_buckets"])
     _pranks_store(spark, store_dir).overwrite(
-        _component_pageranks(lab, e)
+        _with_balde(_component_pageranks(lab, e), nb)
     )
 
 
@@ -688,7 +718,7 @@ def update_graph_pageranks_frame(
     ranked = _component_pageranks(relabeled, e_s).localCheckpoint(
         eager=True
     )
-    _pranks_store(spark, store_dir).merge_upsert(ranked)
+    _pranks_store(spark, store_dir).merge_upsert(_with_balde(ranked, nb))
     return ranked
 
 
