@@ -2055,6 +2055,17 @@ def test_knn_store_update_touches_only_affected(spark, tmp_path):
     ).join(F.broadcast(some), "vec_id", "semi")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [balde" in plan.replace("#", ""), plan
+    # (b') the member/probe reads prune on the cid BUCKET the same way
+    # (r11: per-cid partition dirs were the dominant metadata term)
+    mstore, _, _ = K._stores(spark, store)
+    ncb = K._read_meta(spark, store)["cid_buckets"]
+    mpruned = mstore.read().filter(
+        F.col("cbalde").isin([0 % ncb]) & F.col("cid").isin([0])
+    )
+    import re as _re
+
+    mplan = mpruned._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"PartitionFilters: \[[^\]]*cbalde", mplan), mplan
     # (c) untouched nodes unchanged
     after = {
         (r["vec_id"], r["posicao"]): (r["neighbor_id"], r["cosseno"])
