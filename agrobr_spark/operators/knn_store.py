@@ -597,7 +597,23 @@ def update_graph_labels_frame(
         )
         .localCheckpoint(eager=True)
     )
-    labels.merge_upsert(_with_balde(relabeled, nb))
+    # MERGE only the rows whose label actually CHANGED: most touched-
+    # component members keep their label verbatim, so the delta filter
+    # collapses the write (and its per-bucket commit cost) to the true
+    # merge/split frontier — and makes a replay's merge an EMPTY
+    # no-op rather than a byte-identical rewrite
+    old = lab.select(
+        "vec_id", F.col("componente").alias("_old")
+    )
+    delta = (
+        relabeled.join(old, "vec_id", "left")
+        .filter(
+            F.col("_old").isNull()
+            | (F.col("_old") != F.col("componente"))
+        )
+        .select("vec_id", "componente")
+    )
+    labels.merge_upsert(_with_balde(delta, nb))
     return relabeled
 
 
@@ -718,7 +734,26 @@ def update_graph_pageranks_frame(
     ranked = _component_pageranks(relabeled, e_s).localCheckpoint(
         eager=True
     )
-    _pranks_store(spark, store_dir).merge_upsert(_with_balde(ranked, nb))
+    # delta-merge like the label fold: only rows whose (componente,
+    # pontuacao) actually changed are written — a replayed batch's
+    # merge is EMPTY, and a fold that leaves a component's trajectory
+    # untouched writes none of its buckets
+    pranks = _pranks_store(spark, store_dir)
+    old = pranks.read().select(
+        "vec_id",
+        F.col("componente").alias("_oc"),
+        F.col("pontuacao").alias("_op"),
+    )
+    delta = (
+        ranked.join(old, "vec_id", "left")
+        .filter(
+            F.col("_oc").isNull()
+            | (F.col("_oc") != F.col("componente"))
+            | (F.col("_op") != F.col("pontuacao"))
+        )
+        .select("vec_id", "componente", "pontuacao")
+    )
+    pranks.merge_upsert(_with_balde(delta, nb))
     return ranked
 
 

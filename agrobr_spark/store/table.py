@@ -146,7 +146,16 @@ class ParquetStore:
             conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             try:
                 (
-                    merged.write.mode("overwrite")
+                    # one shuffle on the partition column so each
+                    # rewritten partition gets ONE data file instead of
+                    # one per task holding its rows: fewer files to
+                    # commit per merge (the dominant small-merge cost)
+                    # and no small-file accretion for compact() to fold
+                    # later; a skewed-hot partition lands on one task —
+                    # acceptable because merges stage only touched
+                    # partitions' rows (bounded), never the table
+                    merged.repartition(self.partition_col)
+                    .write.mode("overwrite")
                     .partitionBy(self.partition_col)
                     .parquet(self.path)
                 )
