@@ -2989,3 +2989,298 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 tpch_q20.__doc__ = tpch_q20.__doc__.format(
     prefix=_Q20_NAME_PREFIX, year=_Q20_YEAR
 )
+
+
+_Q2_SIZE = 15
+_Q2_TYPE = "STANDARD"
+_Q2_REGION = "ASIA"
+_Q2_TOPK = 100
+
+_Q2_SQL = """
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM {li} GROUP BY l_partkey, l_suppkey)
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+           ps.ps_supplycost AS custo_min
+    FROM {pt} p, {su} s, ps, {na} n, {re} r
+    WHERE p.p_partkey = ps.ps_partkey AND s.s_suppkey = ps.ps_suppkey
+      AND p.p_size <= {size} AND p.p_type = '{ptype}'
+      AND s.s_nationkey = n.n_nationkey
+      AND n.n_regionkey = r.r_regionkey AND r.r_name = '{region}'
+      AND ps.ps_supplycost = (
+        SELECT min(ps2.ps_supplycost)
+        FROM ps ps2, {su} s2, {na} n2, {re} r2
+        WHERE p.p_partkey = ps2.ps_partkey
+          AND s2.s_suppkey = ps2.ps_suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = '{region}')
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT {k}
+"""
+
+
+def _q2_sql(li: str, pt: str, su: str, na: str, re_: str) -> str:
+    return _Q2_SQL.format(
+        li=li, pt=pt, su=su, na=na, re=re_,
+        size=_Q2_SIZE, ptype=_Q2_TYPE, region=_Q2_REGION, k=_Q2_TOPK,
+    )
+
+
+@register(
+    "tpch_q2",
+    oracle=_q2_sql("lineitem", "part", "supplier", "nation", "region"),
+    tags=("TPCH", "Q2", "SUBQUERY", "DECORRELATION", "SCALE_DEFAULT"),
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier) on the fixture schema: for
+    each qualifying part, the region's suppliers that hit the
+    region-wide MINIMUM supply cost — THE canonical correlated
+    AGGREGATE-EQUALITY subquery (reference runs the published form
+    over DuckDB; the fixture has no partsupp, so supply pairs derive
+    from distinct lineitem (l_partkey, l_suppkey) with the cheapest
+    observed unit price standing in for ps_supplycost — the same
+    derivation tpch_q20 established).
+
+    Q17 proved scalar-AVG decorrelation and Q20 the nested-IN chain;
+    Q2 is the third shape: a correlated MIN that must become ONE
+    part-keyed aggregate over the region-pruned supply pairs joined
+    back on (partkey, cost-equality) — never a per-part rescan of the
+    pair table. The region restriction applies INSIDE the subquery,
+    so Catalyst has to keep the nation->region broadcast prune on
+    both legs. tests/test_plans.py pins: zero surviving Subquery
+    nodes, a min-aggregate keyed on ps_partkey, both part filters
+    pushed to the part scan, no Cartesian product.
+
+    Determinism: ps_supplycost is MIN over the raw IEEE double
+    quotient — division of bit-identical parquet doubles is
+    bit-identical in both engines, MIN is order-free, and the
+    equality join decides identically; no decimal rounding step
+    exists to diverge (a DECIMAL(18,4) cast here DID diverge on a
+    half-way value, 374.95375 — doubles need no rounding, so money
+    discipline applies to SUMS, not to MIN/equality lineage). The top-{k} cut
+    carries the full (acctbal, nation, name, partkey) tie-break chain
+    so the heap is total-ordered."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("tq2_lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("tq2_part")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("tq2_supplier")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("tq2_nation")
+    load(spark, sf_dir, "region").createOrReplaceTempView("tq2_region")
+    return spark.sql(
+        _q2_sql("tq2_lineitem", "tq2_part", "tq2_supplier", "tq2_nation",
+                "tq2_region")
+    )
+
+
+tpch_q2.__doc__ = tpch_q2.__doc__.format(k=_Q2_TOPK)
+
+_Q18_MIN_QTY = 250
+_Q18_TOPK = 100
+
+_Q18_SQL = """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS data_pedido, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS qtd_total
+    FROM {cu} c, {od} o, {li} l
+    WHERE o.o_orderkey IN (
+        SELECT l2.l_orderkey FROM {li} l2
+        GROUP BY l2.l_orderkey
+        HAVING SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) > {minqty})
+      AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, data_pedido,
+             o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT {k}
+"""
+
+
+def _q18_sql(cu: str, od: str, li: str) -> str:
+    return _Q18_SQL.format(cu=cu, od=od, li=li,
+                           minqty=_Q18_MIN_QTY, k=_Q18_TOPK)
+
+
+@register(
+    "tpch_q18",
+    oracle=_q18_sql("customer", "orders", "lineitem"),
+    tags=("TPCH", "Q18", "SUBQUERY", "SEMI_JOIN", "SCALE_DEFAULT"),
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): orders whose total line
+    quantity exceeds {minqty}, with their customer and the quantity —
+    the canonical IN-over-GROUP-BY-HAVING shape (reference runs the
+    published form over DuckDB; the fixture schema carries every
+    column Q18 needs, so only the threshold is re-tuned to this
+    data's p99).
+
+    The decorrelation lesson here is distinct from Q17/Q20/Q2: the IN
+    subquery is UNCORRELATED but aggregated, so Catalyst must plan it
+    as a standalone orderkey-keyed partial+final aggregate feeding a
+    LEFT-SEMI join against orders — the filter applies BEFORE the
+    customer join, so at 100 TB the expensive fact x dim join only
+    sees the ~1-in-50 qualifying orders. A naive plan that joins
+    first and filters later does 50x the join work.
+    tests/test_plans.py pins: zero Subquery nodes, a LeftSemi, a
+    HAVING-side sum keyed on l_orderkey, no Cartesian product.
+
+    Determinism: both quantity sums (HAVING gate and emitted total)
+    are DECIMAL(18,4)-exact in any accumulation order; the strict >
+    decides identically in both engines; the top-{k} cut is
+    total-ordered by the (totalprice, orderkey) tie-break."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("tq18_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("tq18_orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("tq18_lineitem")
+    return spark.sql(
+        _q18_sql("tq18_customer", "tq18_orders", "tq18_lineitem")
+    )
+
+
+tpch_q18.__doc__ = tpch_q18.__doc__.format(
+    minqty=_Q18_MIN_QTY, k=_Q18_TOPK
+)
+
+_Q21_LATE_DAYS = 365
+_Q21_NATIONS = ("NATION_3", "NATION_4", "NATION_5")
+_Q21_TOPK = 100
+
+_Q21_SQL = """
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS n_esperas
+    FROM {su} s, {li} l1, {od} o, {na} n
+    WHERE s.s_suppkey = l1.l_suppkey
+      AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL {late} DAY
+      AND EXISTS (
+        SELECT 1 FROM {li} l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM {li} l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL {late} DAY)
+      AND s.s_nationkey = n.n_nationkey
+      AND n.n_name IN ({nations})
+    GROUP BY s.s_name
+    ORDER BY n_esperas DESC, s.s_name
+    LIMIT {k}
+"""
+
+
+def _q21_sql(su: str, li: str, od: str, na: str) -> str:
+    return _Q21_SQL.format(
+        su=su, li=li, od=od, na=na,
+        late=_Q21_LATE_DAYS, k=_Q21_TOPK,
+        nations=", ".join(f"'{x}'" for x in _Q21_NATIONS),
+    )
+
+
+@register(
+    "tpch_q21",
+    oracle=_q21_sql("supplier", "lineitem", "orders", "nation"),
+    tags=("TPCH", "Q21", "SUBQUERY", "ANTI_JOIN", "SCALE_DEFAULT"),
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): for finished
+    orders, suppliers in a nation set who were the ONLY late supplier
+    on a multi-supplier order — THE canonical EXISTS + NOT-EXISTS
+    pair over self-joined lineitem (reference runs the published form
+    over DuckDB; the fixture lacks l_commitdate/l_receiptdate, so
+    "late" is shipped more than {late} days after the order date —
+    the o_orderdate correlation even strengthens the test, because
+    the anti-join condition now references TWO outer tables).
+
+    This is the hardest decorrelation shape in the TPC-H suite: the
+    EXISTS must become a LEFT-SEMI self-join on l_orderkey with the
+    <> supplier disequality riding the join condition, and the
+    NOT EXISTS a LEFT-ANTI with BOTH the disequality and the
+    late-shipment inequality attached — three lineitem scans total,
+    zero per-row rescans. At 100 TB a surviving correlated NOT EXISTS
+    is |lineitem| rescans of lineitem. tests/test_plans.py pins: zero
+    Subquery nodes, >=1 LeftSemi and >=1 LeftAnti, exactly three
+    lineitem scans, the 'F' status pushed to the orders scan.
+
+    Determinism: the late predicate compares two timestamps (interval
+    arithmetic is exact), counts are integers, and the top-{k} heap
+    is total-ordered by (n_esperas DESC, s_name)."""
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("tq21_supplier")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("tq21_lineitem")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("tq21_orders")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("tq21_nation")
+    return spark.sql(
+        _q21_sql("tq21_supplier", "tq21_lineitem", "tq21_orders",
+                 "tq21_nation")
+    )
+
+
+tpch_q21.__doc__ = tpch_q21.__doc__.format(
+    late=_Q21_LATE_DAYS, k=_Q21_TOPK
+)
+
+_Q22_SEGMENTS = ("BUILDING", "AUTOMOBILE", "MACHINERY")
+_Q22_RECENT = "2000-01-01"
+
+_Q22_SQL = """
+    SELECT c.c_mktsegment AS segmento,
+           CAST(count(*) AS BIGINT) AS n_clientes,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             AS saldo_total
+    FROM {cu} c
+    WHERE c.c_mktsegment IN ({segments})
+      AND c.c_acctbal > (
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE)
+        FROM {cu} c2
+        WHERE c2.c_acctbal > 0.0
+          AND c2.c_mktsegment IN ({segments}))
+      AND NOT EXISTS (
+        SELECT 1 FROM {od} o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '{recent} 00:00:00')
+    GROUP BY c.c_mktsegment
+    ORDER BY segmento
+"""
+
+
+def _q22_sql(cu: str, od: str) -> str:
+    return _Q22_SQL.format(
+        cu=cu, od=od, recent=_Q22_RECENT,
+        segments=", ".join(f"'{x}'" for x in _Q22_SEGMENTS),
+    )
+
+
+@register(
+    "tpch_q22",
+    oracle=_q22_sql("customer", "orders"),
+    tags=("TPCH", "Q22", "SUBQUERY", "ANTI_JOIN", "SCALE_DEFAULT"),
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): per market segment, the
+    count and total balance of above-average-balance customers with
+    no RECENT orders — the uncorrelated-scalar + correlated-NOT-EXISTS
+    pair (reference runs the published form over DuckDB; the fixture
+    has no c_phone, so the country-code prefix becomes the segment
+    list, and — because every fixture customer has SOME order — the
+    dormancy predicate is "no order since {recent}", which preserves
+    the anti-join shape while keeping the result non-trivial).
+
+    Two distinct subquery disciplines in one plan: the average-balance
+    scalar is UNCORRELATED, so it must execute EXACTLY ONCE (a
+    one-row broadcast reused across every outer row — never
+    re-evaluated per row), while the NOT EXISTS decorrelates into a
+    LEFT-ANTI join on c_custkey against the date-pruned orders scan.
+    tests/test_plans.py pins: a LeftAnti, the date filter pushed to
+    the orders scan, the segment IN pushed to both customer scans,
+    and no Cartesian product. At 100 TB the anti side reads only the
+    recent slice of orders, not the full history.
+
+    Determinism: the average is the house quotient (DECIMAL-exact sum
+    cast to double over an exact count); the strict > decides
+    identically; saldo_total is DECIMAL-summed then surfaced as
+    double; segment grouping is exact-string."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("tq22_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("tq22_orders")
+    return spark.sql(_q22_sql("tq22_customer", "tq22_orders"))
+
+
+tpch_q22.__doc__ = tpch_q22.__doc__.format(recent=_Q22_RECENT)

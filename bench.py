@@ -83,6 +83,10 @@ BENCH_QUERIES = [
     "tpch_q5",
     "tpch_q17",
     "tpch_q20",
+    "tpch_q2",
+    "tpch_q18",
+    "tpch_q21",
+    "tpch_q22",
     "w16_anomaly_intervals",
     "w15_rolling_zscore",
     "w7_sessionize",

@@ -519,3 +519,81 @@ class TestTpchDecorrelation:
         assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan), plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+    def test_q21_decorrelates_to_semi_anti_pair(self, spark, cat):
+        """tpch_q21: the EXISTS must become a LEFT-SEMI self-join on
+        l_orderkey carrying the supplier disequality, and the
+        NOT EXISTS a LEFT-ANTI carrying BOTH the disequality and the
+        late-shipment inequality (which references a SECOND outer
+        table, orders) — zero surviving subquery nodes and exactly
+        three lineitem scans (outer + semi + anti). At 100 TB a
+        surviving correlated NOT EXISTS is |lineitem| rescans of
+        lineitem. The 'F' status and the nation IN-list push to their
+        scans."""
+        plan = plan_of(cat["tpch_q21"].fn(spark, SF_SMOKE))
+        assert "Subquery" not in plan, plan
+        assert "LeftSemi" in plan, plan
+        assert "LeftAnti" in plan, plan
+        assert len(re.findall(r"lineitem\.parquet", plan)) == 3, plan
+        assert re.search(
+            r"PushedFilters: \[[^\]]*EqualTo\(o_orderstatus,F", plan
+        ), plan
+        assert re.search(r"PushedFilters: \[[^\]]*In\(n_name", plan), plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_q22_scalar_once_anti_join(self, spark, cat):
+        """tpch_q22: two subquery disciplines in one plan — the
+        UNCORRELATED average-balance scalar may survive as a subquery
+        node because that is the CORRECT plan (it executes exactly
+        once and broadcasts, never per-row: exactly two customer
+        scans exist, outer + the one-time average), while the
+        correlated NOT EXISTS must decorrelate into a LEFT-ANTI on
+        c_custkey whose orders scan carries the pushed recency bound
+        — the anti side reads the recent slice, not full history."""
+        plan = plan_of(cat["tpch_q22"].fn(spark, SF_SMOKE))
+        assert "LeftAnti" in plan, plan
+        assert len(re.findall(r"customer\.parquet", plan)) == 2, plan
+        assert len(re.findall(r"orders\.parquet", plan)) == 1, plan
+        assert re.search(
+            r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate",
+            plan,
+        ), plan
+        assert len(re.findall(r"In\(c_mktsegment", plan)) >= 2, plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_q18_having_semi_filters_before_join(self, spark, cat):
+        """tpch_q18: the uncorrelated-but-aggregated IN must plan as a
+        standalone l_orderkey-keyed aggregate feeding a LEFT-SEMI that
+        prunes orders BEFORE the customer join — zero subquery nodes;
+        a plan that joins first and filters later does ~50x the join
+        work at 100 TB."""
+        plan = plan_of(cat["tpch_q18"].fn(spark, SF_SMOKE))
+        assert "Subquery" not in plan, plan
+        assert "LeftSemi" in plan, plan
+        assert re.search(r"Keys \[1\]: \[l_orderkey", plan), plan
+        assert len(re.findall(r"lineitem\.parquet", plan)) <= 3, plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_q2_correlated_min_decorrelates(self, spark, cat):
+        """tpch_q2: the correlated MIN-equality subquery must become
+        ONE ps_partkey-keyed min-aggregate over the region-pruned
+        supply pairs joined back on (partkey, cost) — zero surviving
+        subquery nodes, exactly two lineitem scans (outer pairs +
+        subquery pairs), part filters pushed, and the region equality
+        pushed on BOTH legs' region scans."""
+        plan = plan_of(cat["tpch_q2"].fn(spark, SF_SMOKE))
+        assert "Subquery" not in plan, plan
+        assert len(re.findall(r"lineitem\.parquet", plan)) == 2, plan
+        assert re.search(r"Keys \[1\]: \[ps_partkey", plan), plan
+        assert re.search(
+            r"PushedFilters: \[[^\]]*LessThanOrEqual\(p_size", plan
+        ), plan
+        assert re.search(
+            r"PushedFilters: \[[^\]]*EqualTo\(p_type", plan
+        ), plan
+        assert len(re.findall(r"EqualTo\(r_name", plan)) == 2, plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan

@@ -229,6 +229,13 @@ PROBE_QUERIES = [
     "tpch_q20",
     "graph_pagerank_components",
     "stream_pagerank_update",
+    # round-11 TPC-H close-out: correlated MIN-equality (Q2), having-
+    # semi (Q18), EXISTS/NOT-EXISTS self-join pair (Q21), one-shot
+    # scalar + anti-join (Q22) — the remaining decorrelation shapes
+    "tpch_q2",
+    "tpch_q18",
+    "tpch_q21",
+    "tpch_q22",
 ]
 
 # every table any probe query loads
