@@ -345,7 +345,17 @@ def update_knn_graph_frame(
     construction (pair-key dedupe + PK merges)."""
     members, probes, edges = _stores(spark, store_dir)
     meta = _read_meta(spark, store_dir)
-    ncb = int(meta.get("cid_buckets", meta["edge_buckets"]))
+    if "cid_buckets" not in meta:
+        # no quiet fallback: a pre-cid-bucketing store has members/
+        # probes partitioned on raw cid and NO cbalde column — any
+        # guessed bucket count would die later with an unresolved-
+        # column error that hides the real cause (r11 review)
+        raise KeyError(
+            f"knn_store at {store_dir!r} predates the cbalde layout "
+            "(meta lacks 'cid_buckets'); rebuild it with "
+            "build_knn_graph_index"
+        )
+    ncb = int(meta["cid_buckets"])
     cent = spark.read.parquet(f"{store_dir}/centroids")
     ranked = _assign(_base(emb_b, id_col, vec_col), cent, n_probe)
     # the legs below read the very stores the MERGEs rewrite — sever
@@ -381,25 +391,14 @@ def update_knn_graph_frame(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # prune the edge read to the affected nodes' BUCKETS first (one
-    # <=n_buckets-row collect on the bucket column — a partition-
-    # pruned scan at the store's manifest-frozen width), then the
-    # exact id semi-join; with buckets scaled to NODES_PER_BUCKET the
-    # volume read and rewritten per batch is corpus-independent
+    # prune the edge read to the affected nodes' BUCKETS first (the
+    # shared _pruned_by_ids idiom — partition-pruned scan at the
+    # store's manifest-frozen width, then the exact id semi-join);
+    # with buckets scaled to NODES_PER_BUCKET the volume read and
+    # rewritten per batch is corpus-independent
     nb = int(meta["edge_buckets"])
-    bkts = [
-        r["b"]
-        for r in affected.select(
-            F.pmod(F.col("vec_id"), F.lit(nb)).cast("int").alias("b")
-        )
-        .distinct()
-        .collect()
-    ]
-    current = (
-        edges.read()
-        .filter(F.col("balde").isin(bkts))
-        .join(F.broadcast(affected), "vec_id", "semi")
-        .select("vec_id", "neighbor_id", "cosseno")
+    current = _pruned_by_ids(edges.read(), affected, nb).select(
+        "vec_id", "neighbor_id", "cosseno"
     )
     new_edges = _topk_edges(
         cands.unionByName(current), k, nb
@@ -458,6 +457,28 @@ def _labels_store(spark: SparkSession, store_dir: str) -> ParquetStore:
 def _with_balde(df: DataFrame, nb: int) -> DataFrame:
     return df.withColumn(
         "balde", F.pmod(F.col("vec_id"), F.lit(int(nb))).cast("int")
+    )
+
+
+def _pruned_by_ids(table: DataFrame, ids: DataFrame, nb: int) -> DataFrame:
+    """Balde-pruned, id-semi-joined read of a vec_id-bucketed table:
+    collect the ids' bucket set (<= nb values, a bounded driver list),
+    prune partitions on it, THEN the exact broadcast semi join. This
+    is THE fold-leg read idiom — edge legs, label legs, rank legs and
+    both delta-merge old sides all go through this one implementation
+    so the pruning cannot drift between folds (r11 review: the
+    pattern had been hand-copied per fold, and two delta legs had
+    quietly shipped without it, full-scanning their store per batch)."""
+    bkts = [
+        r["b"]
+        for r in ids.select(
+            F.pmod(F.col("vec_id"), F.lit(int(nb))).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    return table.filter(F.col("balde").isin(bkts)).join(
+        F.broadcast(ids.select("vec_id")), "vec_id", "semi"
     )
 
 
@@ -542,19 +563,7 @@ def update_graph_labels_frame(
     changed = changed.select("vec_id").distinct().localCheckpoint(eager=True)
 
     def pruned_edges_of(ids: DataFrame) -> DataFrame:
-        bkts = [
-            r["b"]
-            for r in ids.select(
-                F.pmod(F.col("vec_id"), F.lit(nb)).cast("int").alias("b")
-            )
-            .distinct()
-            .collect()
-        ]
-        return (
-            e_all.filter(F.col("balde").isin(bkts))
-            .join(F.broadcast(ids), "vec_id", "semi")
-            .drop("balde")
-        )
+        return _pruned_by_ids(e_all, ids, nb).drop("balde")
 
     # candidate mutual edges incident to changed nodes (current state);
     # the reverse side reads only the buckets of the forward legs'
@@ -601,8 +610,12 @@ def update_graph_labels_frame(
     # component members keep their label verbatim, so the delta filter
     # collapses the write (and its per-bucket commit cost) to the true
     # merge/split frontier — and makes a replay's merge an EMPTY
-    # no-op rather than a byte-identical rewrite
-    old = lab.select(
+    # no-op rather than a byte-identical rewrite. The old side is
+    # balde-pruned to the relabeled set's buckets (relabeled ⊆
+    # s_nodes, and a left join drops unmatched old rows anyway), so
+    # the delta leg never re-scans the labels table (r11 review: it
+    # did, doubling the dominant labels-read term per fold)
+    old = _pruned_by_ids(lab, s_nodes, nb).select(
         "vec_id", F.col("componente").alias("_old")
     )
     delta = (
@@ -706,9 +719,10 @@ def update_graph_pageranks_frame(
     (exact by the per-component decomposition). Returns the re-ranked
     rows.
 
-    Read volume: ONE balde-pruned, id-semi-joined edge read (the
-    label-fold legs' pattern) + the loop over |touched| rows — a
-    batch re-ranks its semantic neighborhoods, never the corpus.
+    Read volume: one balde-pruned, id-semi-joined edge read plus one
+    equally pruned old-ranks read for the delta compare (both via
+    `_pruned_by_ids`) + the loop over |touched| rows — a batch
+    re-ranks its semantic neighborhoods, never the corpus.
     Replay-idempotent: same labels + same edges → the same
     deterministic trajectory, and the MERGE is PK-last-writer-wins."""
     relabeled = relabeled.select(
@@ -717,19 +731,8 @@ def update_graph_pageranks_frame(
     _, _, edges = _stores(spark, store_dir)
     nb = int(_read_meta(spark, store_dir)["edge_buckets"])
     ids = relabeled.select("vec_id")
-    bkts = [
-        r["b"]
-        for r in ids.select(
-            F.pmod(F.col("vec_id"), F.lit(nb)).cast("int").alias("b")
-        )
-        .distinct()
-        .collect()
-    ]
-    e_s = (
-        edges.read()
-        .filter(F.col("balde").isin(bkts))
-        .join(F.broadcast(ids), "vec_id", "semi")
-        .select("vec_id", "neighbor_id")
+    e_s = _pruned_by_ids(edges.read(), ids, nb).select(
+        "vec_id", "neighbor_id"
     )
     ranked = _component_pageranks(relabeled, e_s).localCheckpoint(
         eager=True
@@ -738,8 +741,11 @@ def update_graph_pageranks_frame(
     # pontuacao) actually changed are written — a replayed batch's
     # merge is EMPTY, and a fold that leaves a component's trajectory
     # untouched writes none of its buckets
+    # old side balde-pruned to the re-ranked set's buckets — the
+    # delta compare must read its neighborhoods, never the corpus
+    # (r11 review: this leg full-scanned the pranks table per fold)
     pranks = _pranks_store(spark, store_dir)
-    old = pranks.read().select(
+    old = _pruned_by_ids(pranks.read(), ids, nb).select(
         "vec_id",
         F.col("componente").alias("_oc"),
         F.col("pontuacao").alias("_op"),

@@ -864,7 +864,7 @@ def stream_pagerank_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         update_knn_graph_frame,
     )
     from agrobr_spark.queries.admission import _split_params
-    from agrobr_spark.queries.similarity import GRAPH_K, GRAPH_PROBE, PR_ITER
+    from agrobr_spark.queries.similarity import GRAPH_K, GRAPH_PROBE
 
     _COUNTER[0] += 1
     store_dir = tempfile.mkdtemp(prefix="stream_knn_pr_")

@@ -139,17 +139,39 @@ def require_local_path(path: str) -> str:
     this before its meta read moved to the Hadoop FS)."""
     import re
 
-    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://(.*)$", path)
+    # match ANY scheme-qualified form, including Hadoop's normalized
+    # single-slash `scheme:/path` (Path.toString() emits file:/tmp/x,
+    # hdfs:/x — the r11 review caught the `://`-only regex letting
+    # those pass through as literal relative paths, turning a PRESENT
+    # manifest into a silent None read)
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):(.*)$", path)
     if m is None:
         return path
-    if m.group(1) == "file":
-        return "/" + m.group(2).lstrip("/")
-    raise ValueError(
-        f"manifest path {path!r} uses scheme {m.group(1)!r}: the "
-        "local-posix commit primitive (store/fs.commit_json) cannot "
-        "provide atomic commits there — route this store's manifest "
-        "through the object store's conditional put instead"
-    )
+    scheme, rest = m.group(1), m.group(2)
+    if scheme != "file":
+        raise ValueError(
+            f"manifest path {path!r} uses scheme {scheme!r}: the "
+            "local-posix commit primitive (store/fs.commit_json) cannot "
+            "provide atomic commits there — route this store's manifest "
+            "through the object store's conditional put instead"
+        )
+    if rest.startswith("//"):
+        # authority form file://authority/path: only an empty or
+        # localhost authority names THIS host — file://host/p must not
+        # silently normalize to /host/p (r11 review)
+        auth, _, tail = rest[2:].partition("/")
+        if auth not in ("", "localhost"):
+            raise ValueError(
+                f"manifest path {path!r} carries remote authority "
+                f"{auth!r}: not a driver-local file"
+            )
+        return "/" + tail
+    if not rest.startswith("/"):
+        raise ValueError(
+            f"manifest path {path!r} is a relative file: URI — the "
+            "commit primitive needs an absolute local path"
+        )
+    return rest
 
 
 def read_json(path: str) -> dict | None:

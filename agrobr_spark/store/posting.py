@@ -195,7 +195,7 @@ def update_posting_index(
         # read (a partitioned write of an empty frame emits no
         # parquet files to infer a schema from). Record the batch_id
         # guard only, so a replayed empty epoch stays a no-op.
-        _record_empty_epoch(path, man, batch_id)
+        _record_empty_epoch(path, batch_id)
         return
     bucket = F.pmod(F.xxhash64(F.col("termo")), F.lit(nb))
     bdir = _batch_dir(path, bid)
@@ -217,7 +217,7 @@ def update_posting_index(
         .write.mode("overwrite")
         .parquet(f"{bdir}/stats")
     )
-    _commit_batch(path, man, bid, batch_id is not None)
+    _commit_batch(path, bid, batch_id is not None)
 
 
 def _batch_dir(path: str, bid: int) -> str:
@@ -232,7 +232,7 @@ def _next_local_batch(man: dict) -> int:
     return min(locals_, default=0) - 1
 
 
-def _record_empty_epoch(path: str, man: dict, batch_id: int | None) -> None:
+def _record_empty_epoch(path: str, batch_id: int | None) -> None:
     """Commit ONLY the replay guard for a rows-free epoch — no batch
     directory exists, so it must never enter ``active_batches``.
     Re-read-and-merge like :func:`_commit_batch`."""
@@ -242,13 +242,14 @@ def _record_empty_epoch(path: str, man: dict, batch_id: int | None) -> None:
         _write_manifest(path, cur)
 
 
-def _commit_batch(path: str, man: dict, bid: int, guarded: bool) -> None:
+def _commit_batch(path: str, bid: int, guarded: bool) -> None:
     """Atomically publish a staged batch directory: one manifest
     replace flips it into ``active_batches`` (and, for streaming
     epochs, into the ``applied_batch_ids`` replay guard).
 
-    RE-READ-AND-MERGE, not write-back (r10 ADVICE): ``man`` is the
-    snapshot the update read at ENTRY — a compaction may have swapped
+    RE-READ-AND-MERGE, not write-back (r10 ADVICE): the entry-time
+    manifest snapshot is deliberately NOT a parameter here (r11
+    review dropped it) — a compaction may have swapped
     the generation pointer while the batch staged, and writing the
     entry snapshot back would resurrect the pre-compaction
     ``postings_dir``/``version``, pointing readers at directories the
@@ -605,7 +606,7 @@ def update_positional_index(
     nb = int(man["n_buckets"])
     rows = tokenize_positional(docs_new, id_col, text_col)
     if rows.limit(1).count() == 0:
-        _record_empty_epoch(path, man, batch_id)  # see update_posting_index
+        _record_empty_epoch(path, batch_id)  # see update_posting_index
         return
     bucket = F.pmod(F.xxhash64(F.col("termo")), F.lit(nb))
     (
@@ -614,7 +615,7 @@ def update_positional_index(
         .partitionBy("bucket")
         .parquet(f"{_batch_dir(path, bid)}/postings")
     )
-    _commit_batch(path, man, bid, batch_id is not None)
+    _commit_batch(path, bid, batch_id is not None)
 
 
 def phrase_match_indexed(

@@ -812,11 +812,11 @@ def test_update_commit_straddling_compaction_survives(
     orig_commit = P._commit_batch
     fired = {"done": False}
 
-    def commit_after_swap(p, man, bid, guarded):
+    def commit_after_swap(p, bid, guarded):
         if not fired["done"]:
             fired["done"] = True
             P.compact_posting_index(spark, p)  # swap happens first
-        orig_commit(p, man, bid, guarded)
+        orig_commit(p, bid, guarded)
 
     monkeypatch.setattr(P, "_commit_batch", commit_after_swap)
     P.update_posting_index(late, path, batch_id=7)
@@ -865,3 +865,35 @@ def test_manifest_primitives_reject_remote_schemes(tmp_path):
             require_local_path(bad)
     with pytest.raises(ValueError):
         commit_json("s3a://bucket/m.json", {})
+
+
+def test_manifest_guard_hadoop_single_slash_forms(tmp_path):
+    """r11 review: Hadoop's Path.toString() emits the SINGLE-slash
+    scheme form (file:/tmp/x, hdfs:/nn/x) which the `://`-only guard
+    let through as a literal relative path — a present manifest then
+    read back as a silent None. All scheme-qualified spellings must
+    either normalize to the same local path or raise; an authority
+    that names another host must never normalize."""
+    import pytest
+
+    from agrobr_spark.store.fs import (
+        commit_json,
+        read_json,
+        require_local_path,
+    )
+
+    p = str(tmp_path / "m.json")
+    commit_json(p, {"v": 7})
+    # Hadoop single-slash and rfc8089 forms all reach the SAME file
+    assert require_local_path(f"file:{p}") == p
+    assert require_local_path(f"file://{p}") == p
+    assert require_local_path(f"file://localhost{p}") == p
+    assert read_json(f"file:{p}") == {"v": 7}
+    # single-slash remote schemes raise like their :// spellings
+    with pytest.raises(ValueError, match="conditional put"):
+        require_local_path("hdfs:/nn/idx/m.json")
+    # a remote authority must not silently become /host/path
+    with pytest.raises(ValueError, match="authority"):
+        require_local_path("file://otherhost/tmp/m.json")
+    with pytest.raises(ValueError, match="relative"):
+        require_local_path("file:relative/m.json")
