@@ -130,13 +130,83 @@ def commit_json(path: str, obj: dict) -> None:
         os.close(dirfd)
 
 
+#: how long a committer waits for the manifest lock before failing
+#: loudly — the guarded window is a read-modify-write of a <1 KB JSON
+#: file (ms-scale), so a lock held this long means a stuck LIVE
+#: holder (a dead one releases the flock with its last fd)
+LOCK_TIMEOUT_S = 30.0
+
+
+def locked_json_update(path: str, mutate) -> dict:
+    """SERIALIZED read-modify-write of a :func:`commit_json` manifest
+    — the CAS primitive the posting-index manifest protocol names as
+    its multi-committer escape hatch (r11 VERDICT next #3: the
+    re-read-and-merge in ``_commit_batch`` and compaction's pointer
+    swap were individually atomic but unserialized against each
+    other, so two overlapping read-modify-writes could drop one
+    delta).
+
+    ``mutate(cur: dict) -> dict`` receives the manifest as it stands
+    INSIDE the critical section (``{}`` when absent) and returns the
+    new manifest; the write goes through ``commit_json`` (same
+    atomicity + fsync scope). Returns the committed dict.
+
+    Mutual exclusion is ``flock(2)`` on a persistent sibling
+    ``.lock`` file. flock was chosen over an O_EXCL lockfile
+    deliberately: the kernel releases it when the holder's last fd
+    closes, so a committer that CRASHES inside the window can never
+    wedge the store — no stale-lock breaker, and therefore none of
+    the breaker's TOCTOU (a pid-liveness breaker can rename a FRESH
+    lock acquired between its read and its rename). Two threads of
+    one process serialize the same way as two processes (each
+    ``os.open`` is its own open-file description). The lockfile is
+    never unlinked — unlink would reopen the classic
+    flock-on-deleted-inode race where two committers each hold 'the'
+    lock on different inodes. Same driver-local scope as
+    ``commit_json``; on an object store, use its conditional put.
+    Waiting beyond ``LOCK_TIMEOUT_S`` raises ``TimeoutError``."""
+    import fcntl
+    import os
+    import time
+
+    path = require_local_path(path)
+    lock = path + ".lock"
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    try:
+        deadline = time.monotonic() + LOCK_TIMEOUT_S
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except BlockingIOError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"manifest lock {lock!r} held beyond "
+                        f"{LOCK_TIMEOUT_S}s by a live process — the "
+                        "guarded window is ms-scale, so this is a "
+                        "stuck committer, not contention"
+                    )
+                time.sleep(0.005)
+        cur = read_json(path)
+        new = mutate({} if cur is None else cur)
+        commit_json(path, new)
+        return new
+    finally:
+        os.close(fd)  # releases the flock with the fd
+
+
 def require_local_path(path: str) -> str:
     """Guard for the driver-local manifest primitives: accepts plain
     paths and ``file:`` URIs (normalized to a plain path), raises
     loudly on any other scheme — a remote store path reaching
     ``open()``/``os.replace`` would silently write DRIVER-LOCAL state
     while the data lands remotely (r10 ADVICE; knn_store hit exactly
-    this before its meta read moved to the Hadoop FS)."""
+    this before its meta read moved to the Hadoop FS).
+
+    Scope note: a RELATIVE path whose first segment contains a colon
+    (``run:2026/m.json``) is indistinguishable from a scheme URI and
+    is rejected — store manifests are absolute by construction, so
+    colon-bearing relative paths are unsupported here by design."""
     import re
 
     # match ANY scheme-qualified form, including Hadoop's normalized
@@ -147,7 +217,9 @@ def require_local_path(path: str) -> str:
     m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):(.*)$", path)
     if m is None:
         return path
-    scheme, rest = m.group(1), m.group(2)
+    # URI schemes are case-insensitive (RFC 3986 §3.1): FILE:/tmp/x
+    # names the same local scheme Hadoop emits lowercase
+    scheme, rest = m.group(1).lower(), m.group(2)
     if scheme != "file":
         raise ValueError(
             f"manifest path {path!r} uses scheme {scheme!r}: the "
@@ -164,6 +236,13 @@ def require_local_path(path: str) -> str:
             raise ValueError(
                 f"manifest path {path!r} carries remote authority "
                 f"{auth!r}: not a driver-local file"
+            )
+        if tail == "":
+            # degenerate `file://` / `file://localhost` would normalize
+            # to the filesystem ROOT — never a manifest (r11 ADVICE)
+            raise ValueError(
+                f"manifest path {path!r} has no path component after "
+                "the authority: refusing to normalize to '/'"
             )
         return "/" + tail
     if not rest.startswith("/"):

@@ -235,11 +235,15 @@ def _next_local_batch(man: dict) -> int:
 def _record_empty_epoch(path: str, batch_id: int | None) -> None:
     """Commit ONLY the replay guard for a rows-free epoch — no batch
     directory exists, so it must never enter ``active_batches``.
-    Re-read-and-merge like :func:`_commit_batch`."""
+    Serialized read-modify-merge like :func:`_commit_batch`."""
     if batch_id is not None:
-        cur = read_manifest(path)
-        cur.setdefault("applied_batch_ids", []).append(int(batch_id))
-        _write_manifest(path, cur)
+
+        def mut(cur: dict) -> dict:
+            cur = _normalize_manifest(cur)
+            cur["applied_batch_ids"].append(int(batch_id))
+            return cur
+
+        _locked_manifest_update(path, mut)
 
 
 def _commit_batch(path: str, bid: int, guarded: bool) -> None:
@@ -260,17 +264,22 @@ def _commit_batch(path: str, bid: int, guarded: bool) -> None:
     concurrent compaction (not in ``active_batches`` → neither folded
     nor deleted), so committing it into the NEW generation's manifest
     neither loses nor duplicates rows — the next compaction folds it.
-    Residual contract: the manifest read-modify-writes themselves
-    (this merge, compaction's pointer swap) are ms-scale and must not
-    overlap — the single-COMMITTER model, narrowed from the previous
-    blanket single-writer-for-the-whole-rewrite requirement; with
-    multiple uncoordinated committers, swap commit_json for a CAS
-    primitive."""
-    cur = read_manifest(path)
-    cur.setdefault("active_batches", []).append(int(bid))
-    if guarded:
-        cur.setdefault("applied_batch_ids", []).append(int(bid))
-    _write_manifest(path, cur)
+
+    The read-modify-merge itself runs under the manifest LOCK
+    (``store/fs.locked_json_update`` — r12, closing the r11 residual):
+    overlapping committers (two ingests, or an ingest racing
+    compaction's pointer swap) serialize on the ms-scale window
+    instead of honor-system single-COMMITTER coordination, so neither
+    delta can be dropped by a concurrent replace."""
+
+    def mut(cur: dict) -> dict:
+        cur = _normalize_manifest(cur)
+        cur["active_batches"].append(int(bid))
+        if guarded:
+            cur["applied_batch_ids"].append(int(bid))
+        return cur
+
+    _locked_manifest_update(path, mut)
 
 
 def _write_manifest(path: str, man: dict) -> None:
@@ -280,6 +289,26 @@ def _write_manifest(path: str, man: dict) -> None:
     from agrobr_spark.store.fs import commit_json
 
     commit_json(f"{path}/manifest.json", man)
+
+
+def _normalize_manifest(man: dict) -> dict:
+    """Fill the commit-state defaults: pre-r10 manifests carry none
+    and were built with the fixed layout."""
+    man.setdefault("postings_dir", "postings")
+    man.setdefault("stats_dir", "stats")
+    man.setdefault("active_batches", [])
+    man.setdefault("applied_batch_ids", [])
+    man.setdefault("version", 0)
+    return man
+
+
+def _locked_manifest_update(path: str, mutate) -> dict:
+    """All manifest read-modify-writes go through the ONE serialized
+    primitive (``store/fs.locked_json_update``); the loud local-posix
+    scope check rides the shared path."""
+    from agrobr_spark.store.fs import locked_json_update
+
+    return locked_json_update(f"{path}/manifest.json", mutate)
 
 
 def read_manifest(path: str) -> dict:
@@ -292,14 +321,7 @@ def read_manifest(path: str) -> dict:
         f"{require_local_path(path)}/manifest.json", encoding="utf-8"
     ) as fh:
         man = json.load(fh)
-    # pre-r10 manifests carry no commit state: default to the fixed
-    # layout they were built with
-    man.setdefault("postings_dir", "postings")
-    man.setdefault("stats_dir", "stats")
-    man.setdefault("active_batches", [])
-    man.setdefault("applied_batch_ids", [])
-    man.setdefault("version", 0)
-    return man
+    return _normalize_manifest(man)
 
 
 def _postings_frame(
@@ -373,16 +395,19 @@ def compact_posting_index(spark: SparkSession, path: str) -> int:
     keeps an update that started before the pointer swap from
     resurrecting the old generation (its staged directory was never
     in the folded ``active_batches``, so the new base neither holds
-    nor deletes it; the next compaction folds it). What must still be
-    serialized is only the ms-scale manifest read-modify-writes
-    themselves (the single-COMMITTER model Delta/Iceberg assume
-    without a lock service — swap commit_json for a CAS primitive if
-    committers can't be coordinated), plus: one ingest writer at a
-    time (local epoch ids are drawn from the manifest snapshot) and
-    one compaction at a time. In-flight readers should tolerate the
-    bounded window where superseded directories disappear after the
-    pointer swap (retry-on-missing-file, or defer deletion to a
-    vacuum step on a busy store).
+    nor deletes it; the next compaction folds it). The ms-scale
+    manifest read-modify-writes themselves are SERIALIZED by the
+    manifest lock (``store/fs.locked_json_update`` — r12; previously
+    an honor-system single-COMMITTER contract), so overlapping
+    committers can no longer drop each other's deltas. Still
+    required: one ingest writer at a time for LOCAL (non-streaming)
+    epochs — their ids are drawn from the entry-time manifest
+    snapshot, so two concurrent local ingests could stage the same
+    directory — and one compaction at a time (two rewrites would
+    race the same generation name). In-flight readers should
+    tolerate the bounded window where superseded directories
+    disappear after the pointer swap (retry-on-missing-file, or
+    defer deletion to a vacuum step on a busy store).
 
     Returns the number of posting data files after compaction.
     Positional indexes (no stats sidecar) compact the same way.
@@ -414,18 +439,22 @@ def compact_posting_index(spark: SparkSession, path: str) -> int:
     # this compaction actually FOLDED leave active_batches; everything
     # newer survives into the new generation's manifest untouched.
     folded = {int(b) for b in man["active_batches"]}
-    cur = read_manifest(path)
-    new_man = dict(
-        cur,
-        version=ver,
-        postings_dir=new_post,
-        active_batches=[
-            b for b in cur["active_batches"] if int(b) not in folded
-        ],
-    )
-    if has_stats:
-        new_man["stats_dir"] = new_stats
-    _write_manifest(path, new_man)
+
+    def mut(cur: dict) -> dict:
+        cur = _normalize_manifest(cur)
+        new_man = dict(
+            cur,
+            version=ver,
+            postings_dir=new_post,
+            active_batches=[
+                b for b in cur["active_batches"] if int(b) not in folded
+            ],
+        )
+        if has_stats:
+            new_man["stats_dir"] = new_stats
+        return new_man
+
+    _locked_manifest_update(path, mut)
     for d in old_dirs:
         delete_path(spark, f"{path}/{d}")
     for bid in man["active_batches"]:

@@ -193,6 +193,65 @@ def test_merge_upsert_partition_cardinality_guard(spark, tmp_path, monkeypatch):
         store.merge_upsert(wide)
 
 
+def test_merge_upsert_extra_partitions_dedups_moved_pk(spark, tmp_path):
+    """A PK row whose partition column is DERIVED FROM A MUTABLE
+    attribute (the labels_by_comp secondary layout: cbalde =
+    pmod(componente)) MOVES partitions when that attribute changes.
+    The staged row rewrites the new partition, but the stale old copy
+    lives in a partition the staging batch never names — it must join
+    the dedup via ``extra_partitions`` or the PK silently duplicates;
+    a partition the dedup leaves EMPTY must lose its files too
+    (dynamic overwrite alone never touches it)."""
+    import os
+
+    from agrobr_spark.store.table import ParquetStore
+
+    def rows(store):
+        return sorted(
+            (r["k"], r["comp"], r["p"]) for r in store.read().collect()
+        )
+
+    # control: WITHOUT extra_partitions the stale copy survives — the
+    # duplicate documents why the knob exists
+    s0 = ParquetStore(
+        spark, str(tmp_path / "t0"), primary_key=("k",), partition_col="p"
+    )
+    s0.merge_upsert(
+        spark.createDataFrame(
+            [(1, 10, 0), (2, 20, 1)], "k int, comp int, p int"
+        )
+    )
+    s0.merge_upsert(
+        spark.createDataFrame([(1, 11, 1)], "k int, comp int, p int")
+    )
+    assert rows(s0) == [(1, 10, 0), (1, 11, 1), (2, 20, 1)]  # dup PK!
+
+    # with extra_partitions: old copy deduped, PK unique again
+    s1 = ParquetStore(
+        spark, str(tmp_path / "t1"), primary_key=("k",), partition_col="p"
+    )
+    s1.merge_upsert(
+        spark.createDataFrame(
+            [(1, 10, 0), (2, 20, 1), (3, 30, 0)], "k int, comp int, p int"
+        )
+    )
+    s1.merge_upsert(
+        spark.createDataFrame([(1, 11, 1)], "k int, comp int, p int"),
+        extra_partitions=[0],
+    )
+    assert rows(s1) == [(1, 11, 1), (2, 20, 1), (3, 30, 0)]
+
+    # emptied-partition case: k=3 was p=0's LAST row; after it moves,
+    # dynamic overwrite writes nothing under p=0, so the explicit
+    # delete must remove the directory or the stale file resurrects it
+    s1.merge_upsert(
+        spark.createDataFrame([(3, 31, 1)], "k int, comp int, p int"),
+        extra_partitions=[0],
+    )
+    assert rows(s1) == [(1, 11, 1), (2, 20, 1), (3, 31, 1)]
+    assert not os.path.exists(str(tmp_path / "t1" / "p=0"))
+
+
 def test_exists_via_hadoop_fs(spark, tmp_path):
     from agrobr_spark.store.table import ParquetStore
 
@@ -733,7 +792,9 @@ def test_compaction_preserves_epoch_committed_during_rewrite(
     """r10 review finding: an ingest epoch that commits WHILE
     compaction is rewriting must survive the generation swap — both
     its documents and its replay-guard entry. Simulated by injecting a
-    real update at compaction's pre-commit manifest re-read."""
+    real update just before compaction's locked pointer swap (after
+    the rewrite, i.e. after ``folded`` was computed from the stale
+    entry snapshot)."""
     from agrobr_spark.store import posting as P
 
     corpus = spark.createDataFrame(
@@ -751,21 +812,24 @@ def test_compaction_preserves_epoch_committed_during_rewrite(
         [(4, "epsilon zeta")], "doc_id bigint, text string"
     )
 
-    orig_rm = P.read_manifest
-    state = {"n": 0, "busy": False}
+    orig_lmu = P._locked_manifest_update
+    state = {"fired": False, "busy": False}
 
-    def rm(p):
-        if not state["busy"]:
-            state["n"] += 1
-            if state["n"] == 2:  # compaction's pre-commit re-read
-                state["busy"] = True
-                P.update_posting_index(late, p, batch_id=42)
-                state["busy"] = False
-        return orig_rm(p)
+    def lmu(p, mut):
+        # the first locked update in this scope is compaction's
+        # pointer swap — inject the late epoch BEFORE it takes the
+        # lock (the injected update's own commit recurses here, hence
+        # the busy guard)
+        if not state["busy"] and not state["fired"]:
+            state["fired"] = True
+            state["busy"] = True
+            P.update_posting_index(late, p, batch_id=42)
+            state["busy"] = False
+        return orig_lmu(p, mut)
 
-    monkeypatch.setattr(P, "read_manifest", rm)
+    monkeypatch.setattr(P, "_locked_manifest_update", lmu)
     P.compact_posting_index(spark, path)
-    monkeypatch.setattr(P, "read_manifest", orig_rm)
+    monkeypatch.setattr(P, "_locked_manifest_update", orig_lmu)
 
     man = P.read_manifest(path)
     assert man["version"] == 1
@@ -843,6 +907,131 @@ def test_update_commit_straddling_compaction_survives(
     } == {1, 2, 3, 4}
 
 
+def test_locked_json_update_serializes_interleaved_committers(tmp_path):
+    """r11 VERDICT next #3: the manifest read-modify-writes were
+    individually atomic but UNSERIALIZED — two overlapping committers
+    could each read the same snapshot and the second replace would
+    drop the first's delta. locked_json_update must force the second
+    committer to wait and re-read: FORCED ordering — committer A is
+    held open inside the critical section (Event) while B and a
+    compaction-style swap both arrive; every delta must survive."""
+    import threading
+
+    from agrobr_spark.store.fs import commit_json, locked_json_update, read_json
+
+    path = str(tmp_path / "manifest.json")
+    commit_json(path, {"active": [], "version": 0})
+
+    a_inside = threading.Event()
+    a_release = threading.Event()
+
+    def slow_append(cur):
+        a_inside.set()
+        assert a_release.wait(timeout=30)
+        cur["active"] = cur["active"] + ["A"]
+        return cur
+
+    def committer_a():
+        locked_json_update(path, slow_append)
+
+    results = []
+
+    def committer_b():
+        a_inside.wait(timeout=30)
+        locked_json_update(
+            path, lambda cur: dict(cur, active=cur["active"] + ["B"])
+        )
+        results.append("B-done")
+
+    def swapper():
+        a_inside.wait(timeout=30)
+        locked_json_update(
+            path, lambda cur: dict(cur, version=cur["version"] + 1)
+        )
+        results.append("swap-done")
+
+    ta = threading.Thread(target=committer_a)
+    tb = threading.Thread(target=committer_b)
+    tc = threading.Thread(target=swapper)
+    ta.start()
+    assert a_inside.wait(timeout=30)
+    tb.start()
+    tc.start()
+    # B and the swap are BLOCKED while A holds the lock: nothing has
+    # committed on top of the initial manifest yet
+    import time
+
+    time.sleep(0.3)
+    assert results == []
+    assert read_json(path) == {"active": [], "version": 0}
+    a_release.set()
+    for t in (ta, tb, tc):
+        t.join(timeout=30)
+        assert not t.is_alive()
+    final = read_json(path)
+    # all three deltas landed — the unserialized primitive dropped
+    # one of these whenever two writers overlapped
+    assert sorted(final["active"]) == ["A", "B"]
+    assert final["version"] == 1
+
+
+def test_locked_json_update_crash_safety_and_timeout(
+    tmp_path, monkeypatch
+):
+    """Crash-safety of the lock itself: flock(2) is released by the
+    KERNEL when its holder dies (fd closed), so a committer that
+    crashed inside the window can never wedge the store — a leftover
+    lockfile with no flock on it does not block at all. A lock HELD
+    by a live holder is honored until the loud timeout."""
+    import fcntl
+    import os
+    import subprocess
+    import sys
+
+    import pytest
+
+    from agrobr_spark.store import fs as fs_mod
+    from agrobr_spark.store.fs import commit_json, locked_json_update, read_json
+
+    path = str(tmp_path / "m.json")
+    commit_json(path, {"v": 0})
+
+    # 'crashed holder': a child process takes the flock and DIES
+    # holding it — the kernel releases it with the fd, so the next
+    # committer proceeds immediately
+    child = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import fcntl, os, sys\n"
+                f"fd = os.open({path + '.lock'!r}, os.O_CREAT | os.O_RDWR)\n"
+                "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+                "os._exit(0)  # dies holding the lock, no unlock\n"
+            ),
+        ]
+    )
+    assert child.returncode == 0
+    assert os.path.exists(path + ".lock")  # lockfile left behind
+    locked_json_update(path, lambda cur: dict(cur, v=cur["v"] + 1))
+    assert read_json(path) == {"v": 1}
+
+    # live holder: flock held on another fd — must block, then raise
+    # the loud timeout (never break a live holder's lock)
+    monkeypatch.setattr(fs_mod, "LOCK_TIMEOUT_S", 0.2)
+    fd = os.open(path + ".lock", os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        with pytest.raises(TimeoutError, match="stuck committer"):
+            locked_json_update(path, lambda cur: cur)
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+    # released: the same update now lands
+    locked_json_update(path, lambda cur: dict(cur, v=cur["v"] + 1))
+    assert read_json(path) == {"v": 2}
+
+
 def test_manifest_primitives_reject_remote_schemes(tmp_path):
     """r10 ADVICE: the local-posix manifest primitives must FAIL
     LOUDLY on an object-store path — a silent open() would write
@@ -897,3 +1086,13 @@ def test_manifest_guard_hadoop_single_slash_forms(tmp_path):
         require_local_path("file://otherhost/tmp/m.json")
     with pytest.raises(ValueError, match="relative"):
         require_local_path("file:relative/m.json")
+    # r11 ADVICE follow-ups: scheme matching is case-insensitive
+    # (RFC 3986 — FILE: is the local scheme, S3A: is still remote)...
+    assert require_local_path(f"FILE:{p}") == p
+    with pytest.raises(ValueError, match="conditional put"):
+        require_local_path("S3A://bucket/idx/m.json")
+    # ...and the degenerate no-path authority forms must not hand the
+    # commit primitives the filesystem ROOT
+    for degenerate in ("file://", "file://localhost"):
+        with pytest.raises(ValueError, match="no path component"):
+            require_local_path(degenerate)
