@@ -349,8 +349,10 @@ def update_knn_graph_frame(
         # no quiet fallback: a pre-cid-bucketing store has members/
         # probes partitioned on raw cid and NO cbalde column — any
         # guessed bucket count would die later with an unresolved-
-        # column error that hides the real cause (r11 review)
-        raise KeyError(
+        # column error that hides the real cause (r11 review);
+        # ValueError like the store's other validation failures, so
+        # one except clause catches them all (r11 ADVICE)
+        raise ValueError(
             f"knn_store at {store_dir!r} predates the cbalde layout "
             "(meta lacks 'cid_buckets'); rebuild it with "
             "build_knn_graph_index"
@@ -460,6 +462,30 @@ def _with_balde(df: DataFrame, nb: int) -> DataFrame:
     )
 
 
+def _comp_labels_store(spark: SparkSession, store_dir: str) -> ParquetStore:
+    # componente-keyed SECONDARY layout of the labels table: same
+    # (vec_id, componente) rows, partitioned on the COMPONENT hash so
+    # the fold's members-of-touched-components read partition-prunes
+    # instead of scanning the corpus (r11 SCALING: "a componente-keyed
+    # secondary index is the 100 TB answer if it ever dominates" — at
+    # 40x the labels full-scan was the label fold's last corpus-growing
+    # read, so here it is). PK stays vec_id: a relabel MOVES the row
+    # between cbalde partitions, which the merge handles via
+    # extra_partitions (the old bucket joins the dedup).
+    return ParquetStore(
+        spark,
+        f"{store_dir}/labels_by_comp",
+        ("vec_id",),
+        partition_col="cbalde",
+    )
+
+
+def _with_cbalde(df: DataFrame, nb: int) -> DataFrame:
+    return df.withColumn(
+        "cbalde", F.pmod(F.col("componente"), F.lit(int(nb))).cast("int")
+    )
+
+
 def _pruned_by_ids(table: DataFrame, ids: DataFrame, nb: int) -> DataFrame:
     """Balde-pruned, id-semi-joined read of a vec_id-bucketed table:
     collect the ids' bucket set (<= nb values, a bounded driver list),
@@ -527,7 +553,9 @@ def build_graph_labels(
         )
     )
     nb = int(_read_meta(spark, store_dir)["edge_buckets"])
+    labels = labels.localCheckpoint(eager=True)
     _labels_store(spark, store_dir).overwrite(_with_balde(labels, nb))
+    _comp_labels_store(spark, store_dir).overwrite(_with_cbalde(labels, nb))
 
 
 def update_graph_labels_frame(
@@ -549,14 +577,36 @@ def update_graph_labels_frame(
     neighbor ids), so the reverse leg is a SECOND round-trip pruned
     read keyed on those ids rather than a table scan (r11: previously
     documented as the one unprunable leg; it never was — it just
-    needed the sequential dependency). The labels-table READ keyed on
-    componente stays the one full-scan term (the partition key is the
-    vec_id bucket; a componente-keyed secondary index is the 100 TB
-    answer if it ever dominates), while the labels WRITE is now
-    partition-pruned to the touched members' buckets."""
+    needed the sequential dependency). Both LABELS reads are pruned
+    too (r12 — previously the fold's last corpus-growing scans): the
+    seed→componente lookup is vec_id-keyed, so it rides the shared
+    ``_pruned_by_ids`` leg on the primary layout; the
+    componente→members read partition-prunes the ``labels_by_comp``
+    SECONDARY layout (componente-hash buckets) to the touched
+    components' buckets. Every read in this fold now touches a volume
+    proportional to the batch's neighborhoods, never the corpus.
+
+    The secondary layout is maintained in the same fold from the same
+    delta: a relabel moves its row between cbalde partitions, so the
+    old component's bucket joins the merge via ``extra_partitions``
+    (stale-row dedup; `store/table.py` merge contract). The two
+    layouts' merges are not atomic as a pair — same posture as the
+    edge/member/probe trio: a crash between them is repaired by
+    replaying the batch (PK merges are idempotent, delta recomputed
+    from the primary)."""
     from agrobr_spark.operators.components import connected_components
 
     labels = _labels_store(spark, store_dir)
+    byc = _comp_labels_store(spark, store_dir)
+    if not byc.exists():
+        # loud like the cid_buckets guard: a pre-secondary-index store
+        # would otherwise die later with a missing-path read that
+        # hides the real cause
+        raise ValueError(
+            f"knn_store at {store_dir!r} predates the labels_by_comp "
+            "secondary layout; rebuild its labels with "
+            "build_graph_labels"
+        )
     _, _, edges = _stores(spark, store_dir)
     nb = int(_read_meta(spark, store_dir)["edge_buckets"])
     e_all = edges.read().select("vec_id", "neighbor_id", "balde")
@@ -579,18 +629,34 @@ def update_graph_labels_frame(
         .distinct()
     )
     # touched components (new nodes have no label yet — they enter S
-    # directly); the id list is bounded by |seeds|
+    # directly); the id list is bounded by |seeds|, and the lookup is
+    # balde-pruned like every other vec_id-keyed leg (r12: this was a
+    # full labels scan)
     lab = labels.read()
     touched = [
         r["componente"]
-        for r in lab.join(F.broadcast(seeds), "vec_id", "semi")
+        for r in _pruned_by_ids(lab, seeds, nb)
         .select("componente")
         .distinct()
         .collect()
     ]
+    # members of touched components: partition-pruned on the
+    # componente-hash buckets of the SECONDARY layout, exact filter on
+    # the bounded touched list behind the pruning. Kept WITH their
+    # labels: this frame doubles as the delta compare's old side below
+    # (a changed node that has a label is a member of a touched
+    # component by construction, so members ≡ the current labels of
+    # s_nodes — re-reading the primary for the old side would be a
+    # second pruned read of the same rows)
+    members = (
+        byc.read()
+        .filter(F.col("cbalde").isin([c % nb for c in touched]))
+        .filter(F.col("componente").isin(touched))
+        .select("vec_id", "componente")
+        .localCheckpoint(eager=True)
+    )
     s_nodes = (
-        lab.filter(F.col("componente").isin(touched))
-        .select("vec_id")
+        members.select("vec_id")
         .unionByName(changed)
         .distinct()
         .localCheckpoint(eager=True)
@@ -610,23 +676,36 @@ def update_graph_labels_frame(
     # component members keep their label verbatim, so the delta filter
     # collapses the write (and its per-bucket commit cost) to the true
     # merge/split frontier — and makes a replay's merge an EMPTY
-    # no-op rather than a byte-identical rewrite. The old side is
-    # balde-pruned to the relabeled set's buckets (relabeled ⊆
-    # s_nodes, and a left join drops unmatched old rows anyway), so
-    # the delta leg never re-scans the labels table (r11 review: it
-    # did, doubling the dominant labels-read term per fold)
-    old = _pruned_by_ids(lab, s_nodes, nb).select(
-        "vec_id", F.col("componente").alias("_old")
-    )
+    # no-op rather than a byte-identical rewrite. The old side is the
+    # checkpointed members frame — zero additional store reads (r11:
+    # this leg re-scanned the labels table per fold; r12: it is the
+    # rows already fetched for S)
+    old = members.select("vec_id", F.col("componente").alias("_old"))
     delta = (
         relabeled.join(old, "vec_id", "left")
         .filter(
             F.col("_old").isNull()
             | (F.col("_old") != F.col("componente"))
         )
-        .select("vec_id", "componente")
+        .select("vec_id", "componente", "_old")
+        .localCheckpoint(eager=True)
     )
-    labels.merge_upsert(_with_balde(delta, nb))
+    labels.merge_upsert(_with_balde(delta.drop("_old"), nb))
+    # secondary layout: the same delta rows keyed by the NEW
+    # component's bucket; each moved row's OLD bucket joins the merge
+    # so its stale copy is deduped out (bounded: <= |delta| values)
+    moved_from = [
+        r["b"]
+        for r in delta.filter(F.col("_old").isNotNull())
+        .select(
+            F.pmod(F.col("_old"), F.lit(int(nb))).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    byc.merge_upsert(
+        _with_cbalde(delta.drop("_old"), nb), extra_partitions=moved_from
+    )
     return relabeled
 
 

@@ -108,15 +108,31 @@ class ParquetStore:
             .select(*tcols)
         )
 
-    def merge_upsert(self, staging: DataFrame) -> int:
+    def merge_upsert(
+        self,
+        staging: DataFrame,
+        extra_partitions: list | None = None,
+    ) -> int:
         """Last-writer-wins MERGE of ``staging`` into the table.
 
         Returns the number of staged rows. Only partitions present in
         the staging batch are rewritten (dynamic partition overwrite);
         an unpartitioned table falls back to full rewrite.
+
+        ``extra_partitions``: additional partition values to include
+        in the rewrite even though no staged row lands there. Needed
+        when a PK row MOVES partitions (its partition column is
+        derived from a mutable attribute, e.g. a component label):
+        the staged row rewrites the NEW partition, but the stale old
+        row lives in a partition the staging batch never names — it
+        must join the dedup or it survives as a duplicate PK. A
+        partition left EMPTY by the dedup is deleted explicitly
+        (dynamic overwrite only touches partitions present in the
+        written data, so an emptied one would otherwise keep its old
+        files).
         """
         n = staging.count()
-        if n == 0:
+        if n == 0 and not extra_partitions:
             return 0
         if not self.exists():
             self.overwrite(staging)
@@ -132,6 +148,7 @@ class ParquetStore:
                 _MAX_PARTITIONS_PER_MERGE + 1
             )
             parts = [r[0] for r in parts_df.collect()]
+            parts = sorted(set(parts) | set(extra_partitions or []))
             if len(parts) > _MAX_PARTITIONS_PER_MERGE:
                 raise ValueError(
                     f"merge_upsert: staging batch spans >"
@@ -141,6 +158,22 @@ class ParquetStore:
                 )
             affected = target.filter(F.col(self.partition_col).isin(parts))
             merged = self._merged(affected, staging)
+            emptied: list = []
+            if extra_partitions:
+                # pin the merge result so the pre-write emptiness probe
+                # and the write compute it once — and so the write plan
+                # no longer reads the very files the probe decided to
+                # delete
+                merged = merged.localCheckpoint(eager=True)
+                present = {
+                    r[0]
+                    for r in merged.select(self.partition_col)
+                    .distinct()
+                    .collect()
+                }
+                emptied = [
+                    p for p in set(extra_partitions) - present if p in parts
+                ]
             conf = self.spark.conf
             prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
             conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -161,6 +194,14 @@ class ParquetStore:
                 )
             finally:
                 conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            if emptied:
+                from agrobr_spark.store.fs import delete_path
+
+                for p in emptied:
+                    delete_path(
+                        self.spark,
+                        f"{self.path}/{self.partition_col}={p}",
+                    )
         else:
             self.rewrite(self._merged(target, staging))
         return n

@@ -2082,8 +2082,15 @@ def test_graph_labels_incremental_split_and_merge(spark, tmp_path):
     landing between a mutual pair (A, B) EVICTS each from the other's
     top-1 — the old {A, B} component SPLITS — while (A, C) becomes a
     new mutual pair (MERGE with the new node). Hand-built geometry,
-    k=1, frozen lowest-id centroids; plus label replay idempotence."""
+    k=1, frozen lowest-id centroids; plus label replay idempotence.
+
+    Also pins the labels_by_comp SECONDARY layout (r12): forced
+    edge_buckets=4 makes the split/merge relabels MOVE rows across
+    cbalde partitions (5: comp 4→5 crosses cbalde 0→1), so the
+    secondary must stay row-identical to the primary through the
+    fold AND the replay — stale copies deduped, no duplicate PK."""
     from agrobr_spark.operators.knn_store import (
+        _comp_labels_store,
         _labels_store,
         build_graph_labels,
         build_knn_graph_index,
@@ -2110,13 +2117,29 @@ def test_graph_labels_incremental_split_and_merge(spark, tmp_path):
         "vec_id long, embedding array<float>",
     )
     store = str(tmp_path / "knn")
-    build_knn_graph_index(corpus, store, k=1, n_probe=2, n_centroids=4)
+    build_knn_graph_index(
+        corpus, store, k=1, n_probe=2, n_centroids=4, edge_buckets=4
+    )
     build_graph_labels(spark, store, corpus.select("vec_id"))
     lab0 = {
         r["vec_id"]: r["componente"]
         for r in _labels_store(spark, store).read().collect()
     }
     assert lab0 == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 4}  # {A,B} mutual
+
+    def secondary_rows():
+        return sorted(
+            (r["vec_id"], r["componente"], r["cbalde"])
+            for r in _comp_labels_store(spark, store).read().collect()
+        )
+
+    def primary_as_secondary():
+        return sorted(
+            (r["vec_id"], r["componente"], r["componente"] % 4)
+            for r in _labels_store(spark, store).read().collect()
+        )
+
+    assert secondary_rows() == primary_as_secondary()
 
     staged = update_knn_graph_frame(spark, batch, store, k=1, n_probe=2)
     changed = staged.select("vec_id").unionByName(batch.select("vec_id"))
@@ -2134,6 +2157,9 @@ def test_graph_labels_incremental_split_and_merge(spark, tmp_path):
     # A's edge to C stays one-sided, so A drops to a singleton.
     want = {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 5}
     assert labels() == want
+    # the secondary layout followed the move (5: comp 4→5 is cbalde
+    # 0→1) with the stale cbalde=0 copy deduped out
+    assert secondary_rows() == primary_as_secondary()
 
     # replay: both folds recompute the same state — labels unchanged
     staged2 = update_knn_graph_frame(spark, batch, store, k=1, n_probe=2)
@@ -2142,6 +2168,30 @@ def test_graph_labels_incremental_split_and_merge(spark, tmp_path):
         store,
     )
     assert labels() == want
+    assert secondary_rows() == primary_as_secondary()
+
+    # the componente→members leg PARTITION-PRUNES the secondary layout
+    # (the whole point of maintaining it): plan carries a cbalde filter
+    import re as _re
+
+    leg = (
+        _comp_labels_store(spark, store)
+        .read()
+        .filter(F.col("cbalde").isin([1]))
+        .filter(F.col("componente").isin([5]))
+    )
+    lplan = leg._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"PartitionFilters: \[[^\]]*cbalde", lplan), lplan
+
+    # a pre-secondary-layout store fails LOUDLY, like the cid_buckets
+    # guard — never a missing-path read that hides the cause
+    import shutil
+
+    shutil.rmtree(f"{store}/labels_by_comp")
+    import pytest
+
+    with pytest.raises(ValueError, match="labels_by_comp"):
+        update_graph_labels_frame(spark, batch.select("vec_id"), store)
 
 
 def test_graph_pageranks_incremental_equals_rebuild(spark, tmp_path):

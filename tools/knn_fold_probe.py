@@ -88,16 +88,22 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
-def _edge_bytes(store_dir: str, buckets: set[int] | None) -> int:
-    edges = os.path.join(store_dir, "edges")
+def _part_bytes(
+    store_dir: str, sub: str, prefix: str, buckets: set[int] | None
+) -> int:
+    root = os.path.join(store_dir, sub)
     total = 0
-    for d in os.listdir(edges):
-        if not d.startswith("balde="):
+    for d in os.listdir(root):
+        if not d.startswith(f"{prefix}="):
             continue
         b = int(d.split("=", 1)[1])
         if buckets is None or b in buckets:
-            total += _dir_bytes(os.path.join(edges, d))
+            total += _dir_bytes(os.path.join(root, d))
     return total
+
+
+def _edge_bytes(store_dir: str, buckets: set[int] | None) -> int:
+    return _part_bytes(store_dir, "edges", "balde", buckets)
 
 
 def probe(spark, k: int, batch_size: int, density: int) -> dict:
@@ -167,6 +173,14 @@ def probe(spark, k: int, batch_size: int, density: int) -> dict:
             for r in relabeled.select("vec_id").distinct().collect()
         ]
         rank_buckets = {v % nb for v in touched_members}
+        # labels-read volume (r12): the fold's primary-labels legs are
+        # pruned to the touched members' vec_id buckets (rank_buckets
+        # ⊇ the seed buckets), the componente→members leg to the
+        # touched components' cbalde buckets of the SECONDARY layout
+        comp_buckets = {
+            r["componente"] % nb
+            for r in relabeled.select("componente").distinct().collect()
+        }
 
         t0 = time.time()
         update_graph_pageranks_frame(spark, relabeled, store)
@@ -218,6 +232,16 @@ def probe(spark, k: int, batch_size: int, density: int) -> dict:
             "edge_bytes_total": total_bytes,
             "edge_bytes_selected": _edge_bytes(store, edge_buckets),
             "rank_edge_bytes_selected": _edge_bytes(store, rank_buckets),
+            "labels_bytes_total": _part_bytes(store, "labels", "balde", None),
+            "labels_bytes_selected": _part_bytes(
+                store, "labels", "balde", rank_buckets
+            ),
+            "labels_by_comp_bytes_total": _part_bytes(
+                store, "labels_by_comp", "cbalde", None
+            ),
+            "labels_by_comp_bytes_selected": _part_bytes(
+                store, "labels_by_comp", "cbalde", comp_buckets
+            ),
             "build_s": round(t_build, 2),
             "fold_edge_s": round(t_edge, 2),
             "fold_label_s": round(t_label, 2),
