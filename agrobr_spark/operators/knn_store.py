@@ -34,6 +34,17 @@ State under ``store_dir`` (all ParquetStore tables, PK-idempotent):
   (``meta.json``; ~NODES_PER_BUCKET nodes each by default) so the
   per-batch edge read and MERGE rewrite touch only the buckets
   holding affected nodes.
+- ``labels/`` + ``labels_by_comp/`` — the maintained component
+  labels in TWO layouts of the same (vec_id, componente) rows:
+  primary bucketed on the vec_id hash (id-keyed legs), secondary on
+  ``cbalde = pmod(componente, n_buckets)`` so the label fold's
+  members-of-touched-components read partition-prunes instead of
+  scanning the corpus (r12; the last corpus-growing fold read). A
+  relabel MOVES its secondary row across cbalde partitions — handled
+  by the merge's ``extra_partitions`` stale-row dedup
+  (store/table.py).
+- ``pranks/`` — the maintained per-component PageRank scores,
+  bucketed like ``labels/``.
 
 Incremental correctness rests on two facts:
 
