@@ -42,7 +42,10 @@ State under ``store_dir`` (all ParquetStore tables, PK-idempotent):
   scanning the corpus (r12; the last corpus-growing fold read). A
   relabel MOVES its secondary row across cbalde partitions — handled
   by the merge's ``extra_partitions`` stale-row dedup
-  (store/table.py).
+  (store/table.py). The pair is kept crash-consistent by a durable
+  delta JOURNAL (``labels_delta_pending/``, written before either
+  merge, cleared after both, re-applied at fold entry — r13; see
+  :func:`update_graph_labels_frame`).
 - ``pranks/`` — the maintained per-component PageRank scores,
   bucketed like ``labels/``.
 
@@ -295,7 +298,24 @@ def build_knn_graph_index(
 
     spark = emb_corpus.sparkSession
     base = _base(emb_corpus, id_col, vec_col)
-    n_corpus = emb_corpus.count()
+    # count + id-sign guard in ONE pass: the store's driver-side
+    # bucket arithmetic (`c % nb` on collected cluster/component ids)
+    # matches the Spark-side `pmod` for any int under a positive
+    # modulus (Python % is floored, so -5 % 8 == pmod(-5, 8) == 3) —
+    # but componente = min(vec_id) ≥ 0 is also a documented layout
+    # invariant (operators/components.py), so negative ids are
+    # rejected at the door rather than trusted to stay equivalent
+    # through future edits (r12 VERDICT What's wrong #3)
+    stats = emb_corpus.agg(
+        F.count(F.lit(1)).alias("n"), F.min(F.col(id_col)).alias("mn")
+    ).first()
+    n_corpus = stats["n"]
+    if stats["mn"] is not None and stats["mn"] < 0:
+        raise ValueError(
+            f"knn_store ids must be non-negative (got min {id_col}="
+            f"{stats['mn']}): the store's bucket layout and the "
+            "componente=min(vec_id) labeling both assume it"
+        )
     if centroids is None:
         if n_centroids is None:
             n_centroids = max(4, int(n_probe * n_corpus**0.5))
@@ -376,9 +396,19 @@ def update_knn_graph_frame(
     members_new = _member_rows(ranked, ncb).localCheckpoint(eager=True)
     probes_new = _probe_rows(ranked, ncb).localCheckpoint(eager=True)
 
-    touched = [
-        r["cid"] for r in members_new.select("cid").distinct().collect()
-    ]
+    # touched clusters + batch id-sign guard in ONE job (same guard
+    # as build_knn_graph_index — negative ids are rejected at ingest,
+    # see its comment; the batch is the only other way an id enters)
+    bstats = members_new.agg(
+        F.collect_set("cid").alias("cids"), F.min("vec_id").alias("mn")
+    ).first()
+    touched = list(bstats["cids"])
+    if bstats["mn"] is not None and bstats["mn"] < 0:
+        raise ValueError(
+            f"knn_store ids must be non-negative (got min vec_id="
+            f"{bstats['mn']} in the batch): the store's bucket layout "
+            "and the componente=min(vec_id) labeling both assume it"
+        )
     probe_cids = [
         r["cid"] for r in probes_new.select("cid").distinct().collect()
     ]
@@ -565,8 +595,92 @@ def build_graph_labels(
     )
     nb = int(_read_meta(spark, store_dir)["edge_buckets"])
     labels = labels.localCheckpoint(eager=True)
+    # a rebuild supersedes any crashed fold's journal — and it must go
+    # BEFORE the overwrites: a journal surviving past them (crash in
+    # the window below) would silently replay a pre-rebuild delta over
+    # the fresh layouts at the next fold, while a crash mid-rebuild
+    # with the journal already gone just means rerunning the rebuild
+    from agrobr_spark.store.fs import delete_path
+
+    delete_path(spark, _pending_delta_dir(store_dir))
     _labels_store(spark, store_dir).overwrite(_with_balde(labels, nb))
     _comp_labels_store(spark, store_dir).overwrite(_with_cbalde(labels, nb))
+
+
+def _pending_delta_dir(store_dir: str) -> str:
+    return f"{store_dir}/labels_delta_pending"
+
+
+def _delta_stats(delta: DataFrame, nb: int):
+    """ONE aggregate job over the journaled delta yielding everything
+    the two layout merges need from the driver: row count, the new
+    rows' primary (balde) and secondary (cbalde) partition lists, and
+    the moved rows' OLD cbalde buckets (collect_set skips the NULL
+    ``_old`` of never-labeled nodes). r12 paid five separate jobs for
+    these (two merge counts, two partition listings, one moved_from
+    collect) — the dominant fixed per-fold cost at toy scale
+    (SCALING.md r12; VERDICT r12 next #3)."""
+    nbl = F.lit(int(nb))
+    return delta.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_set(
+            F.pmod(F.col("vec_id"), nbl).cast("int")
+        ).alias("baldes"),
+        F.collect_set(
+            F.pmod(F.col("componente"), nbl).cast("int")
+        ).alias("cbaldes"),
+        F.collect_set(
+            F.pmod(F.col("_old"), nbl).cast("int")
+        ).alias("moved_from"),
+    ).first()
+
+
+def _apply_label_delta(
+    labels: ParquetStore, byc: ParquetStore, delta: DataFrame, nb: int, st
+) -> None:
+    """MERGE one journaled delta into BOTH label layouts. PK merges
+    are idempotent and the moved rows' old cbalde buckets join the
+    secondary's dedup via ``extra_partitions``, so re-applying after
+    any partial crash converges both layouts to the delta's state."""
+    labels.merge_upsert(
+        _with_balde(delta.drop("_old"), nb),
+        staged_count=st["n"],
+        staging_partitions=list(st["baldes"]),
+    )
+    byc.merge_upsert(
+        _with_cbalde(delta.drop("_old"), nb),
+        extra_partitions=list(st["moved_from"]),
+        staged_count=st["n"],
+        staging_partitions=list(st["cbaldes"]),
+    )
+
+
+def _replay_pending_label_delta(
+    spark: SparkSession, labels: ParquetStore, byc: ParquetStore,
+    store_dir: str, nb: int,
+) -> None:
+    """Crash repair at fold entry: re-apply (then clear) any journaled
+    delta a crashed fold left behind. The journal is written BEFORE
+    either layout merge, so whichever subset of the two merges
+    happened, re-applying the SAME delta to both converges them — in
+    particular the r12 gap (crash between the primary and secondary
+    merges) is repaired here because the stale secondary row's old
+    bucket is recomputable from the journal's ``_old`` column, never
+    from the (possibly already-merged) stores. A journal directory
+    without its ``_SUCCESS`` marker is a torn write: the fold crashed
+    mid-journal, before either merge, so the stores are consistent
+    and the partial files are simply dropped."""
+    from agrobr_spark.store.fs import delete_path, path_exists
+
+    pending = _pending_delta_dir(store_dir)
+    if not path_exists(spark, pending):
+        return
+    if path_exists(spark, f"{pending}/_SUCCESS"):
+        delta = spark.read.parquet(pending)
+        st = _delta_stats(delta, nb)
+        if st["n"]:
+            _apply_label_delta(labels, byc, delta, nb, st)
+    delete_path(spark, pending)
 
 
 def update_graph_labels_frame(
@@ -574,6 +688,7 @@ def update_graph_labels_frame(
     changed: DataFrame,
     store_dir: str,
     scratch_dir: str | None = None,
+    probe: dict | None = None,
 ) -> DataFrame:
     """Fold a batch's edge changes into the label store. ``changed``
     is a (vec_id) frame of the nodes whose edge rows the preceding
@@ -601,10 +716,27 @@ def update_graph_labels_frame(
     delta: a relabel moves its row between cbalde partitions, so the
     old component's bucket joins the merge via ``extra_partitions``
     (stale-row dedup; `store/table.py` merge contract). The two
-    layouts' merges are not atomic as a pair — same posture as the
-    edge/member/probe trio: a crash between them is repaired by
-    replaying the batch (PK merges are idempotent, delta recomputed
-    from the primary)."""
+    layouts' merges are not atomic as a pair, and batch REPLAY cannot
+    repair a crash between them — the delta's old side and the
+    touched-component list both come from stores the crashed fold
+    already half-updated, so a relabel that dissolved a component can
+    leave a stale secondary row no replay ever reads again (r12
+    VERDICT What's wrong #1, the concrete merge-then-crash trace).
+    Instead the fold JOURNALS: the checkpointed delta (WITH its
+    ``_old`` column) is written durably to ``labels_delta_pending/``
+    BEFORE either merge and cleared only after both, and every fold
+    starts by re-applying any uncleared journal to both layouts
+    (:func:`_replay_pending_label_delta`) — the delta is re-applied
+    from its own frozen copy, never recomputed from the stores, so
+    the repair holds in every crash position (pinned by
+    tests/test_operators.py::test_graph_labels_crash_between_merges).
+
+    ``probe``: optional dict the fold fills with the internals its
+    bytes-read probes need verbatim (``touched_components``,
+    ``moved_from_buckets``, ``n_delta``) — tools/knn_fold_probe.py
+    previously re-derived the touched list from the POST-fold labels,
+    misstating the members-leg read volume when a fold dissolved a
+    component (r12 ADVICE #3)."""
     from agrobr_spark.operators.components import connected_components
 
     labels = _labels_store(spark, store_dir)
@@ -620,6 +752,9 @@ def update_graph_labels_frame(
         )
     _, _, edges = _stores(spark, store_dir)
     nb = int(_read_meta(spark, store_dir)["edge_buckets"])
+    # crash repair FIRST: a journaled delta a crashed fold left behind
+    # must land in both layouts before this fold reads either
+    _replay_pending_label_delta(spark, labels, byc, store_dir, nb)
     e_all = edges.read().select("vec_id", "neighbor_id", "balde")
     changed = changed.select("vec_id").distinct().localCheckpoint(eager=True)
 
@@ -692,31 +827,38 @@ def update_graph_labels_frame(
     # this leg re-scanned the labels table per fold; r12: it is the
     # rows already fetched for S)
     old = members.select("vec_id", F.col("componente").alias("_old"))
-    delta = (
+    delta_plan = (
         relabeled.join(old, "vec_id", "left")
         .filter(
             F.col("_old").isNull()
             | (F.col("_old") != F.col("componente"))
         )
         .select("vec_id", "componente", "_old")
-        .localCheckpoint(eager=True)
     )
-    labels.merge_upsert(_with_balde(delta.drop("_old"), nb))
-    # secondary layout: the same delta rows keyed by the NEW
-    # component's bucket; each moved row's OLD bucket joins the merge
-    # so its stale copy is deduped out (bounded: <= |delta| values)
-    moved_from = [
-        r["b"]
-        for r in delta.filter(F.col("_old").isNotNull())
-        .select(
-            F.pmod(F.col("_old"), F.lit(int(nb))).cast("int").alias("b")
-        )
-        .distinct()
-        .collect()
-    ]
-    byc.merge_upsert(
-        _with_cbalde(delta.drop("_old"), nb), extra_partitions=moved_from
-    )
+    # the JOURNAL write doubles as the delta's checkpoint: one job
+    # both severs the plan from the stores the merges rewrite AND
+    # makes the delta durable before the first merge (crash contract
+    # above); the parquet committer's _SUCCESS marker is the journal's
+    # validity bit. Everything the two merges need from the driver —
+    # counts, both layouts' partition lists, the moved rows' old
+    # buckets — comes out of ONE aggregate over the journaled frame
+    # (r12 paid five jobs for the same facts; VERDICT r12 next #3).
+    pending = _pending_delta_dir(store_dir)
+    delta_plan.write.mode("overwrite").parquet(pending)
+    delta = spark.read.parquet(pending)
+    st = _delta_stats(delta, nb)
+    if probe is not None:
+        probe["touched_components"] = list(touched)
+        probe["moved_from_buckets"] = sorted(st["moved_from"])
+        probe["n_delta"] = int(st["n"])
+    # empty delta (a replayed batch, or one that moved no label):
+    # both merges skipped outright — the replay no-op path costs the
+    # journal write + one aggregate, nothing else
+    if st["n"]:
+        _apply_label_delta(labels, byc, delta, nb, st)
+    from agrobr_spark.store.fs import delete_path
+
+    delete_path(spark, pending)
     return relabeled
 
 

@@ -220,16 +220,27 @@ def update_posting_index(
     _commit_batch(path, bid, batch_id is not None)
 
 
-def _batch_dir(path: str, bid: int) -> str:
+def _batch_rel(bid: int) -> str:
     # sign-folded zero-padded name: lexicographic listing == epoch order
-    return f"{path}/batches/b{bid + (1 << 40):020d}"
+    return f"batches/b{bid + (1 << 40):020d}"
+
+
+def _batch_dir(path: str, bid: int) -> str:
+    return f"{path}/{_batch_rel(bid)}"
 
 
 def _next_local_batch(man: dict) -> int:
     """Epoch id for a non-streaming update: counts DOWN from -1 so it
-    can never collide with a foreachBatch epoch (those are >= 0)."""
+    can never collide with a foreachBatch epoch (those are >= 0).
+
+    ``local_low`` is the lowest local id EVER committed (manifest
+    watermark, r13): without it, a compaction that empties
+    ``active_batches`` would let the next local ingest REUSE a folded
+    id — fatal under the deferred vacuum, whose garbage list still
+    names the reused id's directory (the vacuum would delete the live
+    batch)."""
     locals_ = [b for b in man.get("active_batches", []) if b < 0]
-    return min(locals_, default=0) - 1
+    return min(int(man.get("local_low", 0)), min(locals_, default=0)) - 1
 
 
 def _record_empty_epoch(path: str, batch_id: int | None) -> None:
@@ -277,6 +288,10 @@ def _commit_batch(path: str, bid: int, guarded: bool) -> None:
         cur["active_batches"].append(int(bid))
         if guarded:
             cur["applied_batch_ids"].append(int(bid))
+        elif int(bid) < 0:
+            # advance the local-id watermark so a post-compaction
+            # ingest can never reuse a folded id (see _next_local_batch)
+            cur["local_low"] = min(int(cur.get("local_low", 0)), int(bid))
         return cur
 
     _locked_manifest_update(path, mut)
@@ -299,16 +314,38 @@ def _normalize_manifest(man: dict) -> dict:
     man.setdefault("active_batches", [])
     man.setdefault("applied_batch_ids", [])
     man.setdefault("version", 0)
+    # superseded dirs awaiting the DEFERRED vacuum (r13); relative to
+    # the index root so the manifest stays relocatable
+    man.setdefault("garbage", [])
+    # lowest local (negative) batch id ever committed — reuse guard
+    # for the deferred vacuum (see _next_local_batch)
+    man.setdefault("local_low", 0)
     return man
 
 
 def _locked_manifest_update(path: str, mutate) -> dict:
     """All manifest read-modify-writes go through the ONE serialized
     primitive (``store/fs.locked_json_update``); the loud local-posix
-    scope check rides the shared path."""
+    scope check rides the shared path.
+
+    An ABSENT manifest raises instead of being normalized from ``{}``
+    (r12 ADVICE #2): only ``build_posting_index`` creates a manifest,
+    so a commit/compaction finding none means the store is broken or
+    the path is wrong — fabricating a fresh version-0 manifest here
+    would mask that as an empty-but-healthy index."""
     from agrobr_spark.store.fs import locked_json_update
 
-    return locked_json_update(f"{path}/manifest.json", mutate)
+    def mut(cur: dict) -> dict:
+        if not cur:
+            raise FileNotFoundError(
+                f"posting-index manifest missing under {path!r} at "
+                "commit time — only build_posting_index creates one; "
+                "refusing to fabricate a fresh manifest over a broken "
+                "or mislocated store"
+            )
+        return mutate(cur)
+
+    return locked_json_update(f"{path}/manifest.json", mut)
 
 
 def read_manifest(path: str) -> dict:
@@ -404,10 +441,12 @@ def compact_posting_index(spark: SparkSession, path: str) -> int:
     epochs — their ids are drawn from the entry-time manifest
     snapshot, so two concurrent local ingests could stage the same
     directory — and one compaction at a time (two rewrites would
-    race the same generation name). In-flight readers should
-    tolerate the bounded window where superseded directories
-    disappear after the pointer swap (retry-on-missing-file, or
-    defer deletion to a vacuum step on a busy store).
+    race the same generation name). Superseded directories are NOT
+    deleted at the pointer swap: they are recorded in the manifest's
+    ``garbage`` list and vacuumed by the NEXT compaction (r12 VERDICT
+    next #5), so a reader planned against the previous generation
+    keeps its files through the swap it races — the reader-breaking
+    window now needs a reader to straddle TWO full compactions.
 
     Returns the number of posting data files after compaction.
     Positional indexes (no stats sidecar) compact the same way.
@@ -439,9 +478,18 @@ def compact_posting_index(spark: SparkSession, path: str) -> int:
     # this compaction actually FOLDED leave active_batches; everything
     # newer survives into the new generation's manifest untouched.
     folded = {int(b) for b in man["active_batches"]}
+    # this generation's superseded dirs are only RECORDED as garbage;
+    # the vacuum below deletes the PREVIOUS compaction's garbage — an
+    # in-flight reader planned against the pre-swap generation keeps
+    # its files through the swap (deferred vacuum, r12 VERDICT #5)
+    new_garbage = list(old_dirs) + [
+        _batch_rel(int(b)) for b in man["active_batches"]
+    ]
+    prev_garbage: list = []
 
     def mut(cur: dict) -> dict:
         cur = _normalize_manifest(cur)
+        prev_garbage[:] = list(cur["garbage"])
         new_man = dict(
             cur,
             version=ver,
@@ -449,16 +497,15 @@ def compact_posting_index(spark: SparkSession, path: str) -> int:
             active_batches=[
                 b for b in cur["active_batches"] if int(b) not in folded
             ],
+            garbage=new_garbage,
         )
         if has_stats:
             new_man["stats_dir"] = new_stats
         return new_man
 
     _locked_manifest_update(path, mut)
-    for d in old_dirs:
+    for d in prev_garbage:
         delete_path(spark, f"{path}/{d}")
-    for bid in man["active_batches"]:
-        delete_path(spark, _batch_dir(path, int(bid)))
     return posting_file_count(spark, path)
 
 

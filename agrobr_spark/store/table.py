@@ -68,7 +68,22 @@ class ParquetStore:
         return False
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        """Reader-tolerant scan (r12 VERDICT next #5): every write
+        path here replaces files out from under a reader that has
+        already planned its scan — dynamic partition overwrite swaps
+        the rewritten partitions' files, and a merge that EMPTIES a
+        partition deletes its directory outright. ``ignoreMissingFiles``
+        turns that race from a mid-job crash into a best-effort
+        snapshot (the reader sees pre-merge rows minus any partition
+        swapped after its listing — the same no-MVCC contract the
+        store documents for reads concurrent with a merge). Under the
+        single-writer contract a file missing at scan time is BY
+        CONSTRUCTION a superseded one: nothing else deletes store
+        files, so this does not mask corruption — a corrupt-but-
+        present file still fails loudly."""
+        return self.spark.read.option(
+            "ignoreMissingFiles", "true"
+        ).parquet(self.path)
 
     def overwrite(self, df: DataFrame) -> None:
         w = df.write.mode("overwrite")
@@ -112,6 +127,8 @@ class ParquetStore:
         self,
         staging: DataFrame,
         extra_partitions: list | None = None,
+        staged_count: int | None = None,
+        staging_partitions: list | None = None,
     ) -> int:
         """Last-writer-wins MERGE of ``staging`` into the table.
 
@@ -130,8 +147,19 @@ class ParquetStore:
         (dynamic overwrite only touches partitions present in the
         written data, so an emptied one would otherwise keep its old
         files).
+
+        ``staged_count`` / ``staging_partitions``: caller-precomputed
+        row count and COMPLETE distinct partition-value list of the
+        staging frame, when the caller already paid for them (the
+        label fold derives both from one aggregate over its
+        checkpointed delta — r12 measured the per-merge count +
+        partition-listing jobs as the dominant fixed fold cost at toy
+        scale). Correctness leans on completeness: a partition value
+        present in ``staging`` but missing from ``staging_partitions``
+        would skip the dedup and leave a duplicate PK — pass them only
+        from the same frame the staging plan reads.
         """
-        n = staging.count()
+        n = staging.count() if staged_count is None else int(staged_count)
         if n == 0 and not extra_partitions:
             return 0
         if not self.exists():
@@ -144,11 +172,14 @@ class ParquetStore:
             # (produto: ~6). A high-cardinality partition column would
             # make both this collect and the file layout pathological,
             # so guard it explicitly rather than degrade silently.
-            parts_df = staging.select(self.partition_col).distinct().limit(
-                _MAX_PARTITIONS_PER_MERGE + 1
+            if staging_partitions is None:
+                parts_df = staging.select(
+                    self.partition_col
+                ).distinct().limit(_MAX_PARTITIONS_PER_MERGE + 1)
+                staging_partitions = [r[0] for r in parts_df.collect()]
+            parts = sorted(
+                set(staging_partitions) | set(extra_partitions or [])
             )
-            parts = [r[0] for r in parts_df.collect()]
-            parts = sorted(set(parts) | set(extra_partitions or []))
             if len(parts) > _MAX_PARTITIONS_PER_MERGE:
                 raise ValueError(
                     f"merge_upsert: staging batch spans >"

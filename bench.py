@@ -331,9 +331,22 @@ def main() -> None:
 
     hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
     steal0 = _steal_jiffies()
+    # steal-aware per-ATTEMPT retry (r12 VERDICT next #2: two rounds
+    # of waiting for a clean 340 s host window failed; a clean 0.5-5 s
+    # window PER QUERY is common even when a clean full-run window
+    # never arrives). Each attempt is bracketed by its own /proc/stat
+    # steal sample; an attempt with >= CLEAN_STEAL_S of in-query steal
+    # is distrusted and retried. The recorded wall is the fastest
+    # CLEAN attempt's; only when no attempt comes back clean after
+    # MAX_ATTEMPTS is the lowest-steal attempt recorded, flagged
+    # clean=False.
+    CLEAN_STEAL_S = 1.0
+    MAX_ATTEMPTS = 4
     timings: dict[str, float] = {}
     steals: dict[str, float] = {}
     attempts_by_q: dict[str, int] = {}
+    clean_by_q: dict[str, bool] = {}
+    runs_by_q: dict[str, list] = {}
     for name in BENCH_QUERIES:
         fn = catalog.get(name)
         if fn is None:
@@ -347,37 +360,37 @@ def main() -> None:
             )
             return r.min_time_ms / 1000.0
 
-        # best-of-N: the shared host shows heavy CPU steal at times; min
-        # over repeated runs reports the engine's cost, not the noise.
-        # Two runs normally; queries still over a second after two runs
-        # get a third — exactly the ones a noisy window distorts most.
-        best = None
-        attempts = 0
-        s_before = _steal_jiffies()
-        for attempt in range(3):
+        runs: list[tuple[float, float]] = []  # (wall_s, steal_s)
+        for attempt in range(MAX_ATTEMPTS):
+            s0 = _steal_jiffies()
             dt = one_run()
-            attempts += 1
-            best = dt if best is None else min(best, dt)
-            if attempt == 1 and best <= 1.0:
-                break
-        s_after = _steal_jiffies()
-        steal_s = (
-            (s_after - s_before) / hz
-            if s_before is not None and s_after is not None
-            else 0.0
-        )
-        if steal_s > max(1.0, best):
-            # the host stole more CPU time than the best wall clock —
-            # the number is noise; one extra attempt in (hopefully) a
-            # calmer window
-            best = min(best, one_run())
-            attempts += 1
-            s2 = _steal_jiffies()
-            if s2 is not None and s_before is not None:
-                steal_s = (s2 - s_before) / hz
+            s1 = _steal_jiffies()
+            st = (
+                (s1 - s0) / hz
+                if s0 is not None and s1 is not None
+                else 0.0
+            )
+            runs.append((dt, st))
+            clean = [r for r in runs if r[1] < CLEAN_STEAL_S]
+            if len(runs) < 2:
+                continue  # always at least best-of-2
+            if not clean:
+                continue  # storm-hit so far: keep retrying to the cap
+            # >1 s queries get a third attempt (the pre-r13 best-of-3
+            # discipline — cross-round walls stay comparable)
+            if min(w for w, _ in clean) > 1.0 and len(runs) < 3:
+                continue
+            break
+        clean = [r for r in runs if r[1] < CLEAN_STEAL_S]
+        pool = clean if clean else [min(runs, key=lambda r: r[1])]
+        best, best_steal = min(pool)
         timings[name] = round(best, 4)
-        steals[name] = round(steal_s, 3)
-        attempts_by_q[name] = attempts
+        steals[name] = round(best_steal, 3)
+        attempts_by_q[name] = len(runs)
+        clean_by_q[name] = bool(clean)
+        runs_by_q[name] = [
+            [round(w, 4), round(s, 3)] for w, s in runs
+        ]
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -410,8 +423,16 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "queries": timings,
+        # per-query steal is the CHOSEN attempt's in-query steal (the
+        # wall you read carries this much distrust), not the sum over
+        # attempts; every attempt's (wall, steal) pair is under "runs"
         "steal": {"total_s": steal_total, "queries": steals},
         "attempts": attempts_by_q,
+        "clean": clean_by_q,
+        "unclean_queries": sorted(
+            q for q, ok in clean_by_q.items() if not ok
+        ),
+        "runs": runs_by_q,
     }
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -430,6 +451,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "steal_total_s": steal_total,
+        "unclean_n": sum(1 for ok in clean_by_q.values() if not ok),
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(out)

@@ -162,10 +162,12 @@ def probe(spark, k: int, batch_size: int, density: int) -> dict:
         total_bytes = _edge_bytes(store, None)
 
         t0 = time.time()
+        fold_probe: dict = {}
         relabeled = update_graph_labels_frame(
             spark,
             staged.select("vec_id").unionByName(batch.select("vec_id")),
             store,
+            probe=fold_probe,
         )
         t_label = time.time() - t0
         touched_members = [
@@ -176,10 +178,12 @@ def probe(spark, k: int, batch_size: int, density: int) -> dict:
         # labels-read volume (r12): the fold's primary-labels legs are
         # pruned to the touched members' vec_id buckets (rank_buckets
         # ⊇ the seed buckets), the componente→members leg to the
-        # touched components' cbalde buckets of the SECONDARY layout
+        # cbalde buckets of the PRE-fold touched components — taken
+        # verbatim from the fold via its probe hook, not re-derived
+        # from the post-fold labels (r12 ADVICE #3: a fold that
+        # dissolves a component would misstate the read volume)
         comp_buckets = {
-            r["componente"] % nb
-            for r in relabeled.select("componente").distinct().collect()
+            c % nb for c in fold_probe["touched_components"]
         }
 
         t0 = time.time()
