@@ -335,11 +335,19 @@ def main() -> None:
     # of waiting for a clean 340 s host window failed; a clean 0.5-5 s
     # window PER QUERY is common even when a clean full-run window
     # never arrives). Each attempt is bracketed by its own /proc/stat
-    # steal sample; an attempt with >= CLEAN_STEAL_S of in-query steal
-    # is distrusted and retried. The recorded wall is the fastest
-    # CLEAN attempt's; only when no attempt comes back clean after
-    # MAX_ATTEMPTS is the lowest-steal attempt recorded, flagged
-    # clean=False.
+    # steal sample; while no attempt has come in under CLEAN_STEAL_S
+    # of in-query steal, keep retrying (to MAX_ATTEMPTS). The recorded
+    # wall is the minimum over ALL attempts — interference only ever
+    # INFLATES a wall, so a storm-hit-but-faster attempt is a strictly
+    # tighter upper bound on the engine's cost than a clean-but-slower
+    # one (run 6a821b89: a18's 3.1 s attempt carried 1.7 s of steal
+    # and a later "clean" attempt took 6.5 s — steal is not the only
+    # interference channel, and rejecting fast attempts for it picks
+    # WORSE numbers; this is also the pre-r13 best-of-N semantics, so
+    # cross-round walls stay comparable). The chosen attempt's own
+    # steal is recorded beside the wall; clean=False flags a query
+    # whose recorded wall still carries >= CLEAN_STEAL_S of steal —
+    # read it as "upper bound, distrust up to that much".
     CLEAN_STEAL_S = 1.0
     MAX_ATTEMPTS = 4
     timings: dict[str, float] = {}
@@ -378,16 +386,14 @@ def main() -> None:
                 continue  # storm-hit so far: keep retrying to the cap
             # >1 s queries get a third attempt (the pre-r13 best-of-3
             # discipline — cross-round walls stay comparable)
-            if min(w for w, _ in clean) > 1.0 and len(runs) < 3:
+            if min(w for w, _ in runs) > 1.0 and len(runs) < 3:
                 continue
             break
-        clean = [r for r in runs if r[1] < CLEAN_STEAL_S]
-        pool = clean if clean else [min(runs, key=lambda r: r[1])]
-        best, best_steal = min(pool)
+        best, best_steal = min(runs)
         timings[name] = round(best, 4)
         steals[name] = round(best_steal, 3)
         attempts_by_q[name] = len(runs)
-        clean_by_q[name] = bool(clean)
+        clean_by_q[name] = best_steal < CLEAN_STEAL_S
         runs_by_q[name] = [
             [round(w, 4), round(s, 3)] for w, s in runs
         ]
