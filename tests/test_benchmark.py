@@ -143,3 +143,40 @@ def test_bench_covers_catalog():
             f"{name} excluded as {reason} but representative {rep!r} "
             "is not itself benched"
         )
+
+
+def test_bench_attempt_policy():
+    """The steal-aware retry/selection policy (r12 VERDICT next #2,
+    refined r13): retry until a clean attempt exists (cap 4), always
+    best-of-2, best-of-3 for >1 s walls; record the MIN wall over ALL
+    attempts — a stolen-but-faster attempt bounds the engine's cost
+    tighter than a clean-but-slower one (the a18 trace in run
+    6a821b89: clean-first selection picked 6.5 s over a 3.1 s attempt
+    that carried 1.7 s of steal)."""
+    import bench
+
+    need = bench.more_attempts_needed
+    # always at least two attempts, even if the first is clean+fast
+    assert need([])
+    assert need([(0.2, 0.0)])
+    # fast + clean after two: stop
+    assert not need([(0.2, 0.0), (0.25, 0.0)])
+    # slow queries get a third attempt, then stop
+    assert need([(2.0, 0.0), (2.1, 0.0)])
+    assert not need([(2.0, 0.0), (2.1, 0.0), (2.05, 0.0)])
+    # storm-hit so far: keep retrying to the cap
+    assert need([(0.2, 5.0), (0.3, 4.0)])
+    assert need([(0.2, 5.0), (0.3, 4.0), (0.2, 2.0)])
+    assert not need([(0.2, 5.0)] * 4)  # cap
+
+    choose = bench.choose_attempt
+    # the a18 trace: min-over-all wins over clean-first, flagged
+    # unclean because the chosen wall itself carries >= 1 s of steal
+    assert choose([(3.14, 1.74), (15.09, 0.78), (6.51, 0.32)]) == (
+        3.14, 1.74, False,
+    )
+    # clean fastest attempt: chosen and clean
+    assert choose([(1.2, 0.0), (3.4, 7.0)]) == (1.2, 0.0, True)
+    # all storm-hit: still the min wall, flagged
+    w, s, ok = choose([(9.0, 30.0), (7.5, 12.0)])
+    assert (w, s, ok) == (7.5, 12.0, False)
