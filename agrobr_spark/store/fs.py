@@ -165,12 +165,36 @@ def locked_json_update(path: str, mutate) -> dict:
     lock on different inodes. Same driver-local scope as
     ``commit_json``; on an object store, use its conditional put.
     Waiting beyond ``LOCK_TIMEOUT_S`` raises ``TimeoutError``."""
+    path = require_local_path(path)
+    with flocked(path + ".lock"):
+        cur = read_json(path)
+        new = mutate({} if cur is None else cur)
+        commit_json(path, new)
+        return new
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def flocked(lock_path: str):
+    """``flock(2)``-exclusive critical section on a persistent
+    sibling lock file — the mutual-exclusion body of
+    :func:`locked_json_update`, reusable wherever a store needs to
+    serialize an ms-scale metadata window (the posting manifest CAS;
+    ``ParquetStore``'s staged-swap commit). All of that function's
+    flock rationale applies verbatim: kernel-released on the holder's
+    last fd (a crashed holder can never wedge the store), two threads
+    of one process serialize like two processes, and the lockfile is
+    NEVER unlinked (unlink reopens the flock-on-deleted-inode race).
+    Raises ``TimeoutError`` past ``LOCK_TIMEOUT_S`` — the guarded
+    windows are ms-scale, so a long hold is a stuck live holder, not
+    contention."""
     import fcntl
     import os
     import time
 
-    path = require_local_path(path)
-    lock = path + ".lock"
+    lock = require_local_path(lock_path)
     fd = os.open(lock, os.O_CREAT | os.O_RDWR)
     try:
         deadline = time.monotonic() + LOCK_TIMEOUT_S
@@ -181,16 +205,13 @@ def locked_json_update(path: str, mutate) -> dict:
             except BlockingIOError:
                 if time.monotonic() > deadline:
                     raise TimeoutError(
-                        f"manifest lock {lock!r} held beyond "
+                        f"lock {lock!r} held beyond "
                         f"{LOCK_TIMEOUT_S}s by a live process — the "
                         "guarded window is ms-scale, so this is a "
-                        "stuck committer, not contention"
+                        "stuck holder, not contention"
                     )
                 time.sleep(0.005)
-        cur = read_json(path)
-        new = mutate({} if cur is None else cur)
-        commit_json(path, new)
-        return new
+        yield
     finally:
         os.close(fd)  # releases the flock with the fd
 

@@ -51,6 +51,7 @@ class ParquetStore:
         """
         from agrobr_spark.store.fs import hadoop_fs
 
+        self._recover_staged_swap()
         jvm = self.spark._jvm
         fs, hpath = hadoop_fs(self.spark, self.path)
         if not fs.exists(hpath):
@@ -81,29 +82,114 @@ class ParquetStore:
         CONSTRUCTION a superseded one: nothing else deletes store
         files, so this does not mask corruption — a corrupt-but-
         present file still fails loudly."""
+        self._recover_staged_swap()
         return self.spark.read.option(
             "ignoreMissingFiles", "true"
         ).parquet(self.path)
 
     def overwrite(self, df: DataFrame) -> None:
+        # resolve any crashed rewrite's stage FIRST: an uncleared
+        # committed stage left pending here would be rolled forward by
+        # a later read, clobbering this overwrite
+        self._recover_staged_swap(clean_torn=True)
         w = df.write.mode("overwrite")
         if self.partition_col:
             w = w.partitionBy(self.partition_col)
         w.parquet(self.path)
 
+    def _staged_dir(self) -> str:
+        return self.path.rstrip("/") + "._staged"
+
+    def _swap_committed_stage(self) -> None:
+        """The staged-swap COMMIT: if a stage with its ``_SUCCESS``
+        marker exists, delete the main dir and rename the stage into
+        place. Serialized under the store's swap lock so a reader's
+        roll-forward and the writer's own swap can never interleave
+        (each re-checks the stage INSIDE the lock; whoever loses the
+        race finds no stage and no-ops). Rolling forward is correct
+        from every crash position at or past the stage's completion:
+        the staged data is the rewrite's full intended result, and a
+        half-deleted main dir is indistinguishable from a
+        not-yet-deleted one — both resolve to "finish the swap"."""
+        from agrobr_spark.store.fs import (
+            delete_path,
+            hadoop_fs,
+            path_exists,
+        )
+
+        tmp = self._staged_dir()
+        with self._swap_lock():
+            if not path_exists(self.spark, f"{tmp}/_SUCCESS"):
+                return
+            delete_path(self.spark, self.path)
+            fs, src = hadoop_fs(self.spark, tmp)
+            _, dst = hadoop_fs(self.spark, self.path)
+            if not fs.rename(src, dst):
+                raise IOError(
+                    f"staged swap: rename {tmp!r} -> {self.path!r} "
+                    "failed"
+                )
+
+    def _swap_lock(self):
+        """The swap's critical section: flock on a driver-local
+        sibling when the store path is local (this repo's stores all
+        are); on a remote scheme the swap proceeds UNLOCKED — rename
+        is atomic there and cross-process reader/writer coordination
+        belongs to the deployment (the same scope note as
+        ``store/fs.commit_json``)."""
+        from contextlib import nullcontext
+
+        from agrobr_spark.store.fs import flocked, require_local_path
+
+        try:
+            lock = require_local_path(self._staged_dir()) + ".lock"
+        except ValueError:
+            return nullcontext()
+        return flocked(lock)
+
+    def _recover_staged_swap(self, clean_torn: bool = False) -> None:
+        """Repair a crashed :meth:`rewrite` at table open. A COMMITTED
+        stage (``_SUCCESS`` present) rolls FORWARD via
+        :meth:`_swap_committed_stage` — any caller may do this, reads
+        included. A TORN stage (dir without the marker) is dropped
+        only when ``clean_torn`` (write entry points): under the
+        single-writer contract a writer at entry knows no stage is
+        in flight, while a READER seeing a marker-less stage cannot
+        distinguish a crash's debris from a live rewrite's
+        in-progress write — deleting it would tear the active writer,
+        and it is harmless to reads (the main dir is untouched until
+        a stage commits)."""
+        from agrobr_spark.store.fs import delete_path, path_exists
+
+        tmp = self._staged_dir()
+        if not path_exists(self.spark, tmp):
+            return
+        if path_exists(self.spark, f"{tmp}/_SUCCESS"):
+            self._swap_committed_stage()
+        elif clean_torn:
+            delete_path(self.spark, tmp)
+
     def rewrite(self, df: DataFrame) -> None:
         """Full rewrite of the table from a plan that may read lazily
-        from this same path: stage to a sibling dir first, then swap —
-        never overwrite files still feeding the read."""
-        tmp = self.path.rstrip("/") + "._staged"
+        from this same path: stage to a sibling dir, then SWAP the
+        directories by rename — the data is written ONCE (the pre-r13
+        version re-read the stage and wrote the whole table a SECOND
+        time — 2x the write I/O of every compaction) and a crash at
+        any point is repaired at the next open by
+        :meth:`_recover_staged_swap`: the stage's ``_SUCCESS`` marker
+        is the redo record (present → roll forward; torn → a write
+        entry point rolls it back), and the main dir is only deleted
+        AFTER the stage is durably complete."""
+        self._recover_staged_swap(clean_torn=True)
+        tmp = self._staged_dir()
         w = df.write.mode("overwrite")
         if self.partition_col:
             w = w.partitionBy(self.partition_col)
         w.parquet(tmp)
-        self.overwrite(self.spark.read.parquet(tmp))
-        from agrobr_spark.store.fs import delete_path
-
-        delete_path(self.spark, tmp)
+        # commit point: tmp/_SUCCESS exists from here on — this swap
+        # (or any racing reader's roll-forward; the lock serializes
+        # them and each re-checks inside it) finishes the rewrite
+        self._swap_committed_stage()
 
     def _merged(self, target: DataFrame, staging: DataFrame) -> DataFrame:
         tcols = target.columns
@@ -238,6 +324,26 @@ class ParquetStore:
         return n
 
 
+def _compacted_frame(store: "ParquetStore", n: int) -> DataFrame:
+    """The rewrite plan compaction stages: for a PARTITIONED table,
+    shuffle on (partition value, PK-hash salt in [0, n)) so every
+    partition value spreads over at most ``n`` write tasks — one file
+    per (value, salt) group, FULL task parallelism across partition
+    values (the same idiom as ``merge_upsert``'s write). The pre-r13
+    ``coalesce(n)`` version serialized the entire table's rewrite
+    into ``n`` tasks regardless of partition count — at 100 TB a
+    one-task job. For an UNPARTITIONED table ``coalesce(n)`` stands:
+    shuffle-free, and ``n`` (files = tasks) is the caller's
+    parallelism knob, sized from table bytes / target file size."""
+    df = store.read()
+    if store.partition_col:
+        salt = F.pmod(
+            F.hash(*[F.col(k) for k in store.primary_key]), F.lit(n)
+        )
+        return df.repartition(F.col(store.partition_col), salt)
+    return df.coalesce(n)
+
+
 def compact(store: "ParquetStore", files_per_partition: int = 1) -> int:
     """Small-file compaction: rewrite the table so each partition holds
     at most ``files_per_partition`` data files.
@@ -245,18 +351,17 @@ def compact(store: "ParquetStore", files_per_partition: int = 1) -> int:
     Incremental MERGE workloads accrete one file set per upsert; at
     100 TB the resulting small-files problem dominates scan cost (every
     file is an open + footer read + seek). Compaction is the standard
-    maintenance op (Delta OPTIMIZE analog): a coalesced full rewrite
-    through the existing staged ``rewrite`` path, so readers never see
-    a half-written table and the staging dir is cleaned through the
-    Hadoop FS API. Returns the file count after compaction.
-
-    On a real cluster run this per-partition (read-filter-rewrite one
-    partition at a time) to bound memory; the staged-swap pattern is
-    identical.
+    maintenance op (Delta OPTIMIZE analog): a rewrite through the
+    existing staged ``rewrite`` path, so readers never see a
+    half-written table and the staging dir is cleaned through the
+    Hadoop FS API. Parallelism per :func:`_compacted_frame` — a
+    partitioned table compacts with one task per (partition, salt)
+    group, never a global coalesce. Returns the file count after
+    compaction.
     """
     from agrobr_spark.store.fs import hadoop_fs
 
-    df = store.read().coalesce(max(1, int(files_per_partition)))
+    df = _compacted_frame(store, max(1, int(files_per_partition)))
     store.rewrite(df)
     fs, hpath = hadoop_fs(store.spark, store.path)
     n = 0

@@ -332,6 +332,106 @@ def test_compact_small_files(spark, tmp_path):
     assert n_files <= 2  # one per partition value (g0, g1)
 
 
+def test_compact_partitioned_plan_is_parallel(spark, tmp_path):
+    """A partitioned table's compaction rewrite shuffles on
+    (partition value, PK-hash salt) — parallel across partitions —
+    and never global-coalesces (the pre-r13 plan serialized the
+    whole table into ``files_per_partition`` tasks). The salt bounds
+    files-per-partition at N without capping task parallelism."""
+    from agrobr_spark.store.table import (
+        ParquetStore,
+        _compacted_frame,
+        compact,
+    )
+
+    store = ParquetStore(
+        spark, str(tmp_path / "t_cplan"), primary_key=("k",),
+        partition_col="p",
+    )
+    store.overwrite(
+        spark.createDataFrame(
+            [(i, f"g{i % 3}") for i in range(60)], "k int, p string"
+        )
+    )
+    plan = (
+        _compacted_frame(store, 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(p#" in plan
+    assert "Coalesce" not in plan
+    # and the salt actually bounds files per partition at N=2
+    n_files = compact(store, files_per_partition=2)
+    assert n_files <= 6  # 3 partition values x <=2 salt groups
+    got = sorted(r[0] for r in store.read().select("k").collect())
+    assert got == list(range(60))
+
+
+def test_rewrite_staged_swap_crash_recovery(spark, tmp_path):
+    """rewrite()'s staged swap repairs every crash position at the
+    next open (r13: the previous rewrite wrote the table TWICE and a
+    crash during the second write lost data the staged copy held but
+    no code path recovered). The stage's _SUCCESS marker is the redo
+    record: torn stage -> roll back (write entry points only; a
+    reader can't distinguish crash debris from a live rewrite's
+    in-progress stage), committed stage -> ANY entry point rolls
+    forward."""
+    import os
+    import shutil
+
+    from agrobr_spark.store.table import ParquetStore
+
+    path = str(tmp_path / "t_swap")
+    store = ParquetStore(spark, path, primary_key=("k",))
+    store.overwrite(spark.createDataFrame([(1,), (2,)], "k int"))
+    staged = store._staged_dir()
+
+    # crash MID-STAGE-WRITE (torn: no _SUCCESS): reads serve main and
+    # leave the stage alone; the next write entry point drops it
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"torn")
+    assert sorted(r[0] for r in store.read().collect()) == [1, 2]
+    assert os.path.isdir(staged)  # reader did NOT clean it
+    store.rewrite(spark.createDataFrame([(3,)], "k int"))
+    assert not os.path.exists(staged)
+    assert [r[0] for r in store.read().collect()] == [3]
+
+    # crash AFTER the stage committed, main still present: a plain
+    # read rolls the rewrite forward
+    spark.createDataFrame([(9,)], "k int").write.parquet(staged)
+    assert [r[0] for r in store.read().collect()] == [9]
+    assert not os.path.exists(staged)
+
+    # crash mid-swap, main already deleted: exists()/read() converge
+    # to the staged result
+    spark.createDataFrame([(7,)], "k int").write.parquet(staged)
+    shutil.rmtree(path)
+    assert store.exists()
+    assert [r[0] for r in store.read().collect()] == [7]
+    assert not os.path.exists(staged)
+
+
+def test_overwrite_resolves_pending_stage(spark, tmp_path):
+    """An uncleared committed stage pending at overwrite() time must
+    be resolved BEFORE the overwrite — otherwise the next read's
+    roll-forward would clobber the newer overwrite with the crashed
+    rewrite's older data."""
+    import os
+
+    from agrobr_spark.store.table import ParquetStore
+
+    path = str(tmp_path / "t_swap_ow")
+    store = ParquetStore(spark, path, primary_key=("k",))
+    store.overwrite(spark.createDataFrame([(1,)], "k int"))
+    staged = store._staged_dir()
+    spark.createDataFrame([(9,)], "k int").write.parquet(staged)
+    store.overwrite(spark.createDataFrame([(5,)], "k int"))
+    assert not os.path.exists(staged)
+    assert [r[0] for r in store.read().collect()] == [5]
+
+
 def test_posting_index_build_and_query(spark, tmp_path):
     """store/posting.py (r8 verdict next #2): the bucketed posting
     index answers BM25 identically to first principles, reads only
@@ -1022,7 +1122,7 @@ def test_locked_json_update_crash_safety_and_timeout(
     fd = os.open(path + ".lock", os.O_CREAT | os.O_RDWR)
     fcntl.flock(fd, fcntl.LOCK_EX)
     try:
-        with pytest.raises(TimeoutError, match="stuck committer"):
+        with pytest.raises(TimeoutError, match="held beyond"):
             locked_json_update(path, lambda cur: cur)
     finally:
         fcntl.flock(fd, fcntl.LOCK_UN)
