@@ -177,27 +177,29 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def flocked(lock_path: str):
+def flocked(lock_path: str, timeout_s: float | None = None):
     """``flock(2)``-exclusive critical section on a persistent
     sibling lock file — the mutual-exclusion body of
     :func:`locked_json_update`, reusable wherever a store needs to
-    serialize an ms-scale metadata window (the posting manifest CAS;
+    serialize a metadata window (the posting manifest CAS;
     ``ParquetStore``'s staged-swap commit). All of that function's
     flock rationale applies verbatim: kernel-released on the holder's
     last fd (a crashed holder can never wedge the store), two threads
     of one process serialize like two processes, and the lockfile is
     NEVER unlinked (unlink reopens the flock-on-deleted-inode race).
-    Raises ``TimeoutError`` past ``LOCK_TIMEOUT_S`` — the guarded
-    windows are ms-scale, so a long hold is a stuck live holder, not
-    contention."""
+    Raises ``TimeoutError`` past ``timeout_s`` (default
+    ``LOCK_TIMEOUT_S``, calibrated for ms-scale manifest windows —
+    callers guarding longer sections, like a directory swap whose
+    delete is O(table files), pass their own budget)."""
     import fcntl
     import os
     import time
 
     lock = require_local_path(lock_path)
+    budget = LOCK_TIMEOUT_S if timeout_s is None else float(timeout_s)
     fd = os.open(lock, os.O_CREAT | os.O_RDWR)
     try:
-        deadline = time.monotonic() + LOCK_TIMEOUT_S
+        deadline = time.monotonic() + budget
         while True:
             try:
                 fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
@@ -206,12 +208,38 @@ def flocked(lock_path: str):
                 if time.monotonic() > deadline:
                     raise TimeoutError(
                         f"lock {lock!r} held beyond "
-                        f"{LOCK_TIMEOUT_S}s by a live process — the "
-                        "guarded window is ms-scale, so this is a "
-                        "stuck holder, not contention"
+                        f"{budget}s by a live process — "
+                        "longer than this window's budget, so this "
+                        "is a stuck holder, not contention"
                     )
                 time.sleep(0.005)
         yield
+    finally:
+        os.close(fd)  # releases the flock with the fd
+
+
+@contextmanager
+def flocked_try(lock_path: str):
+    """Non-blocking :func:`flocked`: yields ``True`` with the lock
+    held, or ``False`` immediately when a LIVE holder has it. The
+    discriminating property callers lean on: a CRASHED holder's flock
+    is already released (kernel drops it with the last fd), so
+    "busy" always means "a live process is inside the section" —
+    e.g. a reader that only needs to repair crashed writers can skip
+    a busy lock outright."""
+    import fcntl
+    import os
+
+    lock = require_local_path(lock_path)
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    got = False
+    try:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            got = True
+        except BlockingIOError:
+            pass
+        yield got
     finally:
         os.close(fd)  # releases the flock with the fd
 

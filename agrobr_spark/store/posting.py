@@ -181,6 +181,7 @@ def update_posting_index(
       path. Nothing ever appends into a directory a reader may be
       mid-scan on.
     """
+    _require_valid_epoch_id(batch_id)
     man = read_manifest(path)
     if batch_id is not None and int(batch_id) in man.get(
         "applied_batch_ids", []
@@ -227,6 +228,24 @@ def _batch_rel(bid: int) -> str:
 
 def _batch_dir(path: str, bid: int) -> str:
     return f"{path}/{_batch_rel(bid)}"
+
+
+def _require_valid_epoch_id(batch_id: int | None) -> None:
+    """The negative id space belongs to LOCAL epochs
+    (:func:`_next_local_batch` counts down from -1, fenced by the
+    ``local_low`` watermark). An EXPLICIT negative id would bypass
+    that watermark — ``_commit_batch``'s guarded branch never
+    advances it — so after a compaction folds the batch, the next
+    local ingest could re-draw the same id while the deferred
+    vacuum's garbage list still names its directory: the vacuum would
+    delete the live batch (r13 review). Streaming epoch ids are >= 0
+    by construction; reject rather than special-case."""
+    if batch_id is not None and int(batch_id) < 0:
+        raise ValueError(
+            f"explicit batch_id must be >= 0 (got {batch_id}); "
+            "negative ids are reserved for internally-drawn local "
+            "epochs"
+        )
 
 
 def _next_local_batch(man: dict) -> int:
@@ -454,6 +473,22 @@ def compact_posting_index(spark: SparkSession, path: str) -> int:
     from agrobr_spark.store.fs import delete_path, path_exists
 
     man = read_manifest(path)
+    # vacuum the PREVIOUS compaction's garbage FIRST, before this
+    # generation is written or committed (r13 review): the old
+    # post-commit ordering removed the list from the manifest
+    # (garbage=new_garbage) and only then deleted the dirs, so a
+    # crash between the two leaked a full generation forever — no
+    # later compaction's prev_garbage ever named it again. Deleting
+    # up front is crash-safe in every position: a crash mid-vacuum
+    # leaves the manifest still naming the dirs (delete_path on a
+    # missing path is a no-op, so the retry re-vacuums cleanly), and
+    # the reader grace is unchanged — these dirs went stale at the
+    # PREVIOUS pointer swap, so a reader still needs to straddle two
+    # full compactions to lose its files. Only compaction writes
+    # ``garbage``, and the single-compactor contract above serializes
+    # it against itself.
+    for d in man.get("garbage", []):
+        delete_path(spark, f"{path}/{d}")
     ver = int(man["version"]) + 1
     new_post = f"postings_v{ver}"
     (
@@ -485,11 +520,9 @@ def compact_posting_index(spark: SparkSession, path: str) -> int:
     new_garbage = list(old_dirs) + [
         _batch_rel(int(b)) for b in man["active_batches"]
     ]
-    prev_garbage: list = []
 
     def mut(cur: dict) -> dict:
         cur = _normalize_manifest(cur)
-        prev_garbage[:] = list(cur["garbage"])
         new_man = dict(
             cur,
             version=ver,
@@ -504,8 +537,6 @@ def compact_posting_index(spark: SparkSession, path: str) -> int:
         return new_man
 
     _locked_manifest_update(path, mut)
-    for d in prev_garbage:
-        delete_path(spark, f"{path}/{d}")
     return posting_file_count(spark, path)
 
 
@@ -673,6 +704,7 @@ def update_positional_index(
     ``update_posting_index`` (no stats sidecar: positions carry no
     corpus aggregate). Same append-only contract: ids must not
     already be indexed."""
+    _require_valid_epoch_id(batch_id)
     man = read_manifest(path)
     if batch_id is not None and int(batch_id) in man.get(
         "applied_batch_ids", []

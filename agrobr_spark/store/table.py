@@ -100,7 +100,13 @@ class ParquetStore:
     def _staged_dir(self) -> str:
         return self.path.rstrip("/") + "._staged"
 
-    def _swap_committed_stage(self) -> None:
+    #: budget for the WRITER's swap-lock wait: contention can only be
+    #: a reader rolling the writer's own just-committed stage forward,
+    #: whose delete leg is O(main-dir files) — minutes-scale on a big
+    #: table, never the ms-scale the manifest-CAS default assumes
+    SWAP_LOCK_TIMEOUT_S = 600.0
+
+    def _swap_committed_stage(self, wait: bool = True) -> bool:
         """The staged-swap COMMIT: if a stage with its ``_SUCCESS``
         marker exists, delete the main dir and rename the stage into
         place. Serialized under the store's swap lock so a reader's
@@ -110,7 +116,15 @@ class ParquetStore:
         from every crash position at or past the stage's completion:
         the staged data is the rewrite's full intended result, and a
         half-deleted main dir is indistinguishable from a
-        not-yet-deleted one — both resolve to "finish the swap"."""
+        not-yet-deleted one — both resolve to "finish the swap".
+
+        ``wait=False`` (reader-side recovery): a BUSY lock means a
+        live process is mid-swap — there is no crash to repair
+        (a crashed holder's flock is already kernel-released), so
+        skip rather than block a read behind an O(table-files)
+        delete. ``wait=True`` (the writer's own commit) blocks up to
+        ``SWAP_LOCK_TIMEOUT_S``. Returns False only for the skipped
+        busy case."""
         from agrobr_spark.store.fs import (
             delete_path,
             hadoop_fs,
@@ -118,10 +132,21 @@ class ParquetStore:
         )
 
         tmp = self._staged_dir()
-        with self._swap_lock():
+        with self._swap_lock(wait) as got:
+            if not got:
+                return False
             if not path_exists(self.spark, f"{tmp}/_SUCCESS"):
-                return
+                return True
             delete_path(self.spark, self.path)
+            if path_exists(self.spark, self.path):
+                # a half-failed delete must not reach rename: Hadoop's
+                # rename-into-existing-dir contract would nest the
+                # stage INSIDE the live table as a bogus subdirectory
+                raise IOError(
+                    f"staged swap: {self.path!r} survived its delete; "
+                    "refusing to rename the stage into a still-"
+                    "present directory"
+                )
             fs, src = hadoop_fs(self.spark, tmp)
             _, dst = hadoop_fs(self.spark, self.path)
             if not fs.rename(src, dst):
@@ -129,23 +154,37 @@ class ParquetStore:
                     f"staged swap: rename {tmp!r} -> {self.path!r} "
                     "failed"
                 )
+            return True
 
-    def _swap_lock(self):
+    def _swap_lock(self, wait: bool):
         """The swap's critical section: flock on a driver-local
         sibling when the store path is local (this repo's stores all
         are); on a remote scheme the swap proceeds UNLOCKED — rename
         is atomic there and cross-process reader/writer coordination
         belongs to the deployment (the same scope note as
-        ``store/fs.commit_json``)."""
-        from contextlib import nullcontext
+        ``store/fs.commit_json``). Yields True when the section may
+        proceed (always, except a busy non-blocking acquire)."""
+        from contextlib import contextmanager, nullcontext
 
-        from agrobr_spark.store.fs import flocked, require_local_path
+        from agrobr_spark.store.fs import (
+            flocked,
+            flocked_try,
+            require_local_path,
+        )
 
         try:
             lock = require_local_path(self._staged_dir()) + ".lock"
         except ValueError:
-            return nullcontext()
-        return flocked(lock)
+            return nullcontext(True)
+        if not wait:
+            return flocked_try(lock)
+
+        @contextmanager
+        def _held():
+            with flocked(lock, timeout_s=self.SWAP_LOCK_TIMEOUT_S):
+                yield True
+
+        return _held()
 
     def _recover_staged_swap(self, clean_torn: bool = False) -> None:
         """Repair a crashed :meth:`rewrite` at table open. A COMMITTED
@@ -165,7 +204,10 @@ class ParquetStore:
         if not path_exists(self.spark, tmp):
             return
         if path_exists(self.spark, f"{tmp}/_SUCCESS"):
-            self._swap_committed_stage()
+            # write entry points must not proceed until the stage is
+            # resolved; a read behind a busy lock skips — the live
+            # holder is already finishing the same swap
+            self._swap_committed_stage(wait=clean_torn)
         elif clean_torn:
             delete_path(self.spark, tmp)
 

@@ -1337,6 +1337,133 @@ def test_posting_local_ids_never_reused_after_compaction(spark, tmp_path):
     assert got.count() == 25
 
 
+def test_posting_compaction_vacuum_is_crash_safe(
+    spark, tmp_path, monkeypatch
+):
+    """r13 review: the vacuum runs BEFORE the generation write and
+    pointer swap. The old post-commit ordering removed the garbage
+    list from the manifest and only then deleted the dirs, so a crash
+    between the two leaked a generation forever. Now a crash at any
+    point leaves the manifest still naming the (possibly
+    already-deleted) dirs, and the retry re-vacuums them as a
+    no-op."""
+    import os
+
+    from agrobr_spark.store import posting as posting_mod
+    from agrobr_spark.store.posting import (
+        bm25_topk_indexed,
+        build_posting_index,
+        compact_posting_index,
+        read_manifest,
+        update_posting_index,
+    )
+
+    docs = [(i, f"alpha term{i % 7} beta") for i in range(20)]
+    path = str(tmp_path / "idx")
+    build_posting_index(
+        spark.createDataFrame(docs[:10], "doc_id bigint, text string"),
+        path,
+        n_buckets=4,
+    )
+    update_posting_index(
+        spark.createDataFrame(docs[10:], "doc_id bigint, text string"),
+        path,
+        batch_id=0,
+    )
+    compact_posting_index(spark, path)
+    g1 = read_manifest(path)["garbage"]
+    assert g1  # gen-1 debris awaiting the deferred vacuum
+
+    # crash the SECOND compaction just before its manifest commit
+    def boom(path_, mut):
+        raise RuntimeError("crash before pointer swap")
+
+    monkeypatch.setattr(posting_mod, "_locked_manifest_update", boom)
+    with pytest.raises(RuntimeError, match="crash before pointer swap"):
+        compact_posting_index(spark, path)
+    monkeypatch.undo()
+
+    # the vacuum already ran (dirs gone) but the manifest is
+    # untouched — it still names them, which must be harmless
+    man = read_manifest(path)
+    assert sorted(man["garbage"]) == sorted(g1)
+    for d in g1:
+        assert not os.path.exists(os.path.join(path, d)), d
+
+    # retry completes: re-vacuum no-ops, the torn generation dirs are
+    # overwritten (same version number), every document still served
+    compact_posting_index(spark, path)
+    got = bm25_topk_indexed(spark, path, ("alpha",), 30, 1.2, 0.75)
+    assert got.count() == 20
+
+
+def test_posting_update_rejects_explicit_negative_batch_id(
+    spark, tmp_path
+):
+    """r13 review: an explicit negative batch_id would bypass the
+    local_low watermark (the guarded commit branch never advances
+    it), letting a post-compaction local ingest re-draw a folded id
+    whose directory the deferred vacuum still names — so it is
+    rejected loudly at both update entry points."""
+    from agrobr_spark.store.posting import (
+        build_posting_index,
+        build_positional_index,
+        update_positional_index,
+        update_posting_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id bigint, text string"
+    )
+    more = spark.createDataFrame(
+        [(2, "alpha gamma")], "doc_id bigint, text string"
+    )
+    path = str(tmp_path / "idx")
+    build_posting_index(docs, path, n_buckets=4)
+    with pytest.raises(ValueError, match="must be >= 0"):
+        update_posting_index(more, path, batch_id=-1)
+    ppath = str(tmp_path / "pidx")
+    build_positional_index(docs, ppath, n_buckets=4)
+    with pytest.raises(ValueError, match="must be >= 0"):
+        update_positional_index(more, ppath, batch_id=-1)
+
+
+def test_staged_swap_reader_skips_busy_lock(spark, tmp_path):
+    """r13 review: a reader finding the swap lock HELD must skip
+    recovery instead of blocking — a busy lock always means a LIVE
+    process is mid-swap (a crashed holder's flock is kernel-released
+    with its fd), so there is no crash to repair and waiting up to
+    the timeout would stall every read behind an O(table-files)
+    delete."""
+    import fcntl
+    import os
+    import time
+
+    from agrobr_spark.store.table import ParquetStore
+
+    path = str(tmp_path / "t_busy")
+    store = ParquetStore(spark, path, primary_key=("k",))
+    store.overwrite(spark.createDataFrame([(1,)], "k int"))
+    staged = store._staged_dir()
+    spark.createDataFrame([(9,)], "k int").write.parquet(staged)
+
+    # a live holder (this test) takes the swap lock
+    fd = os.open(staged + ".lock", os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        t0 = time.monotonic()
+        got = [r[0] for r in store.read().collect()]
+        assert time.monotonic() - t0 < 10  # skipped, not timed out
+        assert got == [1]  # served MAIN; committed stage left alone
+        assert os.path.exists(staged)
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+    # lock free again: the next read rolls the stage forward
+    assert [r[0] for r in store.read().collect()] == [9]
+    assert not os.path.exists(staged)
+
+
 def test_parquet_store_reader_survives_concurrent_merge(spark, tmp_path):
     """r12 VERDICT next #5, table side: a reader that planned its
     scan before a merge must not CRASH when the merge rewrites (or

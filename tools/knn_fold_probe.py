@@ -231,6 +231,13 @@ def probe(spark, k: int, batch_size: int, density: int) -> dict:
             "affected": len(affected),
             "regime_lhs_affected_x_npb": len(affected) * NODES_PER_BUCKET,
             "touched_component_members": len(touched_members),
+            # straight from the fold's probe hook: the journaled
+            # delta's row count and the moved rows' OLD cbalde
+            # buckets — the secondary-merge write amplification the
+            # extra_partitions dedup pays for (r13 review: these were
+            # populated but unread)
+            "n_delta": fold_probe["n_delta"],
+            "moved_from_buckets": len(fold_probe["moved_from_buckets"]),
             "edge_buckets_touched": len(edge_buckets),
             "rank_buckets_touched": len(rank_buckets),
             "edge_bytes_total": total_bytes,
