@@ -8,16 +8,46 @@ survivor per cluster. The reference has no analog (its dedup is a PK
 upsert, duckdb_store.py:417-461) — this is part of the
 training-data-pipeline extension surface.
 
-Algorithm: iterative min-label propagation. Each node starts labeled
-with its own id; every iteration each node takes the minimum label in
-its closed neighborhood; stop when no label changes. Per iteration:
-one join edges⋈labels + one min-aggregate — two shuffles on the node
-key, nothing ever materializes more than O(|V| + |E|) rows.
+Algorithm (r13, two phases — the guide's "fix the distributed
+algorithm first" lever):
+
+1. **Min-label propagation** (with one pointer-jump per round), at
+   most ``star_after`` rounds: each node takes the minimum label in
+   its closed neighborhood — one edges⋈labels join + one min
+   aggregate per round. Dense near-dup graphs (quasi-cliques, the
+   common catalog case) converge here in 2–4 rounds, exactly as the
+   pre-r13 implementation did.
+2. **Large-star / small-star contraction** (Kiveris et al. 2014,
+   "Connected Components in MapReduce and Beyond") for everything
+   phase 1 did not finish: alternating rounds rewrite the edge set
+   itself — large-star connects every neighbor v > u to
+   m(u) = min(Γ(u) ∪ {u}); small-star connects every neighbor v < u
+   (and u) to m(u) — until the graph is a set of stars, whose
+   centers are the component minima. O(log² n) rounds.
+
+Why the phase split: propagation is O(diameter) rounds NO MATTER how
+label-level shortcuts are applied — measured r13 on the sf0.1
+mutual-kNN graph (a sparse chain-heavy graph, 1,704 nodes): 39 rounds
+with 1, 2, 3, 4 or 6 pointer-jump steps per round (the label forest
+is shallow — most labels point directly at a node that labels itself,
+so label(label(u)) == label(u) and jumping is a no-op; the wavefront
+still crosses one edge per round), and the same tail under
+label-edge augmentation. Only rewriting the EDGES (contraction)
+compresses distance geometrically: the same graph converges in 13
+star rounds, 7.6–11.9 s vs 23.6–27.2 s shipped (A/B, identical
+output signature). Dense graphs stay on the cheap propagation path:
+star rounds cost ~2× a propagation round (extra distinct + the
+double-referenced min map), so the sf0.1 near-dup graph — 3
+propagation rounds, 2.8 s — would REGRESS to 8.6 s under pure star;
+the hybrid keeps it byte-identical to the old loop. Phase 2 seeds
+the star graph with the phase-1 label shortcuts (u, label(u)) —
+reachable by construction, so components are unchanged and phase-1
+progress is not thrown away.
 
 Scale posture (100 TB):
-- Iterations: 2-4 rounds on dense near-dup clusters (quasi-cliques);
-  pointer-doubling shortcutting (on by default — one extra label
-  self-join per round) accelerates long chains.
+- Phase-1 rounds are full |E|-join passes; phase-2 rounds are
+  |E|-sized self-rewrites. Cutting ~39 passes to ~4 + ~13 is the
+  order-of-magnitude lever; everything else here is constants.
 - **Per-round severance is a PARQUET WRITE + READ-BACK, not a
   checkpoint.** This is deliberate and measured, not stylistic: with
   `localCheckpoint` (lazy OR eager) and even reliable
@@ -28,12 +58,23 @@ Scale posture (100 TB):
   every surface the API exposes, and at bench scale it eventually
   dies with `BigInteger would overflow supported range`). The
   parquet round-trip gives a genuinely fresh scan with fresh
-  attribute ids and holds a flat ~0.6 s/round through convergence
-  (38 rounds, 27.7 s, measured round 9). It is also the standard
-  Pregel-style materialization a 100 TB iterative job does anyway —
-  each round's label table is a real table.
-- The convergence probe is a count over the round's (1-partition)
-  parquet — a scalar aggregate; data never reaches the driver.
+  attribute ids and holds a flat per-round cost through convergence.
+  It is also the standard Pregel-style materialization a 100 TB
+  iterative job does anyway — each round's table is a real table.
+- The convergence probe is an ``Observation`` metric attached to the
+  round's parquet write (r13): the changed-count (phase 1) or the
+  (count, endpoint-sum) potential (phase 2) rides the write job
+  itself, so each round is ONE action — the pre-r13 separate
+  ``count()`` over the written files was a second driver action per
+  round, pure fixed overhead at any scale (measured 26.4 → 19.5 s on
+  the 39-round mutual-kNN run from this fusion alone).
+- Phase-2 convergence detection is exact, not heuristic: every
+  star-emitted edge (v, m(u)) has m(u) ≤ u, so the canonical-pair
+  endpoint sum Σ(a+b) (DECIMAL(38,0), no overflow) is monotone
+  non-increasing and — together with an equal row count — equal sums
+  imply the edge multiset is unchanged. Two consecutive unchanged
+  rounds (one large-star, one small-star) certify a fixpoint of both
+  operators, i.e. a star set.
 """
 
 from __future__ import annotations
@@ -41,7 +82,12 @@ from __future__ import annotations
 import tempfile
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
+
+#: propagation rounds before switching to star contraction: covers
+#: the dense quasi-clique graphs (2-4 rounds incl. the confirming
+#: round) without ever paying a star round for them
+STAR_AFTER = 4
 
 
 def connected_components(
@@ -51,6 +97,7 @@ def connected_components(
     max_iter: int = 100,
     shortcut: bool = True,
     scratch_dir: str | None = None,
+    star_after: int = STAR_AFTER,
 ) -> DataFrame:
     """Resolve an undirected edge list into components.
 
@@ -60,24 +107,30 @@ def connected_components(
     frame is materialized (localCheckpoint) so it stays valid after
     the scratch directory is cleaned up.
 
-    ``shortcut`` adds pointer-doubling each round:
-    ``label(u) <- min(label(u), label(label(u)))`` — one extra self
-    equi-join on the label table. Labels only ever take values of
-    nodes REACHABLE from u (neighbor-min propagates reachable minima
-    inductively), so the shortcut jumps along reachable chains and
-    the fixpoint is unchanged. Dedup graphs are quasi-cliques where
-    convergence takes 2-4 rounds; sparse long-path graphs (e.g. the
-    mutual-kNN retrieval graph) have been measured to need ~40.
+    ``shortcut`` enables the acceleration machinery: one
+    pointer-jump per propagation round
+    (``label(u) <- min(label(u), label(label(u)))``) and the
+    large-star/small-star contraction phase after ``star_after``
+    propagation rounds (module docstring — contraction is what makes
+    sparse chain graphs O(log) rounds; label-level shortcuts alone
+    measurably do not). ``shortcut=False`` is plain min-label
+    propagation to ``max_iter`` — the reference implementation kept
+    as the equality baseline in tests.
 
-    ``scratch_dir``: where per-round label tables land. Defaults to a
+    ``scratch_dir``: where per-round tables land. Defaults to a
     driver-local temp dir — correct for local[*] sessions; on a real
     cluster pass a shared filesystem path (the same place any
     iterative job would put its per-step tables).
 
-    (A batched steps-per-sync variant was measured and REMOVED: round
-    cost is real propagation work + the write, not job launches, so
-    composing 3 lazy steps per sync saved nothing — 36.4 s vs 35.9 s
-    for sim_graph_clusters at sf0.1.)"""
+    ``max_iter`` bounds TOTAL rounds across both phases; hitting it
+    raises (silent non-convergence would hand back WRONG components —
+    the one failure mode worse than a loud stop).
+
+    (A batched steps-per-sync variant was measured and REMOVED: full
+    propagation steps do the same total |E|-join work however they
+    are grouped — 36.4 s vs 35.9 s for sim_graph_clusters at sf0.1.
+    Star contraction is different in kind: it reduces the NUMBER of
+    |E|-passes, not their grouping.)"""
     import shutil
 
     spark = edges.sparkSession
@@ -108,7 +161,7 @@ def connected_components(
     own_scratch = scratch_dir is None
     scratch = scratch_dir or tempfile.mkdtemp(prefix="components_")
 
-    def step(lbl: DataFrame) -> DataFrame:
+    def propagation_step(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
             sym.join(lbl, sym["b"] == lbl["id"])
             .groupBy("a")
@@ -141,25 +194,139 @@ def connected_components(
             )
         return updated
 
+    def star_step(e: DataFrame, large: bool) -> DataFrame:
+        """One star operator over canonical pairs ``e`` (a < b):
+        emitted edges re-canonicalized and deduped. ``m`` is
+        min(Γ(u) ∪ {u}); the emitted pair (v, m(u)) is canonical as
+        (m, v) because m ≤ u < v (large) resp. m ≤ v ∨ m ≤ u
+        (small)."""
+        s = (
+            e.select("a", "b")
+            .unionByName(
+                e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+        )
+        m = (
+            s.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        if large:
+            emitted = (
+                s.filter(F.col("v") > F.col("u"))
+                .join(m, "u")
+                .select("v", "m")
+            )
+        else:
+            emitted = (
+                s.filter(F.col("v") < F.col("u"))
+                .join(m, "u")
+                .select("v", "m")
+                .unionByName(m.select(F.col("u").alias("v"), "m"))
+            )
+        return (
+            emitted.select(
+                F.least("v", "m").alias("a"),
+                F.greatest("v", "m").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def written(df: DataFrame, path: str, metrics: list) -> tuple:
+        """Write ``df`` with the given Observation metrics riding the
+        write job; return (read-back frame, metric row)."""
+        obs = Observation()
+        df.observe(obs, *metrics).write.mode("overwrite").parquet(path)
+        got = obs.get
+        return spark.read.parquet(path), got
+
+    changed_metric = [
+        F.sum((F.col("componente") != F.col("_old")).cast("long")).alias(
+            "changed"
+        )
+    ]
+    star_metrics = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("a") + F.col("b")).cast("decimal(38,0)")).alias("phi"),
+    ]
+
     try:
-        for i in range(max_iter):
-            updated = step(labels)
-            # parquet severance (see module docstring): write the
-            # round's label table and read it back fresh; alternating
-            # slots so the read of round k never races the overwrite
-            # of round k+1
-            path = f"{scratch}/r{i % 2}"
-            updated.write.mode("overwrite").parquet(path)
-            updated = spark.read.parquet(path)
-            changed = updated.filter(
-                F.col("componente") != F.col("_old")
-            ).count()
-            labels = updated.select("id", "componente")
-            if changed == 0:
+        rounds = 0
+        prop_limit = min(star_after, max_iter) if shortcut else max_iter
+        while rounds < prop_limit:
+            updated = propagation_step(labels)
+            rounds += 1
+            out, got = written(
+                updated, f"{scratch}/r{rounds % 2}", changed_metric
+            )
+            labels = out.select("id", "componente")
+            if not (got["changed"] or 0):
                 # materialize off the scratch files before cleanup
                 return labels.localCheckpoint(eager=True)
-        # silent non-convergence would hand back WRONG components — the
-        # one failure mode worse than a loud stop.
+
+        if shortcut:
+            # star phase, seeded with the phase-1 label shortcuts:
+            # (u, label(u)) is reachable by construction, so the
+            # component structure is unchanged and phase-1 progress
+            # carries over as contraction fodder
+            seed = (
+                sym.filter(F.col("a") < F.col("b"))
+                .unionByName(
+                    labels.filter(F.col("componente") != F.col("id")).select(
+                        F.col("componente").alias("a"),
+                        F.col("id").alias("b"),
+                    )
+                )
+                .distinct()
+            )
+            e, prev = written(seed, f"{scratch}/s_init", star_metrics)
+            prev_key = (prev["n"], prev["phi"])
+            unchanged = 0
+            while rounds < max_iter:
+                large = rounds % 2 == 0
+                rounds += 1
+                e, got = written(
+                    star_step(e, large),
+                    f"{scratch}/s{rounds % 2}",
+                    star_metrics,
+                )
+                key = (got["n"], got["phi"])
+                unchanged = unchanged + 1 if key == prev_key else 0
+                prev_key = key
+                if unchanged >= 2:
+                    # star set: every node's component is the minimum
+                    # of its closed neighborhood; nodes whose edges
+                    # all contracted away (none — star ops preserve
+                    # the endpoint set) fall back to their own id
+                    star_lbl = (
+                        e.select("a", "b")
+                        .unionByName(
+                            e.select(
+                                F.col("b").alias("a"),
+                                F.col("a").alias("b"),
+                            )
+                        )
+                        .groupBy(F.col("a").alias("sid"))
+                        .agg(F.min("b").alias("mv"))
+                        .select(
+                            "sid", F.least("sid", "mv").alias("scomp")
+                        )
+                    )
+                    nodes = sym.select(F.col("a").alias("id")).distinct()
+                    return (
+                        nodes.join(
+                            star_lbl, nodes["id"] == star_lbl["sid"], "left"
+                        )
+                        .select(
+                            "id",
+                            F.coalesce("scomp", F.col("id")).alias(
+                                "componente"
+                            ),
+                        )
+                        .localCheckpoint(eager=True)
+                    )
         raise RuntimeError(
             f"connected_components: labels still changing after {max_iter} "
             "iterations; raise max_iter for extreme-diameter graphs"
