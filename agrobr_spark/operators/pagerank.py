@@ -67,9 +67,23 @@ def pagerank_mass(
 
     Each iteration is ONE hash equi-join of the edge frame against
     the rank vector plus ONE keyed aggregation; the Python loop only
-    unrolls the plan, and every step is locally checkpointed so
-    lineage stays flat (Pregel-style materialization — at 100 TB a
-    persisted table per step)."""
+    unrolls the plan. The unrolled chain is composed LAZILY into one
+    job (r13): each iteration's rank frame is referenced exactly once
+    by the next (in ``contrib``), so the plan is a linear chain —
+    no shared subtree to recompute, no exponential growth — and the
+    fixed iteration count bounds its depth at ``iters`` join/agg
+    levels, well inside Catalyst's comfort zone. The pre-r13 version
+    localCheckpointed every step (one job + full materialization per
+    iteration, 5 jobs per PageRank call); lazy composition runs the
+    whole trajectory as ONE job with the same shuffle count — the
+    per-fold saving that matters in the incremental rank store, which
+    calls this loop once per micro-batch. (The REDISTRIBUTED variant
+    in queries/similarity.py keeps per-step checkpoints: its dangling
+    quota references each rank frame TWICE per iteration, which under
+    lazy composition would double the subtree per step.) At 100 TB
+    with many iterations, per-step persisted tables remain the
+    standard Pregel-style fallback; at the fixed PR_ITER-step
+    trajectory the linear chain is strictly cheaper."""
     half = F.lit(0.5)
     nodes = nodes.select("vec_id").localCheckpoint(eager=True)
     outdeg = edges.groupBy("src").agg(
@@ -90,18 +104,14 @@ def pagerank_mass(
         insum = contrib.groupBy("dst").agg(
             F.sum("c").cast("bigint").alias("s")
         )
-        r = (
-            nodes.join(insum, nodes["vec_id"] == insum["dst"], "left")
-            .select(
-                "vec_id",
-                (
-                    F.lit(150_000).cast("bigint")
-                    + F.floor(
-                        F.lit(damp) * F.coalesce("s", F.lit(0)) + half
-                    ).cast("bigint")
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=True)
+        r = nodes.join(insum, nodes["vec_id"] == insum["dst"], "left").select(
+            "vec_id",
+            (
+                F.lit(150_000).cast("bigint")
+                + F.floor(
+                    F.lit(damp) * F.coalesce("s", F.lit(0)) + half
+                ).cast("bigint")
+            ).alias("r"),
         )
     return r.select(
         "vec_id",

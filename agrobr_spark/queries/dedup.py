@@ -1373,21 +1373,38 @@ def corpus_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("exato").alias("metodo"), "n_pares", "n_docs")
     )
-    mh = linha(
-        "minhash_lsh",
-        dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True),
-        "doc_a", "doc_b",
-    )
-    ng = linha(
-        "ngram_jaccard",
-        dedup_ngram_jaccard(spark, sf_dir).localCheckpoint(eager=True),
-        "doc_a", "doc_b",
-    )
-    nd = linha(
-        "embedding_ivf",
-        near_dup_embeddings(spark, sf_dir).localCheckpoint(eager=True),
-        "vec_a", "vec_b",
-    )
+    # the three pair methods are INDEPENDENT plans that each end in an
+    # eager materialization — submit them from a small thread pool so
+    # the later methods' tasks back-fill executors freed by the
+    # earlier ones' stage tails (guide §2.6 overlap-independent-jobs;
+    # actions are only sequential because driver code calls them
+    # sequentially). inheritable_thread_target keeps job
+    # descriptions/groups correct per thread; plans touch no shared
+    # mutable state beyond idempotent memo dicts.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    builders = {
+        "minhash_lsh": lambda: dedup_minhash_lsh(
+            spark, sf_dir
+        ).localCheckpoint(eager=True),
+        "ngram_jaccard": lambda: dedup_ngram_jaccard(
+            spark, sf_dir
+        ).localCheckpoint(eager=True),
+        "embedding_ivf": lambda: near_dup_embeddings(
+            spark, sf_dir
+        ).localCheckpoint(eager=True),
+    }
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = {
+            k: pool.submit(inheritable_thread_target(fn))
+            for k, fn in builders.items()
+        }
+        frames = {k: f.result() for k, f in futs.items()}
+    mh = linha("minhash_lsh", frames["minhash_lsh"], "doc_a", "doc_b")
+    ng = linha("ngram_jaccard", frames["ngram_jaccard"], "doc_a", "doc_b")
+    nd = linha("embedding_ivf", frames["embedding_ivf"], "vec_a", "vec_b")
     out = ex.unionByName(mh).unionByName(ng).unionByName(nd)
     return out.select(
         "metodo",

@@ -1280,11 +1280,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Iterative-at-scale shape: each iteration is ONE hash equi-join of
     the k·n edge frame against the n-row rank vector plus ONE keyed
     aggregation — no driver-side loop over data, no global sort; the
-    Python `for` only unrolls the plan. Each iteration's rank frame is
-    locally checkpointed (at 100 TB: a persisted table per step, the
-    standard Pregel-style materialization) so lineage stays flat and
-    the edge frame — built once, checkpointed — feeds every step from
-    cache. Dangling-node mass (nodes whose cluster had < 2 members,
+    Python `for` only unrolls the plan, and the unrolled {it}-step
+    chain composes LAZILY into one job (each rank frame is referenced
+    exactly once by the next step — linear plan, no recomputation;
+    operators/pagerank.py r13 rationale). The edge frame — built
+    once, checkpointed — feeds every step from its materialized
+    copy. Dangling-node mass (nodes whose cluster had < 2 members,
     hence no out-edges) is dropped, not redistributed; ranks still
     sum to < 1 but ordering is unaffected and both engines drop it
     identically (documented trade, standard in sparse implementations).
@@ -1346,6 +1347,7 @@ def _pagerank_frame(
             F.sum("c").cast("double").alias("s")
         )
         base = F.coalesce("s", F.lit(0.0))
+        checkpoint_step = redistribute
         if redistribute:
             # per-node share of the dangling ranks' mass: DECIMAL sum
             # (order-independent, the in-sum convention) over the
@@ -1368,13 +1370,18 @@ def _pagerank_frame(
         upd = nodes.join(insum, nodes["vec_id"] == insum["dst"], "left")
         if redistribute:
             upd = upd.crossJoin(F.broadcast(dm))
-        r = (
-            upd.select(
-                "vec_id",
-                F.round(F.lit(0.15) + F.lit(PR_DAMP) * base, 6).alias("r"),
-            )
-            .localCheckpoint(eager=True)
+        r = upd.select(
+            "vec_id",
+            F.round(F.lit(0.15) + F.lit(PR_DAMP) * base, 6).alias("r"),
         )
+        # redistribute references r TWICE per iteration (contrib +
+        # the dangling-quota aggregate): lazy composition would double
+        # the rank subtree per step, so each step stays checkpointed.
+        # The drop variant references r exactly once — the unrolled
+        # chain composes lazily into ONE job (operators/pagerank.py
+        # r13 rationale; 5 materialization jobs saved per call).
+        if checkpoint_step:
+            r = r.localCheckpoint(eager=True)
     return r.select("vec_id", F.col("r").alias("pontuacao"))
 
 
