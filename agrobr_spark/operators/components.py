@@ -9,7 +9,10 @@ upsert, duckdb_store.py:417-461) — this is part of the
 training-data-pipeline extension surface.
 
 Algorithm (r13, two phases — the guide's "fix the distributed
-algorithm first" lever):
+algorithm first" lever — behind a size gate: a graph whose symmetric
+edge list fits a bounded driver list finishes as ONE Arrow collect +
+union-find, see ``DRIVER_MAX_SYM_EDGES``; everything below describes
+the distributed path above that ceiling):
 
 1. **Min-label propagation** (with one pointer-jump per round), at
    most ``star_after`` rounds: each node takes the minimum label in
@@ -79,6 +82,7 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pyspark.sql.functions as F
@@ -89,6 +93,67 @@ from pyspark.sql import DataFrame, Observation
 #: round) without ever paying a star round for them
 STAR_AFTER = 4
 
+#: symmetric-edge-row ceiling under which the component resolution
+#: finishes on the DRIVER (one Arrow collect + union-find) instead of
+#: the distributed round loop — the broadcast-join analog: below the
+#: threshold the whole graph is a bounded driver list (~16 bytes/row;
+#: the default ≈ 32 MB, same order as the session's broadcast
+#: threshold) and every distributed round would be pure fixed
+#: overhead (measured r13: 17 rounds ≈ 14 s on a 3.6k-row symmetric
+#: edge set whose union-find takes milliseconds). Above it, the
+#: propagation+star loop runs unchanged. At 100 TB this split is
+#: exactly right by construction: corpus-scale builds exceed the
+#: ceiling and stay distributed, while the incremental folds'
+#: touched-component subgraphs are bounded by batch neighborhoods
+#: and stay small FOREVER — they are the call sites the driver
+#: finish exists for. Env-tunable; 0 disables.
+DRIVER_MAX_SYM_EDGES = int(
+    os.environ.get("AGROBR_CC_DRIVER_MAX_SYM_EDGES", 2_000_000)
+)
+
+
+def _driver_components(sym: DataFrame) -> DataFrame:
+    """Union-find finish for a small symmetric edge frame: collect
+    (a, b) via Arrow, resolve on the driver with path compression,
+    attach the GREATER root under the smaller so each set's root is
+    its minimum id — the exact `componente = min reachable id`
+    contract of the distributed loop. Returns (id, componente) with
+    the input's id type."""
+    pdf = sym.select("a", "b").toPandas()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    # .tolist() converts numpy scalars to plain Python values — both
+    # for dict-key hashing sanity and because createDataFrame rejects
+    # numpy types in plain tuples
+    for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    out = [(x, find(x)) for x in parent]
+    spark = sym.sparkSession
+    id_type = sym.schema["a"].dataType
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("componente", id_type),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
 
 def connected_components(
     edges: DataFrame,
@@ -98,6 +163,7 @@ def connected_components(
     shortcut: bool = True,
     scratch_dir: str | None = None,
     star_after: int = STAR_AFTER,
+    driver_max_sym_edges: int | None = None,
 ) -> DataFrame:
     """Resolve an undirected edge list into components.
 
@@ -125,6 +191,11 @@ def connected_components(
     ``max_iter`` bounds TOTAL rounds across both phases; hitting it
     raises (silent non-convergence would hand back WRONG components —
     the one failure mode worse than a loud stop).
+
+    ``driver_max_sym_edges`` overrides the module-level
+    ``DRIVER_MAX_SYM_EDGES`` ceiling for the driver union-find finish
+    (0 forces the distributed loop — how the equality tests pin
+    driver ≡ distributed).
 
     (A batched steps-per-sync variant was measured and REMOVED: full
     propagation steps do the same total |E|-join work however they
@@ -155,6 +226,17 @@ def connected_components(
     # single non-iterated checkpoint is safe — the doubling pathology
     # documented above needs a chain of checkpoints feeding self-joins)
     sym = sym.localCheckpoint(eager=True)
+    # driver union-find finish below the bounded-list ceiling (module
+    # constant — the broadcast-join analog; the count is one cheap job
+    # over the just-checkpointed rows). Gated on ``shortcut`` so
+    # shortcut=False stays the pure distributed reference loop the
+    # equality tests compare against.
+    if driver_max_sym_edges is None:
+        driver_max_sym_edges = DRIVER_MAX_SYM_EDGES
+    if shortcut and driver_max_sym_edges and (
+        sym.count() <= driver_max_sym_edges
+    ):
+        return _driver_components(sym).localCheckpoint(eager=True)
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
         "componente", F.col("id")
     )

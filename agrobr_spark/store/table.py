@@ -333,26 +333,27 @@ class ParquetStore:
                 emptied = [
                     p for p in set(extra_partitions) - present if p in parts
                 ]
-            conf = self.spark.conf
-            prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-            conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                (
-                    # one shuffle on the partition column so each
-                    # rewritten partition gets ONE data file instead of
-                    # one per task holding its rows: fewer files to
-                    # commit per merge (the dominant small-merge cost)
-                    # and no small-file accretion for compact() to fold
-                    # later; a skewed-hot partition lands on one task —
-                    # acceptable because merges stage only touched
-                    # partitions' rows (bounded), never the table
-                    merged.repartition(self.partition_col)
-                    .write.mode("overwrite")
-                    .partitionBy(self.partition_col)
-                    .parquet(self.path)
-                )
-            finally:
-                conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            (
+                # one shuffle on the partition column so each
+                # rewritten partition gets ONE data file instead of
+                # one per task holding its rows: fewer files to
+                # commit per merge (the dominant small-merge cost)
+                # and no small-file accretion for compact() to fold
+                # later; a skewed-hot partition lands on one task —
+                # acceptable because merges stage only touched
+                # partitions' rows (bounded), never the table.
+                # Dynamic overwrite is a PER-WRITER option, not a
+                # session-conf set/restore (r13): the conf dance was
+                # two extra RPCs per merge and made concurrent merges
+                # of INDEPENDENT stores racy — one thread's restore
+                # to "static" could flip another thread's in-flight
+                # write into a whole-table overwrite
+                merged.repartition(self.partition_col)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(self.partition_col)
+                .parquet(self.path)
+            )
             if emptied:
                 from agrobr_spark.store.fs import delete_path
 

@@ -291,7 +291,9 @@ def test_connected_components_one_action_per_iteration(spark):
         [(i, i + 1) for i in range(7)], "a long, b long"
     )
     n0 = njobs()
-    out = connected_components(edges, "a", "b")
+    out = connected_components(
+        edges, "a", "b", driver_max_sym_edges=0
+    )
     loop_jobs = njobs() - n0
     assert {r["componente"] for r in out.collect()} == {0}
     # eager-checkpoint + separate count = 2 driver actions/round; the
@@ -315,7 +317,9 @@ def test_connected_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(6)], "a long, b long"
     )
     with pytest.raises(RuntimeError, match="max_iter"):
-        connected_components(edges, "a", "b", max_iter=1)
+        connected_components(
+            edges, "a", "b", max_iter=1, driver_max_sym_edges=0
+        )
 
 
 def test_deterministic_sample_is_scale_stable(spark):
@@ -548,7 +552,9 @@ def test_connected_components_long_path_converges_via_shortcut(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(199)], "a long, b long"
     )
-    out = connected_components(edges, "a", "b")  # must not raise
+    out = connected_components(
+        edges, "a", "b", driver_max_sym_edges=0
+    )  # must not raise
     rows = out.collect()
     assert len(rows) == 200
     assert {r["componente"] for r in rows} == {0}
@@ -574,6 +580,48 @@ def test_connected_components_shortcut_equals_plain(spark):
         for r in connected_components(df, "a", "b", shortcut=False).collect()
     }
     assert fast == plain
+
+
+def test_connected_components_driver_equals_distributed(spark):
+    """The driver union-find finish (the below-threshold fast path)
+    must produce exactly the distributed loop's (id, componente) set —
+    on a random graph, on the star-phase's worst case (a long path),
+    and for non-numeric id types (componente = lexicographic min)."""
+    import random
+
+    from agrobr_spark.operators.components import connected_components
+
+    def both(df):
+        drv = {
+            (r["id"], r["componente"])
+            for r in connected_components(df, "a", "b").collect()
+        }
+        dist = {
+            (r["id"], r["componente"])
+            for r in connected_components(
+                df, "a", "b", driver_max_sym_edges=0
+            ).collect()
+        }
+        return drv, dist
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(40)]
+    edges = [(a, b) for a, b in edges if a != b]
+    drv, dist = both(spark.createDataFrame(edges, "a long, b long"))
+    assert drv == dist and drv
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "a long, b long"
+    )
+    drv, dist = both(path)
+    assert drv == dist and {c for _, c in drv} == {0}
+
+    strs = spark.createDataFrame(
+        [("d", "b"), ("b", "a"), ("x", "y")], "a string, b string"
+    )
+    drv, dist = both(strs)
+    assert drv == dist
+    assert dict(drv)["d"] == "a" and dict(drv)["x"] == "x"
 
 
 def test_rp_lsh_recall_on_fixture(spark):
@@ -1913,7 +1961,9 @@ def test_components_long_path_graph(spark):
         [(i, i + 1) for i in range(n - 1)], "a long, b long"
     )
     out = {r["id"]: r["componente"]
-           for r in connected_components(edges, "a", "b").collect()}
+           for r in connected_components(
+               edges, "a", "b", driver_max_sym_edges=0
+           ).collect()}
     assert len(out) == n
     assert set(out.values()) == {0}
 
