@@ -343,15 +343,30 @@ def build_knn_graph_index(
     # _stores): directory count stays corpus-proportional-bounded
     # instead of centroid-proportional
     ncb = nb
-    members.overwrite(_member_rows(ranked, ncb))
-    probes.overwrite(_probe_rows(ranked, ncb))
-    edges.overwrite(
-        _topk_edges(
-            _candidates(_probe_rows(ranked, ncb), _member_rows(ranked, ncb)),
-            k,
-            nb,
-        )
-    )
+    # the three tables are independent projections of the checkpointed
+    # assignment — overlap the two trivial writes with the heavy
+    # candidate-join/topk write (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    writes = [
+        lambda: members.overwrite(_member_rows(ranked, ncb)),
+        lambda: probes.overwrite(_probe_rows(ranked, ncb)),
+        lambda: edges.overwrite(
+            _topk_edges(
+                _candidates(
+                    _probe_rows(ranked, ncb), _member_rows(ranked, ncb)
+                ),
+                k,
+                nb,
+            )
+        ),
+    ]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(inheritable_thread_target(w)) for w in writes]
+        for f in futs:
+            f.result()
     from agrobr_spark.store.fs import write_text
 
     write_text(spark, f"{store_dir}/meta.json", json.dumps(

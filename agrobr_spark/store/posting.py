@@ -117,8 +117,13 @@ def build_posting_index(
         .partitionBy("bucket")
         .parquet(f"{path}/postings")
     )
+    # stats fold from the WRITTEN postings, not the tokenize plan:
+    # re-executing the tokenizer for a 3-column aggregate doubled the
+    # corpus tokenization cost at any scale (r13); the read-back scans
+    # compact columnar postings instead of re-splitting raw text
+    written = docs.sparkSession.read.parquet(f"{path}/postings")
     stats = (
-        postings.groupBy(id_col)
+        written.groupBy(id_col)
         .agg(F.first("dl").alias("dl"))
         .groupBy()
         .agg(
@@ -190,24 +195,37 @@ def update_posting_index(
     bid = int(batch_id) if batch_id is not None else _next_local_batch(man)
     nb = int(man["n_buckets"])
     postings = tokenize_postings(docs_new, id_col, text_col)
-    if postings.limit(1).count() == 0:
-        # an empty epoch (no docs, or all-blank texts) contributes no
-        # rows — committing its directory would brick every later
-        # read (a partitioned write of an empty frame emits no
-        # parquet files to infer a schema from). Record the batch_id
-        # guard only, so a replayed empty epoch stays a no-op.
-        _record_empty_epoch(path, batch_id)
-        return
     bucket = F.pmod(F.xxhash64(F.col("termo")), F.lit(nb))
     bdir = _batch_dir(path, bid)
+    # ONE tokenizer execution per epoch (r13: the emptiness probe, the
+    # postings write and the stats write each re-ran it — 3x the
+    # epoch's tokenization cost): write postings first, then decide
+    # emptiness from the WRITTEN directory (a partitioned write of an
+    # empty frame emits no bucket=* data files — committing such a
+    # directory would brick every later read, so a replayed empty
+    # epoch records only its batch_id guard) and fold stats from the
+    # written rows.
     (
         postings.withColumn("bucket", bucket.cast("int"))
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{bdir}/postings")
     )
+    spark = docs_new.sparkSession
+    from agrobr_spark.store.fs import delete_path, hadoop_fs
+
+    fs, hdir = hadoop_fs(spark, f"{bdir}/postings")
+    has_rows = any(
+        s.getPath().getName().startswith("bucket=")
+        for s in fs.listStatus(hdir)
+    )
+    if not has_rows:
+        delete_path(spark, bdir)
+        _record_empty_epoch(path, batch_id)
+        return
     (
-        postings.groupBy(id_col)
+        spark.read.parquet(f"{bdir}/postings")
+        .groupBy(id_col)
         .agg(F.first("dl").alias("dl"))
         .groupBy()
         .agg(
