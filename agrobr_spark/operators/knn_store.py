@@ -364,7 +364,10 @@ def build_knn_graph_index(
         ),
     ]
     with ThreadPoolExecutor(max_workers=3) as pool:
-        futs = [pool.submit(inheritable_thread_target(w)) for w in writes]
+        futs = [
+            pool.submit(inheritable_thread_target(spark)(w))
+            for w in writes
+        ]
         for f in futs:
             f.result()
     from agrobr_spark.store.fs import write_text
@@ -447,6 +450,19 @@ def update_knn_graph_frame(
             f"{bstats['mn']} in the batch): the store's bucket layout "
             "and the componente=min(vec_id) labeling both assume it"
         )
+    if not bstats["n_probes"]:
+        # EMPTY batch — a replayed epoch or a trigger that delivered
+        # zero rows (at 100 TB, watermark-advance epochs do exactly
+        # this). Every leg below is empty by construction and all
+        # three merges would no-op, but each still costs checkpoint /
+        # aggregate / commit-probe jobs: return the empty edge frame
+        # instead. Costs nothing extra when the batch has rows —
+        # n_probes rides the one bstats aggregate.
+        return _topk_edges(
+            _candidates(probes_new, members_new),
+            k,
+            int(meta["edge_buckets"]),
+        ).limit(0)
     probe_cids = list(bstats["probe_cids"])
     # cbalde first (partition pruning at the bucketed width), the cid
     # predicate second (row filter inside the ~256-node buckets)
@@ -516,7 +532,10 @@ def update_knn_graph_frame(
         ),
     ]
     with ThreadPoolExecutor(max_workers=3) as pool:
-        futs = [pool.submit(inheritable_thread_target(j)) for j in jobs]
+        futs = [
+            pool.submit(inheritable_thread_target(spark)(j))
+            for j in jobs
+        ]
         for f in futs:
             f.result()
     return new_edges
@@ -673,8 +692,28 @@ def build_graph_labels(
     from agrobr_spark.store.fs import delete_path
 
     delete_path(spark, _pending_delta_dir(store_dir))
-    _labels_store(spark, store_dir).overwrite(_with_balde(labels, nb))
-    _comp_labels_store(spark, store_dir).overwrite(_with_cbalde(labels, nb))
+    # the two layouts are independent projections of the checkpointed
+    # labels frame — overlap their overwrites (guide §2.6, the same
+    # pattern as the index build's three stores)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    writes = [
+        lambda: _labels_store(spark, store_dir).overwrite(
+            _with_balde(labels, nb)
+        ),
+        lambda: _comp_labels_store(spark, store_dir).overwrite(
+            _with_cbalde(labels, nb)
+        ),
+    ]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(inheritable_thread_target(spark)(w))
+            for w in writes
+        ]
+        for f in futs:
+            f.result()
 
 
 def _pending_delta_dir(store_dir: str) -> str:
@@ -721,6 +760,7 @@ def _apply_label_delta(
 
     from pyspark import inheritable_thread_target
 
+    spark = delta.sparkSession
     jobs = [
         lambda: labels.merge_upsert(
             _with_balde(delta.drop("_old"), nb),
@@ -735,7 +775,10 @@ def _apply_label_delta(
         ),
     ]
     with ThreadPoolExecutor(max_workers=2) as pool:
-        futs = [pool.submit(inheritable_thread_target(j)) for j in jobs]
+        futs = [
+            pool.submit(inheritable_thread_target(spark)(j))
+            for j in jobs
+        ]
         for f in futs:
             f.result()
 
@@ -842,6 +885,20 @@ def update_graph_labels_frame(
     _replay_pending_label_delta(spark, labels, byc, store_dir, nb)
     e_all = edges.read().select("vec_id", "neighbor_id", "balde")
     changed = changed.select("vec_id").distinct().localCheckpoint(eager=True)
+    if not changed.count():
+        # EMPTY fold input (empty epoch / replay of an empty batch):
+        # no seeds, no touched components, no delta — the whole
+        # seed/members/journal chain below would be no-op jobs. The
+        # crash-repair replay above has already run (its contract is
+        # fold START, input or not). The count is a trivial job over
+        # the just-materialized checkpoint.
+        if probe is not None:
+            probe["touched_components"] = []
+            probe["moved_from_buckets"] = []
+            probe["n_delta"] = 0
+        return changed.select(
+            "vec_id", F.col("vec_id").alias("componente")
+        )
 
     def pruned_edges_of(ids: DataFrame) -> DataFrame:
         return _pruned_by_ids(e_all, ids, nb).drop("balde")
@@ -1045,6 +1102,15 @@ def update_graph_pageranks_frame(
     relabeled = relabeled.select(
         "vec_id", "componente"
     ).localCheckpoint(eager=True)
+    if not relabeled.count():
+        # EMPTY relabel set: no component's induced subgraph changed,
+        # so the fixed-iteration loop, the delta compare and the
+        # merge are all no-ops — skip their jobs (empty epochs and
+        # replays hit this path; the count is trivial over the
+        # checkpoint just materialized)
+        return relabeled.select(
+            "vec_id", "componente", F.lit(0.0).alias("pontuacao")
+        )
     _, _, edges = _stores(spark, store_dir)
     nb = int(_read_meta(spark, store_dir)["edge_buckets"])
     ids = relabeled.select("vec_id")

@@ -92,6 +92,25 @@ def _stage_id_ranged_chunks(
     return first
 
 
+def _overlap_build_and_stage(spark, build, stage):
+    """Run a store-build chain and the ingest staging writes
+    CONCURRENTLY (guide §2.6 overlap independent jobs): they touch
+    disjoint directories, and the staging frame depends only on the
+    source table — the stream can't start before both finish anyway,
+    so the staging's small single-file writes back-fill the build's
+    stage tails instead of serializing after them. Returns ``stage``'s
+    result (the captured first chunk, when requested)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fb = pool.submit(inheritable_thread_target(spark)(build))
+        fs = pool.submit(inheritable_thread_target(spark)(stage))
+        fb.result()
+        return fs.result()
+
+
 @register(
     "stream_tumbling_daily",
     oracle="""
@@ -754,17 +773,24 @@ def stream_graph_clusters_update(
             "vec_id", "embedding"
         )
         corpus = emb.filter(F.col("vec_id") < cut)
-        build_knn_graph_index(
-            corpus,
-            store_dir,
-            k=GRAPH_K,
-            n_probe=GRAPH_PROBE,
-            n_centroids=max(4, int(GRAPH_PROBE * n_corp**0.5)),
-        )
-        build_graph_labels(spark, store_dir, corpus.select("vec_id"))
+
+        def _build() -> None:
+            build_knn_graph_index(
+                corpus,
+                store_dir,
+                k=GRAPH_K,
+                n_probe=GRAPH_PROBE,
+                n_centroids=max(4, int(GRAPH_PROBE * n_corp**0.5)),
+            )
+            build_graph_labels(spark, store_dir, corpus.select("vec_id"))
+
         staged = emb.filter(F.col("vec_id") >= cut)
-        first_chunk = _stage_id_ranged_chunks(
-            staged, ingest, "vec_id", cut, capture_first=True
+        first_chunk = _overlap_build_and_stage(
+            spark,
+            _build,
+            lambda: _stage_id_ranged_chunks(
+                staged, ingest, "vec_id", cut, capture_first=True
+            ),
         )
 
         stream = (
@@ -875,18 +901,25 @@ def stream_pagerank_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding"
         )
         corpus = emb.filter(F.col("vec_id") < cut)
-        build_knn_graph_index(
-            corpus,
-            store_dir,
-            k=GRAPH_K,
-            n_probe=GRAPH_PROBE,
-            n_centroids=max(4, int(GRAPH_PROBE * n_corp**0.5)),
-        )
-        build_graph_labels(spark, store_dir, corpus.select("vec_id"))
-        build_graph_pageranks(spark, store_dir)
+
+        def _build() -> None:
+            build_knn_graph_index(
+                corpus,
+                store_dir,
+                k=GRAPH_K,
+                n_probe=GRAPH_PROBE,
+                n_centroids=max(4, int(GRAPH_PROBE * n_corp**0.5)),
+            )
+            build_graph_labels(spark, store_dir, corpus.select("vec_id"))
+            build_graph_pageranks(spark, store_dir)
+
         staged = emb.filter(F.col("vec_id") >= cut)
-        first_chunk = _stage_id_ranged_chunks(
-            staged, ingest, "vec_id", cut, capture_first=True
+        first_chunk = _overlap_build_and_stage(
+            spark,
+            _build,
+            lambda: _stage_id_ranged_chunks(
+                staged, ingest, "vec_id", cut, capture_first=True
+            ),
         )
 
         stream = (
@@ -985,16 +1018,19 @@ def stream_knn_graph_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding"
         )
-        build_knn_graph_index(
-            emb.filter(F.col("vec_id") < cut),
-            store_dir,
-            k=GRAPH_K,
-            n_probe=GRAPH_PROBE,
-            n_centroids=max(4, int(GRAPH_PROBE * n_corp**0.5)),
-        )
         staged = emb.filter(F.col("vec_id") >= cut)
-        first_chunk = _stage_id_ranged_chunks(
-            staged, ingest, "vec_id", cut, capture_first=True
+        first_chunk = _overlap_build_and_stage(
+            spark,
+            lambda: build_knn_graph_index(
+                emb.filter(F.col("vec_id") < cut),
+                store_dir,
+                k=GRAPH_K,
+                n_probe=GRAPH_PROBE,
+                n_centroids=max(4, int(GRAPH_PROBE * n_corp**0.5)),
+            ),
+            lambda: _stage_id_ranged_chunks(
+                staged, ingest, "vec_id", cut, capture_first=True
+            ),
         )
 
         stream = (

@@ -2028,6 +2028,80 @@ def test_knn_store_incremental_equals_rebuild(spark, tmp_path):
     assert any(r[1] >= 40 for r in got if r[0] < 40)
 
 
+def test_knn_fold_empty_batch_noop(spark, tmp_path):
+    """An EMPTY batch through all three folds (edge, label, rank) must
+    return empty frames with the normal schemas and leave every store
+    byte-identical — the r13 empty-delta fast path (a replayed empty
+    epoch or a watermark-advance trigger delivers zero rows; the fold
+    chain must no-op in O(1) jobs, not run its full machinery over
+    empty frames)."""
+    from agrobr_spark.operators.knn_store import (
+        _labels_store,
+        _comp_labels_store,
+        _pranks_store,
+        _stores,
+        build_graph_labels,
+        build_graph_pageranks,
+        build_knn_graph_index,
+        update_graph_labels_frame,
+        update_graph_pageranks_frame,
+        update_knn_graph_frame,
+    )
+
+    emb = _toy_vectors(spark)
+    corpus = emb.filter("vec_id < 40")
+    store = str(tmp_path / "knn")
+    build_knn_graph_index(corpus, store, k=3, n_probe=2, n_centroids=6)
+    build_graph_labels(spark, store, corpus.select("vec_id"))
+    build_graph_pageranks(spark, store)
+
+    def state():
+        m, p, e = _stores(spark, store)
+        return (
+            sorted(tuple(r) for r in m.read().collect()),
+            sorted(tuple(r) for r in p.read().collect()),
+            sorted(tuple(r) for r in e.read().collect()),
+            sorted(
+                tuple(r)
+                for r in _labels_store(spark, store).read().collect()
+            ),
+            sorted(
+                tuple(r)
+                for r in _comp_labels_store(spark, store).read().collect()
+            ),
+            sorted(
+                tuple(r)
+                for r in _pranks_store(spark, store).read().collect()
+            ),
+        )
+
+    s0 = state()
+    empty = emb.filter("vec_id < 0")
+    staged = update_knn_graph_frame(spark, empty, store, k=3, n_probe=2)
+    assert staged.columns == [
+        "balde", "vec_id", "neighbor_id", "posicao", "cosseno",
+    ]
+    assert staged.count() == 0
+    probe: dict = {}
+    relabeled = update_graph_labels_frame(
+        spark,
+        staged.select("vec_id").unionByName(empty.select("vec_id")),
+        store,
+        probe=probe,
+    )
+    assert relabeled.columns == ["vec_id", "componente"]
+    assert relabeled.count() == 0
+    assert probe == {
+        "touched_components": [],
+        "moved_from_buckets": [],
+        "n_delta": 0,
+    }
+    ranked = update_graph_pageranks_frame(spark, relabeled, store)
+    assert ranked.columns == ["vec_id", "componente", "pontuacao"]
+    assert ranked.count() == 0
+    assert state() == s0
+
+
 def test_knn_store_replay_idempotent(spark, tmp_path):
     """Replaying an already-applied batch must leave every store
     byte-identical (the test_admission.py replay discipline): pair-key
