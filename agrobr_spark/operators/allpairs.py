@@ -192,10 +192,21 @@ def cluster_cosine_pairs(
     max_cluster_rows: int = 8192,
     centroid_fit: str = "kmeans",
     n_probe: int = 1,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via IVF-style cluster blocking — the 100 TB
     default (VERDICT r2 'What's wrong' #3: exact O(n²) must not be the
     default entry point).
+
+    ``materialize`` (default on) pins the scored assignment with an
+    eager ``localCheckpoint`` before the pair stage: the assignment —
+    an O(n·C) scored crossJoin plus a per-id ranking window, the same
+    ~n^1.5 element-work order as the pair join itself — feeds THREE
+    consumers (the sub-block size aggregate and both sides of the
+    self-join), and without the pin each consumer re-executes it from
+    the scan. Pass ``materialize=False`` to keep the operator fully
+    lazy (plan-shape tests; callers that persist the assignment
+    themselves).
 
     Every vector is assigned to its nearest centroid, then exact
     cosine runs ONLY within each cluster as a self equi-join on
@@ -272,6 +283,8 @@ def cluster_cosine_pairs(
     else:
         raise ValueError(f"unknown centroid_fit: {centroid_fit!r}")
     assigned = assign_to_centroids(base, cent, round_to, n_probe)
+    if materialize:
+        assigned = assigned.localCheckpoint(eager=True)
     assigned = _with_subblocks(assigned, max_cluster_rows)
     left = assigned.select(
         F.col("_id").alias("ida"),
@@ -410,6 +423,7 @@ def semdedup_flags(
     centroid_fit: str = "kmeans",
     max_cluster_rows: int = 8192,
     round_to: int | None = 6,
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by
     cluster-then-prune. Every vector is assigned to its ONE nearest
@@ -457,10 +471,13 @@ def semdedup_flags(
         )
     else:
         raise ValueError(f"unknown centroid_fit: {centroid_fit!r}")
-    assigned = _with_subblocks(
-        assign_to_centroids(base, cent, round_to, 1, keep_score=True),
-        max_cluster_rows,
-    )
+    assigned = assign_to_centroids(base, cent, round_to, 1, keep_score=True)
+    if materialize:
+        # four consumers (size aggregate, both pair-join sides, the
+        # final flag join) each re-execute the scored assignment
+        # without this pin — see cluster_cosine_pairs' rationale
+        assigned = assigned.localCheckpoint(eager=True)
+    assigned = _with_subblocks(assigned, max_cluster_rows)
     left = assigned.select(
         F.col("_id").alias("ida"),
         F.col("_vec").alias("va"),
@@ -522,6 +539,7 @@ def knn_graph_edges(
     n_probe: int = 2,
     extra_cols: tuple[str, ...] = (),
     round_to: int | None = 6,
+    materialize: bool = True,
 ) -> DataFrame:
     """Approximate k-NN graph: each row's top-``k`` cosine neighbors,
     via the same IVF cluster blocking as ``cluster_cosine_pairs`` —
@@ -579,6 +597,11 @@ def knn_graph_edges(
         .withColumn("_cos", cos_cent)
         .withColumn("_rn", F.row_number().over(w_assign))
     )
+    if materialize:
+        # members AND probes consume the ranked assignment; pin it so
+        # the scored crossJoin+window runs once, not once per side
+        # (the knn_store build applies the same pin)
+        ranked = ranked.drop("_cv", "_cos").localCheckpoint(eager=True)
     members = ranked.filter(F.col("_rn") == 1).select(
         F.col("_id").alias("_mid"),
         F.col("_vec").alias("_mv"),

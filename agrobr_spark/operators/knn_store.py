@@ -261,7 +261,14 @@ def knn_graph_frozen_edges(
     centroid table ``cent`` (_cid, _cv) — the batch twin the streamed
     store is oracle-pinned against (same assignment, same candidate
     join, same ranking code paths as the incremental fold)."""
-    ranked = _assign(_base(emb, id_col, vec_col), cent, n_probe)
+    # member and probe legs both consume the ranked assignment — pin
+    # it so the scored crossJoin+window runs once (the store build's
+    # checkpoint, applied to the one-shot twin)
+    ranked = (
+        _assign(_base(emb, id_col, vec_col), cent, n_probe)
+        .drop("_cv", "_cos")
+        .localCheckpoint(eager=True)
+    )
     return _topk_edges(
         _candidates(_probe_rows(ranked), _member_rows(ranked)),
         k,

@@ -214,7 +214,9 @@ def build_admission_index(
     cent.write.mode("overwrite").parquet(f"{store_dir}/centroids")
     cent = spark.read.parquet(f"{store_dir}/centroids")
 
-    assigned = assign_to_centroids(base, cent)
+    # three consumers (both pair-join sides, the survivor join) would
+    # each re-run the scored crossJoin+window assignment — pin it once
+    assigned = assign_to_centroids(base, cent).localCheckpoint(eager=True)
     pares = _block_self_pairs(assigned)
     comp = connected_components(pares, "id_a", "id_b")
     perdedor = comp.filter(F.col("componente") < F.col("id")).select(
@@ -300,7 +302,11 @@ def admit_frame(
         .filter(F.col("n") >= _CONTAM_HITS)
     )
 
-    assigned_b = assign_to_centroids(_vec_base(emb_b), cent)
+    # four consumers (corpus-dup probe, both batch pair-join sides,
+    # the admitted-rows merge) — pin the batch assignment once
+    assigned_b = assign_to_centroids(_vec_base(emb_b), cent).localCheckpoint(
+        eager=True
+    )
     sv = surv.select(
         F.col("embedding").alias("vb"), "_blk"
     ).withColumn("nb", F.sqrt(_dot("vb", "vb")))
@@ -1339,7 +1345,11 @@ def build_semdedup_index(
     cent.write.mode("overwrite").parquet(f"{store_dir}/centroids")
     cent = spark.read.parquet(f"{store_dir}/centroids")
 
-    assigned = assign_to_centroids(base, cent, keep_score=True)
+    # three consumers (both victim-join sides, the keeper anti-join)
+    # — pin the scored assignment once
+    assigned = assign_to_centroids(base, cent, keep_score=True).localCheckpoint(
+        eager=True
+    )
     # paper-rule victims: the HIGHER (sim_centroide, id) endpoint of
     # every at-threshold pair loses, whether or not the other endpoint
     # itself survives — pure pair predicate, no recursion, no window
@@ -1398,7 +1408,11 @@ def admit_semdedup_frame(
     seen = store.read().withColumn("_n", F.sqrt(_dot("embedding", "embedding")))
     cent = spark.read.parquet(f"{store_dir}/centroids")
 
-    assigned_b = assign_to_centroids(_vec_base(emb_b), cent, keep_score=True)
+    # five consumers (corpus/prev/intra veto joins ×2 sides, the
+    # decision projection) — pin the batch assignment once
+    assigned_b = assign_to_centroids(
+        _vec_base(emb_b), cent, keep_score=True
+    ).localCheckpoint(eager=True)
     bv = assigned_b.select(
         F.col("_id").alias("ida"), F.col("_vec").alias("va"),
         F.col("_norm").alias("na"), F.col("_cos_cent").alias("ca"), "_blk",

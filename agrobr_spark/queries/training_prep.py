@@ -1419,10 +1419,17 @@ def pipeline_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(n_cent)
         .select(F.col("_id").alias("_cid"), F.col("_vec").alias("_cv"))
     )
-    assigned = assign_to_centroids(base, cent, 6, 1).select(
-        F.col("_id").alias("vec_id"),
-        F.col("_x_label").alias("label"),
-        F.col("_blk").alias("cid"),
+    # the quota aggregate and the two-level cut both consume the
+    # assignment — pin the 3-column projection once (the collect()
+    # below would otherwise pay the scored crossJoin twice)
+    assigned = (
+        assign_to_centroids(base, cent, 6, 1)
+        .select(
+            F.col("_id").alias("vec_id"),
+            F.col("_x_label").alias("label"),
+            F.col("_blk").alias("cid"),
+        )
+        .localCheckpoint(eager=True)
     )
     stats = (
         assigned.agg(

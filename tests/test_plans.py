@@ -1,6 +1,8 @@
 """Physical-plan audits: the scale posture README claims, asserted.
 
-These tests never execute a job — they compile each query and assert
+These tests mostly never execute a job (queries that pin intermediates
+with an eager localCheckpoint at build time — the admit/fold/near-dup
+families — do run their pinned legs) — they compile each query and assert
 properties of the Catalyst physical plan: predicate pushdown reaches
 the parquet scan, projections prune the read schema, small dims
 broadcast, top-k compiles to TakeOrderedAndProject (no full sort), and
@@ -93,17 +95,38 @@ class TestJoinStrategy:
 
     def test_near_dup_default_has_no_full_pair_stage(self, spark, cat):
         # the scale-default embedding near-dup (VERDICT r2 #3): the
-        # pair stage must be an equi-join on the cluster key — the only
-        # nested-loop allowed is corpus × tiny-centroid assignment
-        # (O(C·n) rows, C=10), never a corpus × corpus product
+        # pair stage must be an equi-join on the cluster key — with
+        # the r13 assignment pin, the returned plan joins checkpoint
+        # scans, so NO nested loop (the centroid sweep ran inside the
+        # materialization) and certainly no corpus × corpus product
         plan = plan_of(cat["near_dup_embeddings"].fn(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
         # the pair self-join is keyed on the cluster id (formatted
         # explain lists equi-join keys as "Left keys" detail lines)
         key_lines = [ln for ln in plan.splitlines() if "Left keys" in ln]
         assert key_lines and any("_blk" in ln for ln in key_lines), plan
-        # nested loops only against the broadcast centroid build side
-        # (tree lines carry the build side; detail headers don't)
+
+    def test_cluster_pairs_lazy_shape_is_centroid_sweep(self, spark):
+        # the UN-materialized operator keeps the round-2 discipline
+        # visible: nested loops only against the broadcast centroid
+        # build side (O(C·n) rows), never a corpus × corpus product
+        from agrobr_spark.operators.allpairs import cluster_cosine_pairs
+        from agrobr_spark.io import load
+
+        df = cluster_cosine_pairs(
+            load(spark, SF_SMOKE, "embeddings"),
+            id_col="vec_id",
+            vec_col="embedding",
+            threshold=0.45,
+            n_centroids=8,
+            centroid_fit="lowest_id",
+            materialize=False,
+        )
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan, plan
+        key_lines = [ln for ln in plan.splitlines() if "Left keys" in ln]
+        assert key_lines and any("_blk" in ln for ln in key_lines), plan
         tree_nlj = [
             ln for ln in plan.splitlines()
             if "BroadcastNestedLoopJoin" in ln and "Build" in ln
