@@ -174,12 +174,20 @@ _BAND_SQL = "\n      UNION ALL\n".join(
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (8 md5-derived hashes) + LSH banding (4 bands × 2 rows)
     → candidate pairs → exact Jaccard verification."""
-    # deliberately uncached: the shingle lineage is narrow + cheap to
-    # recompute, and an InMemoryRelation here blocks Catalyst pruning /
-    # AQE re-planning across every branch that reuses it (measured 2-5×
-    # slower with .cache() at sf0.01)
+    # the SHINGLE frame stays deliberately unpinned: it is ~|tokens|
+    # rows (materializing it is worse at scale — the text_bm25_rm3
+    # adjudication), its lineage is narrow, and an InMemoryRelation
+    # over it blocks Catalyst pruning (measured 2-5× slower with
+    # .cache() at sf0.01). What IS pinned are the three frames the
+    # plan re-references that are SMALL by construction: the band
+    # keys (4 narrow rows per doc), the candidate pairs (LSH leaves
+    # <5% of docs), and the candidate docs' shingles — without the
+    # pins every reference re-ran the full tokenize+band join (the
+    # final plan re-executed the shingle explode up to 6×)
     sh = _shingles_df(spark, sf_dir)
-    bandas = minhash_band_keys(sh, N_HASHES, BAND_SIZE)
+    bandas = minhash_band_keys(sh, N_HASHES, BAND_SIZE).localCheckpoint(
+        eager=True
+    )
 
     a = bandas.alias("a")
     b = bandas.alias("b")
@@ -192,6 +200,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
     # verification touches only candidate docs: semi-join the shingle
@@ -206,7 +215,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
+    sh_cand = sh.join(cand_docs, "doc_id", "left_semi").localCheckpoint(
+        eager=True
+    )
     tam = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh_cand.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh_cand.select(F.col("doc_id").alias("doc_b"), "shingle")
