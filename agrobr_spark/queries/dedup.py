@@ -1409,7 +1409,7 @@ def corpus_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     with ThreadPoolExecutor(max_workers=3) as pool:
         futs = {
-            k: pool.submit(inheritable_thread_target(fn))
+            k: pool.submit(inheritable_thread_target(spark)(fn))
             for k, fn in builders.items()
         }
         frames = {k: f.result() for k, f in futs.items()}
