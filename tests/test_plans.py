@@ -35,6 +35,22 @@ def cat():
     return catalog()
 
 
+@pytest.fixture(scope="module")
+def catalog_plans(spark, cat):
+    """Formatted plan of EVERY catalog query, built ONCE per module.
+
+    The two catalog-wide audits below (no CartesianProduct, no
+    BatchEvalPython) used to build all ~200 query frames EACH — and
+    building a frame executes the store/stream queries' pinned legs,
+    so the pair cost ~420 s of the default suite (r14: the driver's
+    pytest window is the binding constraint). One shared pass keeps
+    both assertions over the identical plan set at half the wall."""
+    return {
+        name: plan_of(entry.fn(spark, SF_SMOKE))
+        for name, entry in cat.items()
+    }
+
+
 class TestPushdownAndPruning:
     def test_date_filter_reaches_scan(self, spark, cat):
         plan = plan_of(cat["p4_date_range"].fn(spark, SF_SMOKE))
@@ -75,14 +91,13 @@ class TestJoinStrategy:
         plan = plan_of(cat["j5_dedup_dim_join"].fn(spark, SF_SMOKE))
         assert "BroadcastHashJoin" in plan
 
-    def test_no_cartesian_in_relational_catalog(self, spark, cat):
+    def test_no_cartesian_in_relational_catalog(self, catalog_plans):
         # all-pairs is only ever intentional (embedding brute-force
         # baseline); every relational/agg/window plan must be free of
         # CartesianProduct
-        for name, entry in cat.items():
+        for name, plan in catalog_plans.items():
             if name.startswith(("dedup_embedding", "sim_", "mm_")):
                 continue
-            plan = plan_of(entry.fn(spark, SF_SMOKE))
             assert "CartesianProduct" not in plan, name
 
     def test_embedding_cosine_is_block_equi_join(self, spark, cat):
@@ -156,12 +171,11 @@ class TestSortAndAggShape:
         assert "[codegen id" in plan  # whole-stage codegen'd
         assert "BatchEvalPython" not in plan
 
-    def test_no_python_udf_in_catalog_hot_paths(self, spark, cat):
+    def test_no_python_udf_in_catalog_hot_paths(self, catalog_plans):
         # mm_* are the documented Arrow/pandas exceptions
-        for name, entry in cat.items():
+        for name, plan in catalog_plans.items():
             if name.startswith("mm_"):
                 continue
-            plan = plan_of(entry.fn(spark, SF_SMOKE))
             assert "BatchEvalPython" not in plan, name
 
 
