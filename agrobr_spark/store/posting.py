@@ -69,31 +69,116 @@ from __future__ import annotations
 import json
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 
 TOKENIZER_VERSION = 1
 DEFAULT_BUCKETS = 64
 
 
 def tokenize_postings(docs: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      stats_obs: Observation | None = None) -> DataFrame:
     """Whitespace-lowered posting rows ``(doc_id, dl, termo, tf)`` —
     the single tokenizer behind both the BM25 scan path and the
     posting-index build (they must agree byte-for-byte for the
-    indexed ≡ scan identity to hold)."""
-    toks = (
+    indexed ≡ scan identity to hold).
+
+    ``stats_obs``: an Observation attached at the ONE-ROW-PER-DOC
+    point of the plan (after the empty-text filter, before the
+    explode), collecting ``n`` (doc count) and ``sum_dl`` (summed
+    token counts) — exactly the corpus stats the index sidecar needs,
+    riding the postings write job itself instead of a second pass
+    (r14; the r13 version re-read the written postings and paid a
+    distinct-doc aggregate per build/epoch). Distinct-free by
+    construction: rows at the observe point are one per doc."""
+    pre = (
         docs.filter(F.length(F.trim(text_col)) > 0)
         .select(id_col, F.split(F.trim(text_col), r"\s+").alias("_t"))
-        .select(
-            id_col,
-            F.size("_t").alias("dl"),
-            F.explode("_t").alias("_tok"),
-        )
-        .select(id_col, "dl", F.lower("_tok").alias("termo"))
+        .select(id_col, F.size("_t").alias("dl"), F.col("_t"))
     )
+    if stats_obs is not None:
+        pre = pre.observe(
+            stats_obs,
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("dl").cast("bigint").alias("sum_dl"),
+        )
+    toks = pre.select(
+        id_col, "dl", F.explode("_t").alias("_tok")
+    ).select(id_col, "dl", F.lower("_tok").alias("termo"))
     return toks.groupBy(id_col, "dl", "termo").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
+
+
+def _obs_metrics(obs: Observation) -> dict | None:
+    """The observation's metric row, or None when the node never
+    fired. A provably-empty input (e.g. an empty LocalRelation epoch)
+    lets the optimizer collapse the plan THROUGH the CollectMetrics
+    node, so the write completes but the observation holds no row and
+    ``obs.get`` raises from the JVM conversion — callers treat None
+    as 'decide from the written directory instead' (the r13 listing
+    path, kept as the fallback so an observation quirk can never
+    misclassify a non-empty epoch)."""
+    try:
+        return dict(obs.get)
+    except Exception:
+        return None
+
+
+def _written_dir_stats(spark: SparkSession, postings_dir: str,
+                       id_col: str) -> dict:
+    """Fallback stats when the observation did not fire: emptiness
+    from the directory listing, (n, sum_dl) from the written rows —
+    byte-identical to the r13 read-back semantics."""
+    from agrobr_spark.store.fs import hadoop_fs
+
+    fs, hdir = hadoop_fs(spark, postings_dir)
+    has_rows = any(
+        s.getPath().getName().startswith("bucket=")
+        for s in fs.listStatus(hdir)
+    )
+    if not has_rows:
+        return {"n": 0, "sum_dl": None}
+    row = (
+        spark.read.parquet(postings_dir)
+        .groupBy(id_col)
+        .agg(F.first("dl").alias("dl"))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("dl").cast("bigint").alias("sum_dl"),
+        )
+        .first()
+    )
+    return {"n": row["n"], "sum_dl": row["sum_dl"]}
+
+
+def _write_stats_row(
+    spark: SparkSession, path: str, n: int, sum_dl, with_avgdl: bool
+) -> None:
+    """One-row stats sidecar from DRIVER-held observation values: a
+    no-input local-relation write instead of the r13 read-back scan
+    of the just-written postings. ``sum_dl`` is None when n == 0
+    (SUM over zero rows — matches the old aggregate's NULL).
+
+    Built over ``spark.range(1)`` rather than a Python createDataFrame
+    local relation: measured on this very write, coalesce(1) over a
+    pickled LocalTableScan costs 5-9 s per call while the range-backed
+    equivalent is ~0.2 s — the entire saving of skipping the read-back
+    would have been handed straight back."""
+    cols = [
+        F.lit(int(n)).cast("bigint").alias("n"),
+        F.lit(None if sum_dl is None else int(sum_dl))
+        .cast("bigint")
+        .alias("sum_dl"),
+    ]
+    if with_avgdl:
+        avgdl = (
+            float(sum_dl) / float(n) if n and sum_dl is not None else None
+        )
+        cols.append(F.lit(avgdl).cast("double").alias("avgdl"))
+    df = spark.range(1).select(*cols)
+    df.coalesce(1).write.mode("overwrite").parquet(path)
 
 
 def build_posting_index(
@@ -106,10 +191,14 @@ def build_posting_index(
     """Materialize the posting index for ``docs`` at ``path``.
 
     One corpus pass: tokenize → (doc, term) tf aggregation →
-    partitioned write; corpus stats fold from the same frame. No
-    collect of corpus-sized data — the only driver-side artifact is
-    the manifest dict."""
-    postings = tokenize_postings(docs, id_col, text_col)
+    partitioned write, with the corpus stats riding the SAME job as an
+    Observation at the one-row-per-doc point of the plan (r14; the r13
+    version re-read the written postings for a distinct-doc aggregate
+    — one extra columnar scan per build). No collect of corpus-sized
+    data — the driver-side artifacts are two scalars and the manifest
+    dict."""
+    obs = Observation()
+    postings = tokenize_postings(docs, id_col, text_col, stats_obs=obs)
     bucket = F.pmod(F.xxhash64(F.col("termo")), F.lit(int(n_buckets)))
     (
         postings.withColumn("bucket", bucket.cast("int"))
@@ -117,22 +206,13 @@ def build_posting_index(
         .partitionBy("bucket")
         .parquet(f"{path}/postings")
     )
-    # stats fold from the WRITTEN postings, not the tokenize plan:
-    # re-executing the tokenizer for a 3-column aggregate doubled the
-    # corpus tokenization cost at any scale (r13); the read-back scans
-    # compact columnar postings instead of re-splitting raw text
-    written = docs.sparkSession.read.parquet(f"{path}/postings")
-    stats = (
-        written.groupBy(id_col)
-        .agg(F.first("dl").alias("dl"))
-        .groupBy()
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("dl").cast("bigint").alias("sum_dl"),
-            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-        )
+    got = _obs_metrics(obs) or _written_dir_stats(
+        docs.sparkSession, f"{path}/postings", id_col
     )
-    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    _write_stats_row(
+        docs.sparkSession, f"{path}/stats",
+        got["n"] or 0, got["sum_dl"], with_avgdl=True,
+    )
     _write_manifest(path, {
         "n_buckets": int(n_buckets),
         "tokenizer_version": TOKENIZER_VERSION,
@@ -194,17 +274,18 @@ def update_posting_index(
         return
     bid = int(batch_id) if batch_id is not None else _next_local_batch(man)
     nb = int(man["n_buckets"])
-    postings = tokenize_postings(docs_new, id_col, text_col)
+    obs = Observation()
+    postings = tokenize_postings(docs_new, id_col, text_col, stats_obs=obs)
     bucket = F.pmod(F.xxhash64(F.col("termo")), F.lit(nb))
     bdir = _batch_dir(path, bid)
     # ONE tokenizer execution per epoch (r13: the emptiness probe, the
     # postings write and the stats write each re-ran it — 3x the
-    # epoch's tokenization cost): write postings first, then decide
-    # emptiness from the WRITTEN directory (a partitioned write of an
-    # empty frame emits no bucket=* data files — committing such a
-    # directory would brick every later read, so a replayed empty
-    # epoch records only its batch_id guard) and fold stats from the
-    # written rows.
+    # epoch's tokenization cost), and since r14 ZERO read-back jobs:
+    # the epoch's doc count and summed dl ride the postings write as an
+    # Observation at the one-per-doc point of the plan, so emptiness
+    # (n == 0 — committing a rows-free directory would brick every
+    # later read, a replayed empty epoch records only its batch_id
+    # guard) and the stats sidecar both come from the write job itself.
     (
         postings.withColumn("bucket", bucket.cast("int"))
         .write.mode("overwrite")
@@ -212,29 +293,18 @@ def update_posting_index(
         .parquet(f"{bdir}/postings")
     )
     spark = docs_new.sparkSession
-    from agrobr_spark.store.fs import delete_path, hadoop_fs
-
-    fs, hdir = hadoop_fs(spark, f"{bdir}/postings")
-    has_rows = any(
-        s.getPath().getName().startswith("bucket=")
-        for s in fs.listStatus(hdir)
+    got = _obs_metrics(obs) or _written_dir_stats(
+        spark, f"{bdir}/postings", id_col
     )
-    if not has_rows:
+    from agrobr_spark.store.fs import delete_path
+
+    if not got["n"]:
         delete_path(spark, bdir)
         _record_empty_epoch(path, batch_id)
         return
-    (
-        spark.read.parquet(f"{bdir}/postings")
-        .groupBy(id_col)
-        .agg(F.first("dl").alias("dl"))
-        .groupBy()
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.coalesce(F.sum("dl").cast("bigint"), F.lit(0)).alias("sum_dl"),
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{bdir}/stats")
+    _write_stats_row(
+        spark, f"{bdir}/stats", got["n"], got["sum_dl"] or 0,
+        with_avgdl=False,
     )
     _commit_batch(path, bid, batch_id is not None)
 
@@ -654,16 +724,26 @@ def bm25_topk_indexed(
 
 
 def tokenize_positional(docs: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        count_obs: Observation | None = None) -> DataFrame:
     """Positional posting rows ``(doc_id, pos, termo)`` — the raw
     whitespace tokenizer of the phrase scan path
     (``queries/pipeline_text.text_phrase_match``) with 0-based token
     offsets kept, so indexed ≡ scan holds byte-for-byte. Unlike the
     BM25 rows there is no per-(doc, term) aggregation: order IS the
-    payload."""
+    payload.
+
+    ``count_obs``: an Observation at the one-row-per-doc point (after
+    the empty-text filter, before the posexplode) collecting ``n`` —
+    a nonempty trimmed text always yields >= 1 token, so n == 0 is
+    exactly "no posting rows" without a separate probe job (r14)."""
+    pre = docs.filter(F.length(F.trim(text_col)) > 0)
+    if count_obs is not None:
+        pre = pre.observe(
+            count_obs, F.count(F.lit(1)).cast("bigint").alias("n")
+        )
     return (
-        docs.filter(F.length(F.trim(text_col)) > 0)
-        .select(
+        pre.select(
             id_col,
             F.posexplode(F.split(F.trim(text_col), r"\s+")).alias(
                 "pos", "termo"
@@ -730,17 +810,42 @@ def update_positional_index(
         return
     bid = int(batch_id) if batch_id is not None else _next_local_batch(man)
     nb = int(man["n_buckets"])
-    rows = tokenize_positional(docs_new, id_col, text_col)
-    if rows.limit(1).count() == 0:
-        _record_empty_epoch(path, batch_id)  # see update_posting_index
-        return
+    # ONE tokenizer execution per epoch (r14): the r13 emptiness probe
+    # (limit(1).count()) ran the split+posexplode a second time; the
+    # doc count now rides the write job as an Observation, and an
+    # empty epoch's staged directory is dropped after the fact exactly
+    # like update_posting_index's.
+    obs = Observation()
+    rows = tokenize_positional(docs_new, id_col, text_col, count_obs=obs)
     bucket = F.pmod(F.xxhash64(F.col("termo")), F.lit(nb))
+    bdir = _batch_dir(path, bid)
     (
         rows.withColumn("bucket", bucket.cast("int"))
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(f"{_batch_dir(path, bid)}/postings")
+        .parquet(f"{bdir}/postings")
     )
+    got = _obs_metrics(obs)
+    if got is None:
+        # observation optimized away (provably-empty input): decide
+        # from the written directory like update_posting_index
+        from agrobr_spark.store.fs import hadoop_fs
+
+        fs, hdir = hadoop_fs(docs_new.sparkSession, f"{bdir}/postings")
+        got = {
+            "n": int(
+                any(
+                    s.getPath().getName().startswith("bucket=")
+                    for s in fs.listStatus(hdir)
+                )
+            )
+        }
+    if not got["n"]:
+        from agrobr_spark.store.fs import delete_path
+
+        delete_path(docs_new.sparkSession, bdir)
+        _record_empty_epoch(path, batch_id)
+        return
     _commit_batch(path, bid, batch_id is not None)
 
 
