@@ -361,26 +361,48 @@ def assign_to_centroids(
     ``keep_score=True`` keeps the assignment cosine as ``_cos_cent``
     (SemDeDup's keeper priority ranks by similarity TO the centroid,
     so the pruning pass needs the score the assignment already
-    computed — re-deriving it would be a second broadcast join)."""
+    computed — re-deriving it would be a second broadcast join).
+
+    Shuffle shape (r14, guide §2.3 "shuffle keys and metadata instead
+    of payloads"): the per-id ranking window used to run directly on
+    the crossJoin output, so its hash(_id) exchange carried every
+    scored candidate's VECTOR — n·C payload rows (~90 MB at sf0.1;
+    C× the corpus bytes at any scale). The window now ranks a skinny
+    (_id, _cid, _cos) projection — n·C × ~24 B — and the winning
+    (id, centroid) rows join back to ``base`` on _id, so the payload
+    crosses an exchange once (n rows), not C times. Values and row
+    multiplicity are identical: same scores, same deterministic
+    (cos desc, _cid) ranking, one output row per kept probe.
+
+    Per-task work (r14, guide §1.2 step 2): the centroid's own norm is
+    computed once per centroid on the broadcast side — the HOF dot is
+    interpreted per element (no codegen), so recomputing it per scored
+    row doubled the sweep (measured 2.5→1.3 s at sf0.1; bit-identical
+    values, same sqrt on the same input)."""
     from pyspark.sql import Window
 
+    cent = cent.withColumn("_cnrm", F.sqrt(_dot("_cv", "_cv")))
     cos_cent = _dot("_cv", "_vec") / F.nullif(
-        F.sqrt(_dot("_cv", "_cv")) * F.col("_norm"), F.lit(0.0)
+        F.col("_cnrm") * F.col("_norm"), F.lit(0.0)
     )
     if round_to is not None:
         cos_cent = F.round(cos_cent, round_to)
     w = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), "_cid")
-    out = (
-        base.crossJoin(F.broadcast(cent))
-        .withColumn("_cos", cos_cent)
+    sel = (
+        base.select("_id", "_vec", "_norm")
+        .crossJoin(F.broadcast(cent))
+        .select("_id", "_cid", cos_cent.alias("_cos"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= int(n_probe))
-        .drop("_rn", "_cv")
-        .withColumnRenamed("_cid", "_blk")
+        .drop("_rn")
     )
+    out = base.join(sel, "_id").withColumnRenamed("_cid", "_blk")
+    base_cols = [c for c in base.columns]
     if keep_score:
-        return out.withColumnRenamed("_cos", "_cos_cent")
-    return out.drop("_cos")
+        return out.select(
+            *base_cols, "_blk", F.col("_cos").alias("_cos_cent")
+        )
+    return out.select(*base_cols, "_blk")
 
 
 def _with_subblocks(assigned: DataFrame, max_cluster_rows: int) -> DataFrame:
@@ -586,22 +608,34 @@ def knn_graph_edges(
         )
     else:
         raise ValueError(f"unknown centroid_fit: {centroid_fit!r}")
+    # centroid norms once per centroid on the broadcast side (r14 —
+    # the HOF dot is interpreted per element; see assign_to_centroids)
+    cent = cent.withColumn("_cnrm", F.sqrt(_dot("_cv", "_cv")))
     cos_cent = _dot("_cv", "_vec") / F.nullif(
-        F.sqrt(_dot("_cv", "_cv")) * F.col("_norm"), F.lit(0.0)
+        F.col("_cnrm") * F.col("_norm"), F.lit(0.0)
     )
     if round_to is not None:
         cos_cent = F.round(cos_cent, round_to)
+    # skinny-ranked assignment (assign_to_centroids' r14 shuffle shape):
+    # the window ranks (_id, _cid, _cos) rows only, the payload joins
+    # back once on _id — and the kept probes are filtered BEFORE the
+    # pin, so the checkpoint materializes n·n_probe rows, not the full
+    # n·C scored sweep (members/probes only ever read _rn <= n_probe)
     w_assign = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), "_cid")
-    ranked = (
-        base.crossJoin(F.broadcast(cent))
-        .withColumn("_cos", cos_cent)
+    sel = (
+        base.select("_id", "_vec", "_norm")
+        .crossJoin(F.broadcast(cent))
+        .select("_id", "_cid", cos_cent.alias("_cos"))
         .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") <= int(n_probe))
+        .drop("_cos")
     )
+    ranked = base.join(sel, "_id")
     if materialize:
         # members AND probes consume the ranked assignment; pin it so
         # the scored crossJoin+window runs once, not once per side
         # (the knn_store build applies the same pin)
-        ranked = ranked.drop("_cv", "_cos").localCheckpoint(eager=True)
+        ranked = ranked.localCheckpoint(eager=True)
     members = ranked.filter(F.col("_rn") == 1).select(
         F.col("_id").alias("_mid"),
         F.col("_vec").alias("_mv"),
