@@ -78,9 +78,9 @@ def pagerank_mass(
     whole trajectory as ONE job with the same shuffle count — the
     per-fold saving that matters in the incremental rank store, which
     calls this loop once per micro-batch. (The REDISTRIBUTED variant
-    in queries/similarity.py keeps per-step checkpoints: its dangling
-    quota references each rank frame TWICE per iteration, which under
-    lazy composition would double the subtree per step.) At 100 TB
+    in queries/similarity.py composes lazily too since r14: its
+    dangling quota rides the contribution pass as the left join's
+    unmatched rows, so each rank frame is referenced once.) At 100 TB
     with many iterations, per-step persisted tables remain the
     standard Pregel-style fallback; at the fixed PR_ITER-step
     trajectory the linear chain is strictly cheaper."""

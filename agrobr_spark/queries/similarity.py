@@ -1313,8 +1313,33 @@ def _pagerank_frame(
 ) -> DataFrame:
     """Shared unrolled power-iteration loop behind both PageRank
     entries; ``redistribute`` adds the per-iteration dangling-mass
-    term (one DECIMAL-summed scalar aggregate over the FIXED dangling
-    node set, broadcast into the rank update)."""
+    term, folded INTO the contribution pass (r14, VERDICT r13 #3).
+
+    How the fold works: the old loop referenced each iteration's rank
+    frame TWICE — once in the contribution join, once in a separate
+    dangling-quota aggregate over the anti-joined dangling set — which
+    forced a localCheckpoint per step (one materialization job per
+    iteration, 5 per call). A dangling node is EXACTLY a rank row the
+    left join ``r ⟕ edges`` leaves unmatched, so one pass now emits
+    both kinds of rows into ONE aggregation: matched rows carry the
+    usual 6dp contribution keyed by ``dst``, unmatched rows carry the
+    node's full 6dp rank into the ``dst IS NULL`` group (edge frames
+    here never have null dst — kNN neighbor ids are non-null — so the
+    group is unambiguous). The per-dst sums and the null-group quota
+    are two filters OVER THE SAME aggregate; both references sit above
+    one canonical hash exchange, so Spark's exchange reuse executes the
+    subtree once and the whole {it}-step chain composes LAZILY into one
+    job like the drop variant — no per-step checkpoints.
+
+    Value equality with the old two-pass form (the oracle's unrolled
+    CTEs hash the whole trajectory, so this must be exact): unmatched
+    rows are precisely ``nodes ∖ outdeg`` (the old ``dang`` set); their
+    ranks enter as DECIMAL(18,6) — exact, ranks are round(·, 6) — and
+    the decimal group-sum is order-free; quota = cast(sum AS DOUBLE)/n,
+    the identical expression. A graph with NO dangling nodes yields no
+    null group: the broadcast left join leaves ``quota`` NULL and the
+    update coalesces it to 0.0, matching the old coalesced empty-sum
+    aggregate."""
     g = (
         sim_knn_graph(spark, sf_dir)
         .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
@@ -1326,62 +1351,61 @@ def _pagerank_frame(
     )
     edges = g.join(outdeg, "src").localCheckpoint(eager=True)
     if redistribute:
-        # the dangling set is FIXED across iterations (out-degree never
-        # changes): one anti-join, materialized once
-        dang = nodes.join(
-            outdeg.select(F.col("src").alias("vec_id")), "vec_id",
-            "left_anti",
-        ).localCheckpoint(eager=True)
         n_total = nodes.count()
     r = nodes.select("vec_id", F.lit(1.0).alias("r"))
     for _ in range(PR_ITER):
-        contrib = edges.join(
-            r, edges["src"] == r["vec_id"]
-        ).select(
-            "dst",
-            F.round(F.col("r") / F.col("outdeg").cast("double"), 6)
-            .cast("decimal(18,6)")
-            .alias("c"),
-        )
-        insum = contrib.groupBy("dst").agg(
-            F.sum("c").cast("double").alias("s")
-        )
-        base = F.coalesce("s", F.lit(0.0))
-        checkpoint_step = redistribute
         if redistribute:
-            # per-node share of the dangling ranks' mass: DECIMAL sum
-            # (order-independent, the in-sum convention) over the
-            # pinned 6dp ranks, then one IEEE division by n — a 1-row
-            # broadcast, not a shuffle
-            dm = (
-                dang.join(r, "vec_id")
-                .agg(
-                    F.coalesce(
-                        F.sum(F.col("r").cast("decimal(18,6)")),
-                        F.lit(0).cast("decimal(18,6)"),
-                    ).alias("dm")
+            # unqualified column refs throughout: ``edges`` recurs in
+            # every unrolled step, so dataset-qualified attributes
+            # (edges["dst"]) trip the ambiguous-self-join check once
+            # the chain composes lazily
+            tagged = r.withColumnRenamed("vec_id", "_rid").join(
+                edges, F.col("_rid") == F.col("src"), "left"
+            ).select(
+                "dst",
+                F.when(
+                    F.col("outdeg").isNull(),
+                    F.col("r").cast("decimal(18,6)"),
                 )
-                .select(
-                    (F.col("dm").cast("double") / F.lit(float(n_total)))
-                    .alias("quota")
+                .otherwise(
+                    F.round(
+                        F.col("r") / F.col("outdeg").cast("double"), 6
+                    ).cast("decimal(18,6)")
                 )
+                .alias("c"),
             )
-            base = base + F.col("quota")
-        upd = nodes.join(insum, nodes["vec_id"] == insum["dst"], "left")
-        if redistribute:
-            upd = upd.crossJoin(F.broadcast(dm))
+            sums = tagged.groupBy("dst").agg(F.sum("c").alias("csum"))
+            insum = sums.filter(F.col("dst").isNotNull()).select(
+                "dst", F.col("csum").cast("double").alias("s")
+            )
+            dm = sums.filter(F.col("dst").isNull()).select(
+                (F.col("csum").cast("double") / F.lit(float(n_total)))
+                .alias("quota")
+            )
+            upd = nodes.join(
+                insum, nodes["vec_id"] == insum["dst"], "left"
+            ).join(F.broadcast(dm), F.lit(True), "left")
+            base = F.coalesce("s", F.lit(0.0)) + F.coalesce(
+                "quota", F.lit(0.0)
+            )
+        else:
+            contrib = edges.join(
+                r, edges["src"] == r["vec_id"]
+            ).select(
+                "dst",
+                F.round(F.col("r") / F.col("outdeg").cast("double"), 6)
+                .cast("decimal(18,6)")
+                .alias("c"),
+            )
+            insum = contrib.groupBy("dst").agg(
+                F.sum("c").cast("double").alias("s")
+            )
+            upd = nodes.join(insum, nodes["vec_id"] == insum["dst"], "left")
+            base = F.coalesce("s", F.lit(0.0))
         r = upd.select(
             "vec_id",
             F.round(F.lit(0.15) + F.lit(PR_DAMP) * base, 6).alias("r"),
         )
-        # redistribute references r TWICE per iteration (contrib +
-        # the dangling-quota aggregate): lazy composition would double
-        # the rank subtree per step, so each step stays checkpointed.
-        # The drop variant references r exactly once — the unrolled
-        # chain composes lazily into ONE job (operators/pagerank.py
-        # r13 rationale; 5 materialization jobs saved per call).
-        if checkpoint_step:
-            r = r.localCheckpoint(eager=True)
     return r.select("vec_id", F.col("r").alias("pontuacao"))
 
 
@@ -1446,12 +1470,16 @@ def graph_pagerank_redistributed(
     normalizing ranks needs (`graph_pagerank`'s documented drop-trade
     stays the default; ordering-only consumers keep the cheaper loop).
 
-    Plan delta vs `graph_pagerank`: the dangling node set is computed
-    ONCE (one anti-join — out-degrees never change across iterations),
-    and each iteration adds one scalar aggregate over that set —
-    ranks DECIMAL(18,6)-summed (order-independent, the in-sum
-    convention) then one IEEE division by n — broadcast into the rank
-    update as a 1-row cross join. No new shuffle on data-sized frames.
+    Plan delta vs `graph_pagerank`: the contribution pass is a LEFT
+    join of the rank frame against the edge table, so dangling nodes
+    (the unmatched rows) feed their full rank into a null-dst group of
+    the SAME per-dst aggregation — ranks DECIMAL(18,6)-summed
+    (order-independent, the in-sum convention) then one IEEE division
+    by n, broadcast into the rank update as a 1-row join. One rank
+    reference per iteration, so the chain composes lazily into ONE
+    job exactly like `graph_pagerank` (r14; the pre-r14 form paid a
+    per-step checkpoint for a second dangling-aggregate reference).
+    No new shuffle on data-sized frames.
 
     Determinism: the per-node quota is computed from pinned 6dp ranks
     by exact decimal summation and a single double division, so both
