@@ -910,8 +910,12 @@ def stream_pagerank_update(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_probe=GRAPH_PROBE,
                 n_centroids=max(4, int(GRAPH_PROBE * n_corp**0.5)),
             )
-            build_graph_labels(spark, store_dir, corpus.select("vec_id"))
-            build_graph_pageranks(spark, store_dir)
+            labels = build_graph_labels(
+                spark, store_dir, corpus.select("vec_id")
+            )
+            # hand the checkpointed labels straight to the rank build
+            # instead of re-reading the table just written (r14)
+            build_graph_pageranks(spark, store_dir, labels=labels)
 
         staged = emb.filter(F.col("vec_id") >= cut)
         first_chunk = _overlap_build_and_stage(
