@@ -377,7 +377,7 @@ def build_knn_graph_index(
     # candidate-join/topk write (guide §2.6)
     from concurrent.futures import ThreadPoolExecutor
 
-    from pyspark import inheritable_thread_target
+    from agrobr_spark.session import thread_target
 
     writes = [
         lambda: members.overwrite(_member_rows(ranked, ncb)),
@@ -394,7 +394,7 @@ def build_knn_graph_index(
     ]
     with ThreadPoolExecutor(max_workers=3) as pool:
         futs = [
-            pool.submit(inheritable_thread_target(spark)(w))
+            pool.submit(thread_target(spark, w))
             for w in writes
         ]
         for f in futs:
@@ -551,7 +551,7 @@ def update_knn_graph_frame(
     # overwrite is a per-writer option, so no shared session state)
     from concurrent.futures import ThreadPoolExecutor
 
-    from pyspark import inheritable_thread_target
+    from agrobr_spark.session import thread_target
 
     jobs = [
         lambda: edges.merge_upsert(
@@ -572,7 +572,7 @@ def update_knn_graph_frame(
     ]
     with ThreadPoolExecutor(max_workers=3) as pool:
         futs = [
-            pool.submit(inheritable_thread_target(spark)(j))
+            pool.submit(thread_target(spark, j))
             for j in jobs
         ]
         for f in futs:
@@ -742,7 +742,7 @@ def build_graph_labels(
     # pattern as the index build's three stores)
     from concurrent.futures import ThreadPoolExecutor
 
-    from pyspark import inheritable_thread_target
+    from agrobr_spark.session import thread_target
 
     writes = [
         lambda: _labels_store(spark, store_dir).overwrite(
@@ -754,7 +754,7 @@ def build_graph_labels(
     ]
     with ThreadPoolExecutor(max_workers=2) as pool:
         futs = [
-            pool.submit(inheritable_thread_target(spark)(w))
+            pool.submit(thread_target(spark, w))
             for w in writes
         ]
         for f in futs:
@@ -804,7 +804,7 @@ def _apply_label_delta(
     overlapped."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from pyspark import inheritable_thread_target
+    from agrobr_spark.session import thread_target
 
     spark = delta.sparkSession
     jobs = [
@@ -822,7 +822,7 @@ def _apply_label_delta(
     ]
     with ThreadPoolExecutor(max_workers=2) as pool:
         futs = [
-            pool.submit(inheritable_thread_target(spark)(j))
+            pool.submit(thread_target(spark, j))
             for j in jobs
         ]
         for f in futs:

@@ -1389,12 +1389,12 @@ def corpus_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the later methods' tasks back-fill executors freed by the
     # earlier ones' stage tails (guide §2.6 overlap-independent-jobs;
     # actions are only sequential because driver code calls them
-    # sequentially). inheritable_thread_target keeps job
+    # sequentially). thread_target (session.py) keeps job
     # descriptions/groups correct per thread; plans touch no shared
     # mutable state beyond idempotent memo dicts.
     from concurrent.futures import ThreadPoolExecutor
 
-    from pyspark import inheritable_thread_target
+    from agrobr_spark.session import thread_target
 
     builders = {
         "minhash_lsh": lambda: dedup_minhash_lsh(
@@ -1409,7 +1409,7 @@ def corpus_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     with ThreadPoolExecutor(max_workers=3) as pool:
         futs = {
-            k: pool.submit(inheritable_thread_target(spark)(fn))
+            k: pool.submit(thread_target(spark, fn))
             for k, fn in builders.items()
         }
         frames = {k: f.result() for k, f in futs.items()}

@@ -102,11 +102,11 @@ def _overlap_build_and_stage(spark, build, stage):
     result (the captured first chunk, when requested)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from pyspark import inheritable_thread_target
+    from agrobr_spark.session import thread_target
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        fb = pool.submit(inheritable_thread_target(spark)(build))
-        fs = pool.submit(inheritable_thread_target(spark)(stage))
+        fb = pool.submit(thread_target(spark, build))
+        fs = pool.submit(thread_target(spark, stage))
         fb.result()
         return fs.result()
 

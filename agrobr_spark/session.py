@@ -69,3 +69,21 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def thread_target(spark, fn):
+    """``inheritable_thread_target(spark)(fn)`` with a fallback for
+    non-pinned-thread mode (r13 ADVICE): under ``PYSPARK_PIN_THREAD=
+    false`` pyspark's non-pinned branch returns the session argument
+    UNCHANGED, so the curried call raises ``TypeError: 'SparkSession'
+    object is not callable``. On the default pinned mode this is
+    exactly the warning-free tag-inheriting wrapper; on non-pinned
+    mode the raw function is returned (thread-locals are shared
+    there, so there is nothing to inherit). One shared helper so the
+    engine's eight thread-pool sites cannot drift."""
+    from pyspark import inheritable_thread_target
+
+    wrapped = inheritable_thread_target(spark)
+    if not callable(wrapped):
+        return fn
+    return wrapped(fn)
