@@ -446,6 +446,31 @@ def update_knn_graph_frame(
             "build_knn_graph_index"
         )
     ncb = int(meta["cid_buckets"])
+    if emb_b.isEmpty():
+        # EMPTY batch, decided before ANY fold machinery runs (r14):
+        # one limit-1 probe of the batch frame replaces the centroid
+        # read + broadcast + assignment stages the empty path still
+        # paid (measured ~0.6-0.8 s/epoch; watermark-advance and
+        # replayed-empty epochs are routine at 100 TB). The returned
+        # frame is a true empty local relation with the exact edge
+        # schema, so downstream folds collapse through
+        # PropagateEmptyRelation instead of executing empty plans.
+        # Non-empty folds pay one cheap limit-1 scan of the batch.
+        from pyspark.sql import types as T
+
+        id_type = emb_b.schema[id_col].dataType
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("balde", T.IntegerType()),
+                    T.StructField("vec_id", id_type),
+                    T.StructField("neighbor_id", id_type),
+                    T.StructField("posicao", T.IntegerType()),
+                    T.StructField("cosseno", T.DoubleType()),
+                ]
+            ),
+        )
     cent = spark.read.parquet(f"{store_dir}/centroids")
     # the legs below read the very stores the MERGEs rewrite — sever
     # ONCE at the assignment (r13: members_new and probes_new were
